@@ -1,0 +1,215 @@
+"""Batchers: fixed-length chunking (CE) and sorted-bucket padding (SE).
+
+Reference behavior: pykaldi2/data/dataloader.py ``ChunkDataloader`` /
+``SeqDataloader`` (SURVEY.md §3.1). The reference used torch DataLoader +
+DistributedSampler + PackedSequence; here the host emits fixed-shape numpy
+batches from a small, static bucket inventory so every shape compiles exactly
+once under jit (SURVEY.md §8 hard part 5), with rank-sharded utterance lists
+replacing DistributedSampler.
+
+Batch dicts (wave mode):
+  wave   [B, S]    float32 waveform samples (int16 range)
+  labels [B, T]    int32 pdf-ids (-1 where absent)
+  mask   [B, T]    float32 1.0 on supervised frames
+  num_frames [B]   int32
+plus ``utt_ids`` (host-side list) for lattice bookkeeping in SE mode.
+In feats mode ``feats [B, T, D]`` replaces ``wave``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from pykaldi2_tpu.config import FrameOpts
+from pykaldi2_tpu.data.dataset import SpeechDataset
+
+
+def chunk_samples(chunk_len: int, fo: FrameOpts) -> int:
+    """Waveform samples covering ``chunk_len`` frames under snip-edges framing."""
+    return (chunk_len - 1) * fo.window_shift + fo.window_size
+
+
+class ChunkDataloader:
+    """CE-mode loader: split utterances into fixed ``chunk_len``-frame chunks.
+
+    Chunking happens in the waveform domain at frame-shift boundaries, which
+    yields bit-identical features to chunking in the feature domain (frame t
+    of a chunk starting at frame c0 is exactly frame c0+t of the utterance).
+    """
+
+    def __init__(
+        self,
+        dataset: SpeechDataset,
+        batch_size: int,
+        chunk_len: int = 80,
+        rank: int = 0,
+        world_size: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.chunk_len = chunk_len
+        self.rank, self.world_size = rank, world_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.ds))
+        rng = np.random.RandomState(self.seed + self.epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        order = order[self.rank :: self.world_size]
+        fo = self.ds.frame_opts
+        T, S = self.chunk_len, chunk_samples(self.chunk_len, fo)
+        feats_mode = self.ds.mode == "feats"
+        buf: List[tuple] = []
+
+        def emit():
+            b = len(buf)
+            labels = np.full((b, T), -1, np.int32)
+            mask = np.zeros((b, T), np.float32)
+            if feats_mode:
+                dim = buf[0][0].shape[1]
+                xs = np.zeros((b, T, dim), np.float32)
+            else:
+                xs = np.zeros((b, S), np.float32)
+            for i, (x, lab) in enumerate(buf):
+                xs[i, : x.shape[0]] = x
+                if lab is not None:
+                    labels[i, : len(lab)] = lab
+                    mask[i, : len(lab)] = 1.0
+            buf.clear()
+            key = "feats" if feats_mode else "wave"
+            return {key: xs, "labels": labels, "mask": mask}
+
+        for idx in order:
+            utt = self.ds.get(self.ds.utt_ids[idx], rng)
+            x = utt.feats if feats_mode else utt.wave
+            nf = utt.num_frames
+            for c0 in range(0, nf, T):
+                clen = min(T, nf - c0)
+                if feats_mode:
+                    xc = x[c0 : c0 + clen]
+                else:
+                    s0 = c0 * fo.window_shift
+                    xc = x[s0 : s0 + chunk_samples(clen, fo)]
+                lab = utt.labels[c0 : c0 + clen] if utt.labels is not None else None
+                buf.append((xc, lab))
+                if len(buf) == self.batch_size:
+                    yield emit()
+        if buf and not self.drop_last:
+            # pad the tail batch to full batch_size with empty (masked) rows
+            while len(buf) < self.batch_size:
+                buf.append((np.zeros((0,) if not feats_mode else (0, buf[0][0].shape[1]), np.float32), None))
+            yield emit()
+
+
+@dataclasses.dataclass
+class BucketSpec:
+    """Static bucket inventory: frame-length boundaries + batch size per bucket.
+
+    ``boundaries`` are max frame counts, ascending; an utterance goes in the
+    first bucket whose boundary >= its frame count. ``batch_sizes`` may be a
+    single int or one per bucket (longer buckets usually take smaller
+    batches to keep memory flat).
+    """
+
+    boundaries: Sequence[int] = (200, 400, 800, 1600)
+    batch_sizes: Sequence[int] | int = 16
+
+    def batch_size(self, bucket: int) -> int:
+        if isinstance(self.batch_sizes, int):
+            return self.batch_sizes
+        return self.batch_sizes[bucket]
+
+
+class SeqDataloader:
+    """SE-mode loader: whole utterances, sorted-bucket padded batches.
+
+    Replaces the reference's sorted+padded batches feeding
+    ``pack_padded_sequence`` (SURVEY.md §3.1 "Sequence dataloader"); bucket
+    shapes are static so each bucket's train step compiles once.
+    """
+
+    def __init__(
+        self,
+        dataset: SpeechDataset,
+        bucket_spec: BucketSpec = BucketSpec(),
+        rank: int = 0,
+        world_size: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        self.ds = dataset
+        self.spec = bucket_spec
+        self.rank, self.world_size = rank, world_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        ids = list(self.ds.utt_ids)[self.rank :: self.world_size]
+        if self.shuffle:
+            rng.shuffle(ids)
+        fo = self.ds.frame_opts
+        feats_mode = self.ds.mode == "feats"
+        nb = len(self.spec.boundaries)
+        buckets: List[List] = [[] for _ in range(nb)]
+
+        def emit(b: int):
+            items = buckets[b]
+            T = self.spec.boundaries[b]
+            B = self.spec.batch_size(b)
+            S = chunk_samples(T, fo)
+            labels = np.full((B, T), -1, np.int32)
+            mask = np.zeros((B, T), np.float32)
+            nfs = np.zeros((B,), np.int32)
+            utt_ids = []
+            if feats_mode:
+                dim = items[0].feats.shape[1]
+                xs = np.zeros((B, T, dim), np.float32)
+            else:
+                xs = np.zeros((B, S), np.float32)
+            # sort within batch by length, longest first (cheap locality win)
+            items.sort(key=lambda u: -u.num_frames)
+            for i, u in enumerate(items):
+                nf = u.num_frames
+                nfs[i] = nf
+                utt_ids.append(u.utt_id)
+                if feats_mode:
+                    xs[i, :nf] = u.feats[:nf]
+                else:
+                    ns = min(u.wave.shape[0], S)
+                    xs[i, :ns] = u.wave[:ns]
+                if u.labels is not None:
+                    labels[i, :nf] = u.labels[:nf]
+                    mask[i, :nf] = 1.0
+            buckets[b] = []
+            key = "feats" if feats_mode else "wave"
+            return {key: xs, "labels": labels, "mask": mask, "num_frames": nfs, "utt_ids": utt_ids}
+
+        for uid in ids:
+            nf = self.ds.utt_num_frames(uid)
+            b = next((i for i, bound in enumerate(self.spec.boundaries) if nf <= bound), None)
+            if b is None:
+                continue  # utterance longer than the largest bucket: skipped (logged upstream)
+            buckets[b].append(self.ds.get(uid, rng))
+            if len(buckets[b]) == self.spec.batch_size(b):
+                yield emit(b)
+        for b in range(nb):
+            if buckets[b]:
+                yield emit(b)

@@ -1,0 +1,138 @@
+"""Speech dataset: corpus index + on-demand waveform/label loading.
+
+Reference behavior: the ``SpeechDataset``-style class in pykaldi2/data/
+(SURVEY.md §3.1 "Dataset") — reads waveforms + frame alignments, applies the
+on-the-fly Simulator, computes features, returns {utt_id, feat, label}.
+
+TPU-first split: the host dataset returns raw waveforms + labels (+ optional
+host-side simulation for parity testing); featurization and device-side
+simulation happen inside the jitted train step so the front end rides the MXU
+(BASELINE.json north star: "fused Pallas kernels producing HBM-resident
+batches"). A "feats" mode reads precomputed feature arks for Kaldi-artifact
+parity runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from pykaldi2_tpu.config import DataConfig, FrameOpts
+from pykaldi2_tpu.data import kaldi_io
+from pykaldi2_tpu.data.wav import read_wav
+from pykaldi2_tpu.frontend.window import num_frames
+
+
+@dataclasses.dataclass
+class Utterance:
+    utt_id: str
+    wave: Optional[np.ndarray]      # [n_samples] float32 (int16 range), or None in feats mode
+    feats: Optional[np.ndarray]     # [T, D] float32 in feats mode
+    labels: Optional[np.ndarray]    # [T] int32 pdf-ids, or None (decode-only)
+    num_frames: int
+
+
+class SpeechDataset:
+    """Indexable corpus of (waveform|features, frame labels).
+
+    Args:
+      wav_scp: path to ``utt_id wav_path`` scp (wave mode), or None.
+      feats_scp: path to feature-matrix scp (feats mode), or None.
+      ali: path to alignment ark (binary int-vector ark or text ark); labels
+        must already be pdf-ids unless ``tid_to_pdf`` is given.
+      frame_opts: used to derive frame counts from waveform lengths.
+      simulate_fn: optional host-side callable wave→wave (parity-mode
+        simulation; the production path simulates on device).
+      tid_to_pdf: optional int array mapping transition-ids → pdf-ids.
+    """
+
+    def __init__(
+        self,
+        wav_scp: Optional[str] = None,
+        feats_scp: Optional[str] = None,
+        ali: Optional[str] = None,
+        frame_opts: Optional[FrameOpts] = None,
+        simulate_fn: Optional[Callable] = None,
+        tid_to_pdf: Optional[np.ndarray] = None,
+    ):
+        if (wav_scp is None) == (feats_scp is None):
+            raise ValueError("exactly one of wav_scp / feats_scp required")
+        self.frame_opts = frame_opts or FrameOpts()
+        self.simulate_fn = simulate_fn
+        self.mode = "wave" if wav_scp else "feats"
+        self._entries = dict(kaldi_io.read_scp(wav_scp or feats_scp))
+        self.labels: Optional[dict] = None
+        if ali is not None:
+            self.labels = {}
+            reader = (
+                kaldi_io.read_text_ark(ali)
+                if _looks_text(ali)
+                else kaldi_io.read_ark(ali, kind="ivec")
+            )
+            for key, vec in reader:
+                if tid_to_pdf is not None:
+                    vec = tid_to_pdf[vec]
+                self.labels[key] = vec.astype(np.int32)
+            self.utt_ids = [u for u in self._entries if u in self.labels]
+        else:
+            self.utt_ids = list(self._entries)
+        self._frame_counts: dict = {}
+
+    @classmethod
+    def from_config(cls, cfg: DataConfig, simulate_fn=None, tid_to_pdf=None):
+        return cls(
+            wav_scp=cfg.wav_scp,
+            ali=cfg.label_ark,
+            frame_opts=cfg.feat.fbank.frame_opts if cfg.feat.type == "fbank" else cfg.feat.mfcc.frame_opts,
+            simulate_fn=simulate_fn,
+            tid_to_pdf=tid_to_pdf,
+        )
+
+    def __len__(self):
+        return len(self.utt_ids)
+
+    def utt_num_frames(self, utt_id: str) -> int:
+        """Frame count, from the alignment when available (cheap), else the wav."""
+        if utt_id in self._frame_counts:
+            return self._frame_counts[utt_id]
+        if self.labels is not None and utt_id in self.labels:
+            nf = len(self.labels[utt_id])
+        elif self.mode == "feats":
+            nf = kaldi_io.read_scp_entry(self._entries[utt_id], "mat").shape[0]
+        else:
+            wave, _ = read_wav(self._entries[utt_id])
+            nf = num_frames(wave.shape[-1], self.frame_opts)
+        self._frame_counts[utt_id] = nf
+        return nf
+
+    def get(self, utt_id: str, rng: Optional[np.random.RandomState] = None) -> Utterance:
+        labels = self.labels.get(utt_id) if self.labels is not None else None
+        if self.mode == "feats":
+            feats = kaldi_io.read_scp_entry(self._entries[utt_id], "mat").astype(np.float32)
+            nf = feats.shape[0]
+            if labels is not None:
+                nf = min(nf, len(labels))
+                feats, labels = feats[:nf], labels[:nf]
+            return Utterance(utt_id, None, feats, labels, nf)
+        wave, _rate = read_wav(self._entries[utt_id])
+        if wave.ndim > 1:
+            wave = wave[:, 0]
+        if self.simulate_fn is not None:
+            wave = self.simulate_fn(wave, rng)
+        nf = num_frames(wave.shape[-1], self.frame_opts)
+        if labels is not None:
+            # alignments and snip-edges frame counts can differ by a frame or two
+            nf = min(nf, len(labels))
+            labels = labels[:nf]
+        return Utterance(utt_id, wave.astype(np.float32), None, labels, nf)
+
+    def __getitem__(self, i: int) -> Utterance:
+        return self.get(self.utt_ids[i])
+
+
+def _looks_text(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(512)
+    return b"\0" not in head

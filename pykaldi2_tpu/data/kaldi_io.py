@@ -1,0 +1,241 @@
+"""Pure-Python Kaldi ark/scp table IO.
+
+Replaces PyKaldi's ``kaldi.util.table`` readers/writers (SURVEY.md §3.1
+"Readers / IO"; binary formats per kaldi/src/{base/io-funcs,matrix/kaldi-matrix,
+util/kaldi-table}). Supports:
+
+  * binary float/double matrices ("FM"/"DM") and vectors ("FV"/"DV")
+  * int32 vectors (alignments, WriteIntegerVector layout)
+  * text-mode tables
+  * ark, scp (with byte offsets), and ark+scp writing
+
+Compressed matrices ("CM") are not yet supported; real Kaldi artifacts using
+compression must be converted with copy-feats first.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Tuple
+
+import numpy as np
+
+BINARY_MARKER = b"\0B"
+
+
+# ---------------------------------------------------------------------------
+# Low-level object read/write (binary Kaldi format)
+# ---------------------------------------------------------------------------
+
+
+def _read_token(f) -> str:
+    tok = b""
+    while True:
+        c = f.read(1)
+        if not c or c == b" ":
+            break
+        tok += c
+    return tok.decode()
+
+
+def _expect_int32(f) -> int:
+    sz = f.read(1)
+    if sz != b"\x04":
+        raise ValueError(f"expected int32 size marker, got {sz!r}")
+    return struct.unpack("<i", f.read(4))[0]
+
+
+def write_matrix(f, mat: np.ndarray):
+    mat = np.asarray(mat)
+    if mat.ndim != 2:
+        raise ValueError("matrix must be 2-D")
+    if mat.dtype == np.float64:
+        f.write(b"DM ")
+        dt = "<f8"
+    else:
+        mat = mat.astype(np.float32)
+        f.write(b"FM ")
+        dt = "<f4"
+    f.write(b"\x04" + struct.pack("<i", mat.shape[0]))
+    f.write(b"\x04" + struct.pack("<i", mat.shape[1]))
+    f.write(np.ascontiguousarray(mat, dtype=dt).tobytes())
+
+
+def read_matrix(f) -> np.ndarray:
+    tok = _read_token(f)
+    if tok == "FM":
+        dt, isz = "<f4", 4
+    elif tok == "DM":
+        dt, isz = "<f8", 8
+    elif tok == "CM":
+        raise NotImplementedError("compressed matrices (CM) not supported; run copy-feats")
+    else:
+        raise ValueError(f"unknown matrix token {tok!r}")
+    rows = _expect_int32(f)
+    cols = _expect_int32(f)
+    data = f.read(rows * cols * isz)
+    return np.frombuffer(data, dtype=dt).reshape(rows, cols).copy()
+
+
+def write_vector(f, vec: np.ndarray):
+    vec = np.asarray(vec)
+    if vec.dtype == np.float64:
+        f.write(b"DV ")
+        dt = "<f8"
+    else:
+        vec = vec.astype(np.float32)
+        f.write(b"FV ")
+        dt = "<f4"
+    f.write(b"\x04" + struct.pack("<i", vec.shape[0]))
+    f.write(np.ascontiguousarray(vec, dtype=dt).tobytes())
+
+
+def read_vector(f) -> np.ndarray:
+    tok = _read_token(f)
+    if tok == "FV":
+        dt, isz = "<f4", 4
+    elif tok == "DV":
+        dt, isz = "<f8", 8
+    else:
+        raise ValueError(f"unknown vector token {tok!r}")
+    dim = _expect_int32(f)
+    return np.frombuffer(f.read(dim * isz), dtype=dt).copy()
+
+
+def write_int_vector(f, vec: np.ndarray):
+    """Kaldi WriteIntegerVector<int32>: 1 byte sizeof, raw int32 size, raw data."""
+    vec = np.asarray(vec, dtype="<i4")
+    f.write(b"\x04")
+    f.write(struct.pack("<i", vec.shape[0]))
+    f.write(vec.tobytes())
+
+
+def read_int_vector(f) -> np.ndarray:
+    sz = f.read(1)
+    if sz != b"\x04":
+        raise ValueError(f"expected element size 4, got {sz!r}")
+    n = struct.unpack("<i", f.read(4))[0]
+    return np.frombuffer(f.read(4 * n), dtype="<i4").copy()
+
+
+_WRITERS = {"mat": write_matrix, "vec": write_vector, "ivec": write_int_vector}
+_READERS = {"mat": read_matrix, "vec": read_vector, "ivec": read_int_vector}
+
+
+# ---------------------------------------------------------------------------
+# Ark/scp tables
+# ---------------------------------------------------------------------------
+
+
+class ArkWriter:
+    """Write a binary ark (optionally with an scp index), Kaldi layout:
+    ``key<space>\\0B<object>`` per record, scp offset pointing at ``\\0B``.
+    """
+
+    def __init__(self, ark_path: str, scp_path: str | None = None, kind: str = "mat"):
+        self._f = open(ark_path, "wb")
+        self._scp = open(scp_path, "w") if scp_path else None
+        self._ark_path = ark_path
+        self._write = _WRITERS[kind]
+
+    def write(self, key: str, obj: np.ndarray):
+        self._f.write(key.encode() + b" ")
+        offset = self._f.tell()
+        self._f.write(BINARY_MARKER)
+        self._write(self._f, obj)
+        if self._scp:
+            self._scp.write(f"{key} {self._ark_path}:{offset}\n")
+
+    def close(self):
+        self._f.close()
+        if self._scp:
+            self._scp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def read_ark(path: str, kind: str = "mat") -> Iterator[Tuple[str, np.ndarray]]:
+    """Sequential reader over a binary ark file."""
+    reader = _READERS[kind]
+    with open(path, "rb") as f:
+        while True:
+            key = _read_token(f)
+            if not key:
+                break
+            marker = f.read(2)
+            if marker != BINARY_MARKER:
+                raise ValueError(f"non-binary ark entry for key {key!r} (text arks: use read_text_ark)")
+            yield key, reader(f)
+
+
+def read_scp(path: str) -> Iterator[Tuple[str, str]]:
+    """scp lines: ``key rxfilename[:offset]``."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            key, rx = line.split(None, 1)
+            yield key, rx
+
+
+def read_scp_entry(rx: str, kind: str = "mat") -> np.ndarray:
+    """Read one object given an ``path[:offset]`` rxfilename."""
+    reader = _READERS[kind]
+    if ":" in rx and rx.rsplit(":", 1)[1].isdigit():
+        path, off = rx.rsplit(":", 1)
+        with open(path, "rb") as f:
+            f.seek(int(off))
+            marker = f.read(2)
+            if marker != BINARY_MARKER:
+                raise ValueError(f"bad scp offset into {path}")
+            return reader(f)
+    with open(rx, "rb") as f:
+        marker = f.read(2)
+        if marker == BINARY_MARKER:
+            return reader(f)
+    raise ValueError(f"cannot read object from {rx!r}")
+
+
+class RandomAccessReader:
+    """dict-like random access over an scp (lazy, file-seek based)."""
+
+    def __init__(self, scp_path: str, kind: str = "mat"):
+        self._entries = dict(read_scp(scp_path))
+        self._kind = kind
+
+    def __contains__(self, key):
+        return key in self._entries
+
+    def __getitem__(self, key) -> np.ndarray:
+        return read_scp_entry(self._entries[key], self._kind)
+
+    def keys(self):
+        return self._entries.keys()
+
+    def __len__(self):
+        return len(self._entries)
+
+
+# ---------------------------------------------------------------------------
+# Text-mode tables (alignments and small vectors; handy for debugging)
+# ---------------------------------------------------------------------------
+
+
+def read_text_ark(path: str, dtype=np.int32) -> Iterator[Tuple[str, np.ndarray]]:
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            yield parts[0], np.asarray([dtype(x) for x in parts[1:]], dtype=dtype)
+
+
+def write_text_ark(path: str, items):
+    with open(path, "w") as f:
+        for key, vec in items:
+            f.write(key + " " + " ".join(str(int(x)) for x in np.asarray(vec).ravel()) + "\n")

@@ -1,0 +1,161 @@
+"""Data layer tests: WAV codec, Kaldi ark/scp IO, dataset, chunk/seq loaders."""
+
+import numpy as np
+import pytest
+
+from pykaldi2_tpu.config import FrameOpts
+from pykaldi2_tpu.data import kaldi_io
+from pykaldi2_tpu.data.dataloader import BucketSpec, ChunkDataloader, SeqDataloader, chunk_samples
+from pykaldi2_tpu.data.dataset import SpeechDataset
+from pykaldi2_tpu.data.prefetch import device_prefetch
+from pykaldi2_tpu.data.wav import read_wav, write_wav
+
+from toydata import make_toy_corpus
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(12345) * 5000).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, wave, 16000)
+    got, rate = read_wav(str(p))
+    assert rate == 16000
+    np.testing.assert_allclose(got, np.rint(np.clip(wave, -32768, 32767)), atol=0.501)
+
+
+def test_wav_stereo_and_normalize(tmp_path):
+    rng = np.random.RandomState(1)
+    wave = (rng.randn(1000, 2) * 1000).astype(np.float32)
+    p = tmp_path / "st.wav"
+    write_wav(p, wave, 8000)
+    got, rate = read_wav(str(p), normalize=True)
+    assert got.shape == (1000, 2) and rate == 8000
+    assert np.abs(got).max() <= 1.0
+
+
+def test_ark_scp_matrix_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    mats = {f"u{i}": rng.randn(10 + i, 7).astype(np.float32) for i in range(5)}
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with kaldi_io.ArkWriter(ark, scp, kind="mat") as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    seq = dict(kaldi_io.read_ark(ark, kind="mat"))
+    assert set(seq) == set(mats)
+    for k in mats:
+        np.testing.assert_array_equal(seq[k], mats[k])
+    ra = kaldi_io.RandomAccessReader(scp, kind="mat")
+    np.testing.assert_array_equal(ra["u3"], mats["u3"])
+
+
+def test_ark_int_vector_and_double(tmp_path):
+    ark = str(tmp_path / "ali.ark")
+    with kaldi_io.ArkWriter(ark, kind="ivec") as w:
+        w.write("a", np.array([1, 2, 3, 100000], np.int32))
+        w.write("b", np.array([], np.int32))
+    got = dict(kaldi_io.read_ark(ark, kind="ivec"))
+    np.testing.assert_array_equal(got["a"], [1, 2, 3, 100000])
+    assert got["b"].size == 0
+    ark2 = str(tmp_path / "d.ark")
+    with kaldi_io.ArkWriter(ark2, kind="vec") as w:
+        w.write("v", np.arange(5, dtype=np.float64))
+    (k, v), = list(kaldi_io.read_ark(ark2, kind="vec"))
+    assert v.dtype == np.float64
+    np.testing.assert_array_equal(v, np.arange(5))
+
+
+def test_text_ark_roundtrip(tmp_path):
+    p = str(tmp_path / "ali.txt")
+    kaldi_io.write_text_ark(p, [("u1", [0, 1, 2]), ("u2", [5])])
+    got = dict(kaldi_io.read_text_ark(p))
+    np.testing.assert_array_equal(got["u1"], [0, 1, 2])
+
+
+def test_dataset_and_chunk_loader(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=6, seed=3)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    assert len(ds) == 6
+    utt = ds[0]
+    assert utt.wave is not None and utt.labels is not None
+    assert utt.num_frames == len(utt.labels)
+
+    loader = ChunkDataloader(ds, batch_size=4, chunk_len=50, shuffle=True, seed=0)
+    total_sup = 0
+    S = chunk_samples(50, ds.frame_opts)
+    for batch in loader:
+        assert batch["wave"].shape == (4, S)
+        assert batch["labels"].shape == (4, 50)
+        assert ((batch["labels"] >= 0) == (batch["mask"] > 0)).all()
+        total_sup += int(batch["mask"].sum())
+    expect = sum(ds.utt_num_frames(u) for u in ds.utt_ids)
+    assert total_sup == expect  # every supervised frame appears exactly once
+
+
+def test_chunk_loader_rank_sharding(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=8, seed=4)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    sup = 0
+    for rank in range(2):
+        loader = ChunkDataloader(ds, batch_size=2, chunk_len=40, rank=rank, world_size=2, shuffle=False)
+        for b in loader:
+            sup += int(b["mask"].sum())
+    assert sup == sum(ds.utt_num_frames(u) for u in ds.utt_ids)
+
+
+def test_seq_loader_buckets(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=10, min_sec=0.5, max_sec=3.0, seed=5)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    spec = BucketSpec(boundaries=(100, 200, 400), batch_sizes=(4, 4, 2))
+    loader = SeqDataloader(ds, spec, shuffle=False)
+    seen = set()
+    shapes = set()
+    for b in loader:
+        T = b["labels"].shape[1]
+        assert T in spec.boundaries
+        shapes.add((b["wave"].shape, b["labels"].shape))
+        for i, uid in enumerate(b["utt_ids"]):
+            seen.add(uid)
+            nf = b["num_frames"][i]
+            assert nf == ds.utt_num_frames(uid)
+            assert (b["labels"][i, :nf] >= 0).all()
+            assert (b["mask"][i, nf:] == 0).all()
+    # every utt short enough for a bucket is seen exactly once
+    expect = {u for u in ds.utt_ids if ds.utt_num_frames(u) <= 400}
+    assert seen == expect
+    assert len(shapes) <= 2 * len(spec.boundaries)  # static shape inventory
+
+
+def test_feats_mode_dataset(tmp_path):
+    rng = np.random.RandomState(6)
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with kaldi_io.ArkWriter(ark, scp, kind="mat") as w:
+        for i in range(3):
+            w.write(f"u{i}", rng.randn(30 + i, 12).astype(np.float32))
+    ds = SpeechDataset(feats_scp=scp)
+    u = ds[1]
+    assert u.feats.shape == (31, 12) and u.num_frames == 31
+    loader = ChunkDataloader(ds, batch_size=2, chunk_len=10, shuffle=False)
+    b = next(iter(loader))
+    assert b["feats"].shape == (2, 10, 12)
+
+
+def test_device_prefetch(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=4, seed=7)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    loader = ChunkDataloader(ds, batch_size=2, chunk_len=30, shuffle=False)
+    n = 0
+    for batch in device_prefetch(iter(loader), size=2):
+        import jax
+        assert isinstance(batch["wave"], jax.Array)
+        n += 1
+    assert n > 0
+
+
+def test_prefetch_propagates_errors():
+    def bad():
+        yield {"x": np.zeros(3)}
+        raise RuntimeError("loader boom")
+
+    with pytest.raises(RuntimeError, match="loader boom"):
+        for _ in device_prefetch(bad()):
+            pass
