@@ -1,0 +1,143 @@
+"""Frame cross-entropy trainer entry point.
+
+Reference behavior: pykaldi2/bin/train_ce.py (SURVEY.md §4.1) — same CLI
+shape: ``python -m pykaldi2_tpu.bin.train_ce -config exp.yaml -data data.yaml
+-exp_dir exp/ce [-lr ...] [-batch_size ...]``. Horovod launch is replaced by
+the device mesh: all local chips join the 'data' axis automatically;
+multihost adds jax.distributed.initialize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from pykaldi2_tpu.config import load_config, load_data_config
+from pykaldi2_tpu.data.dataloader import ChunkDataloader
+from pykaldi2_tpu.data.dataset import SpeechDataset
+from pykaldi2_tpu.data.prefetch import device_prefetch
+from pykaldi2_tpu.models import build_model
+from pykaldi2_tpu.parallel.mesh import local_batch_sharding, make_mesh
+from pykaldi2_tpu.pipeline import FeaturePipeline, feature_dim
+from pykaldi2_tpu.trainer import Throughput, make_ce_train_step
+from pykaldi2_tpu.utils import (
+    MetricsLogger,
+    latest_checkpoint,
+    load_checkpoint,
+    make_optimizer,
+    save_checkpoint,
+    setup_logging,
+)
+from pykaldi2_tpu.utils.lr import PlateauAnnealer, set_lr_scale
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="frame-CE acoustic model training")
+    p.add_argument("-config", default=None, help="model/optimizer/trainer YAML")
+    p.add_argument("-data", default=None, help="corpus/simulation YAML")
+    p.add_argument("-exp_dir", required=True)
+    p.add_argument("-lr", type=float, default=None)
+    p.add_argument("-batch_size", type=int, default=None)
+    p.add_argument("-num_epochs", type=int, default=None)
+    p.add_argument("-sweep_size", type=float, default=None)
+    p.add_argument("-seed_model", default=None, help="warm-start params only")
+    p.add_argument("-resume_from_model", default=None, help="resume params+optimizer")
+    p.add_argument("-dropout", type=float, default=None)
+    p.add_argument("-log_interval", type=int, default=None)
+    p.add_argument("-single_device", action="store_true", help="no mesh (debug)")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config)
+    if args.data:
+        cfg.data = load_data_config(args.data)
+    for name in ("lr",):
+        if getattr(args, name) is not None:
+            setattr(cfg.optimizer, name, getattr(args, name))
+    for name in ("batch_size", "num_epochs", "sweep_size", "log_interval"):
+        if getattr(args, name) is not None:
+            setattr(cfg.trainer, name, getattr(args, name))
+    if args.dropout is not None:
+        cfg.model.dropout = args.dropout
+    cfg.trainer.exp_dir = args.exp_dir
+
+    log = setup_logging(args.exp_dir)
+    metrics_log = MetricsLogger(args.exp_dir)
+    mesh = None if args.single_device else make_mesh(cfg.trainer.mesh_shape)
+    n_dev = 1 if mesh is None else mesh.size
+    if cfg.trainer.batch_size % n_dev:
+        raise SystemExit(f"batch_size {cfg.trainer.batch_size} not divisible by {n_dev} devices")
+    log.info("devices: %s (mesh=%s)", jax.devices(), None if mesh is None else dict(zip(mesh.axis_names, mesh.devices.shape)))
+
+    dataset = SpeechDataset.from_config(cfg.data)
+    feat_fn = FeaturePipeline(cfg.data.feat)
+    cfg.model.input_size = feat_fn.dim
+    model = build_model(cfg.model)
+    optimizer = make_optimizer(cfg.optimizer)
+
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(init_key)
+    opt_state = optimizer.init(params)
+    start_epoch = 0
+
+    resume = args.resume_from_model or latest_checkpoint(args.exp_dir)
+    if resume:
+        params, opt_state2, meta = load_checkpoint(resume, params, opt_state)
+        if opt_state2 is not None:
+            opt_state = opt_state2
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        log.info("resumed from %s (epoch %d)", resume, start_epoch)
+    elif args.seed_model:
+        params, _, _ = load_checkpoint(args.seed_model, params)
+        log.info("seeded params from %s", args.seed_model)
+
+    train_step = make_ce_train_step(model, feat_fn, optimizer, mesh)
+    sharding = None if mesh is None else local_batch_sharding(mesh)
+    annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
+
+    num_params = sum(np.prod(np.shape(x)) for x in jax.tree.leaves(params))
+    log.info("model: %s input=%d params=%.2fM output=%d",
+             cfg.model.type, feat_fn.dim, num_params / 1e6, cfg.model.output_size)
+
+    step_no = 0
+    for epoch in range(start_epoch, cfg.trainer.num_epochs):
+        loader = ChunkDataloader(
+            dataset, cfg.trainer.batch_size, cfg.trainer.chunk_len,
+            shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
+        )
+        loader.set_epoch(epoch)
+        tp = Throughput()
+        ep_nll = ep_frames = 0.0
+        for batch in device_prefetch(iter(loader), sharding=sharding):
+            key, step_key = jax.random.split(key)
+            params, opt_state, m = train_step(params, opt_state, batch, step_key)
+            step_no += 1
+            frames = float(m["frames"])
+            ep_nll += float(m["loss"]) * frames
+            ep_frames += frames
+            tp.update(cfg.trainer.batch_size, frames)
+            if step_no % cfg.trainer.log_interval == 0:
+                u_s, f_s = tp.rates()
+                log.info("epoch %d step %d loss %.4f acc %.4f | %.1f utt/s %.0f frames/s",
+                         epoch, step_no, m["loss"], m["frame_acc"], u_s, f_s)
+                metrics_log.log(epoch=epoch, step=step_no, loss=m["loss"],
+                                frame_acc=m["frame_acc"], utt_per_sec=u_s, frames_per_sec=f_s)
+        ep_loss = ep_nll / max(ep_frames, 1.0)
+        scale = annealer.step(ep_loss)
+        opt_state = set_lr_scale(opt_state, scale)
+        ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
+        save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "loss": ep_loss, "lr_scale": scale})
+        log.info("epoch %d done: loss %.4f lr_scale %.3g → %s", epoch, ep_loss, scale, ckpt)
+        metrics_log.log(epoch=epoch, epoch_loss=ep_loss, lr_scale=scale)
+    metrics_log.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

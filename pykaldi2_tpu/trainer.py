@@ -1,0 +1,148 @@
+"""CE training: jitted train step (single-device or shard_map DP) + epoch loop.
+
+Reference behavior: pykaldi2/bin/train_ce.py's hot loop — forward, CE loss,
+backward, Horovod allreduce, clipped SGD/Adam step, periodic loss/frame-acc
+logging, per-epoch checkpoint (SURVEY.md §4.1).
+
+TPU-native step: one XLA program does front end → model → loss → grad →
+psum over the mesh 'data' axis → optax update. Loss is globally normalized
+(sum NLL / psum frame count) so padding and uneven shards contribute exactly
+their frames, matching single-device math bit-for-tolerance (tested in
+tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pykaldi2_tpu.models.nnet_am import NnetAM
+from pykaldi2_tpu.pipeline import FeaturePipeline
+
+
+def _ce_forward(model: NnetAM, feat_fn: FeaturePipeline, params, batch, key, train: bool):
+    """Returns (sum_nll, count, correct) over the local shard."""
+    dither_key = dropout_key = None
+    if key is not None:
+        dither_key, dropout_key = jax.random.split(key)
+    feats = feat_fn(batch, dither_key=dither_key)
+    mask = batch["mask"].astype(jnp.float32)
+    logits = model.apply(params, feats, mask, train=train, dropout_key=dropout_key)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    labels = jnp.maximum(batch["labels"], 0)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    sum_nll = -jnp.sum(ll * mask)
+    count = jnp.sum(mask)
+    correct = jnp.sum((jnp.argmax(logits, -1) == batch["labels"]) * mask)
+    return sum_nll, count, correct
+
+
+def make_ce_train_step(
+    model: NnetAM,
+    feat_fn: FeaturePipeline,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build step(params, opt_state, batch, key) → (params, opt_state, metrics).
+
+    With a mesh, the batch is sharded over the 'data' axis and gradients are
+    psum-reduced (the Horovod-allreduce equivalent, compiled into the step).
+    ``metrics`` = dict(loss, frame_acc, frames).
+    """
+
+    def local_step(params, opt_state, batch, key):
+        axis = "data" if mesh is not None else None
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+        def loss_fn(p):
+            sum_nll, count, correct = _ce_forward(model, feat_fn, p, batch, key, True)
+            gcount = jax.lax.psum(count, axis) if axis else count
+            loss = sum_nll / jnp.maximum(gcount, 1.0)
+            return loss, (sum_nll, count, correct)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if axis:
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        sum_nll, count, correct = aux
+        if axis:
+            sum_nll = jax.lax.psum(sum_nll, axis)
+            count = jax.lax.psum(count, axis)
+            correct = jax.lax.psum(correct, axis)
+        metrics = {
+            "loss": sum_nll / jnp.maximum(count, 1.0),
+            "frame_acc": correct / jnp.maximum(count, 1.0),
+            "frames": count,
+        }
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0, 1) if donate else ())
+
+    batch_spec = {"labels": P("data"), "mask": P("data")}
+    # wave or feats key is resolved at call time via tree_map over the dict
+    def step(params, opt_state, batch, key):
+        specs = jax.tree.map(lambda _: P("data"), batch)
+        mapped = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), specs, P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return mapped(params, opt_state, batch, key)
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_eval_step(model: NnetAM, feat_fn: FeaturePipeline, mesh: Optional[Mesh] = None):
+    """step(params, batch) → (sum_nll, frames, correct) — for dev-loss tracking."""
+
+    def local_eval(params, batch):
+        sum_nll, count, correct = _ce_forward(model, feat_fn, params, batch, None, False)
+        if mesh is not None:
+            sum_nll = jax.lax.psum(sum_nll, "data")
+            count = jax.lax.psum(count, "data")
+            correct = jax.lax.psum(correct, "data")
+        return sum_nll, count, correct
+
+    if mesh is None:
+        return jax.jit(local_eval)
+
+    def step(params, batch):
+        specs = jax.tree.map(lambda _: P("data"), batch)
+        return jax.shard_map(
+            local_eval, mesh=mesh, in_specs=(P(), specs), out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, batch)
+
+    return jax.jit(step)
+
+
+class Throughput:
+    """utt/sec and frames/sec over a sliding window (the reference logs utt/sec)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.t0 = time.time()
+        self.utts = 0
+        self.frames = 0
+
+    def update(self, utts: int, frames: float):
+        self.utts += utts
+        self.frames += frames
+
+    def rates(self):
+        dt = max(time.time() - self.t0, 1e-9)
+        return self.utts / dt, self.frames / dt

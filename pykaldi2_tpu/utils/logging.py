@@ -1,0 +1,55 @@
+"""Structured JSONL metrics + stdlib logging setup.
+
+Reference behavior: pykaldi2 logs per-N-batch loss/frame-acc/throughput via
+print/logging, rank-0 only (SURVEY.md §6.5). We keep the same scalars (so
+loss parity is checkable) but emit machine-readable JSONL alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+
+def setup_logging(exp_dir: Optional[str] = None, rank: int = 0, name: str = "pykaldi2_tpu"):
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO if rank == 0 else logging.WARNING)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(message)s")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if exp_dir and rank == 0:
+        os.makedirs(exp_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(exp_dir, "train.log"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics stream (rank 0 writes, others no-op)."""
+
+    def __init__(self, exp_dir: Optional[str], rank: int = 0, filename: str = "metrics.jsonl"):
+        self._f = None
+        if exp_dir is not None and rank == 0:
+            os.makedirs(exp_dir, exist_ok=True)
+            self._f = open(os.path.join(exp_dir, filename), "a")
+        self._t0 = time.time()
+
+    def log(self, **scalars):
+        if self._f is None:
+            return
+        rec = {"time": round(time.time() - self._t0, 3)}
+        for k, v in scalars.items():
+            rec[k] = float(v) if hasattr(v, "__float__") else v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
