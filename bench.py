@@ -1,0 +1,95 @@
+"""Benchmark: CE train-step throughput of the flagship AM on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config matches BASELINE.json's north-star workload: 4x1024 unidirectional
+LSTM, 80-dim fbank computed on device from raw waveforms, ~9k senone outputs,
+chunk training (80-frame chunks, batch 64) — the train_ce hot path, including
+the on-device front end, CE loss, grad, and optax update.
+
+utt/sec normalization: LibriSpeech-960 averages ≈ 12.3 s/utterance
+(281k utts / 960 h) ≈ 1230 frames; utt/sec = frames_per_sec / 1230.
+
+vs_baseline: the driver metadata ships no reference numbers
+(BASELINE.json "published": {}, see BASELINE.md) and the reference mount was
+empty, so the denominator is an ANALYTIC PROXY, not a measured number:
+40 utt/sec (≈49k frames/s) for the same CE workload on one V100 — consistent
+with cuDNN-LSTM training throughput at this size. Replace with the measured
+reference number when one exists; the ratio is honest only up to that proxy.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 64
+CHUNK_FRAMES = 80
+NUM_PDFS = 8952          # LibriSpeech-ish senone count
+FRAMES_PER_UTT = 1230.0  # LibriSpeech-960 mean utterance length in frames
+BASELINE_UTT_PER_SEC = 40.0  # analytic V100 proxy — UNVERIFIED, see docstring
+WARMUP_STEPS = 3
+MEASURE_STEPS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
+                                     ModelConfig, OptimizerConfig)
+    from pykaldi2_tpu.data.dataloader import chunk_samples
+    from pykaldi2_tpu.models import build_model
+    from pykaldi2_tpu.pipeline import FeaturePipeline
+    from pykaldi2_tpu.trainer import make_ce_train_step
+    from pykaldi2_tpu.utils import make_optimizer
+
+    feat_cfg = FeatConfig(
+        fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=80))
+    )
+    feat_fn = FeaturePipeline(feat_cfg)
+    mcfg = ModelConfig(type="lstm", input_size=feat_fn.dim, hidden_size=1024,
+                       num_layers=4, output_size=NUM_PDFS, compute_dtype="bfloat16")
+    model = build_model(mcfg)
+    opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.01, grad_clip=5.0))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    step = make_ce_train_step(model, feat_fn, opt, mesh=None)
+
+    fo = feat_cfg.fbank.frame_opts
+    S = chunk_samples(CHUNK_FRAMES, fo)
+    rng = np.random.RandomState(0)
+    batch = {
+        "wave": jax.device_put((rng.randn(BATCH, S) * 4000).astype(np.float32)),
+        "labels": jax.device_put(rng.randint(0, NUM_PDFS, (BATCH, CHUNK_FRAMES)).astype(np.int32)),
+        "mask": jax.device_put(np.ones((BATCH, CHUNK_FRAMES), np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+
+    for i in range(WARMUP_STEPS):
+        key, sk = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sk)
+    float(m["loss"])  # hard host sync (block_until_ready alone proved
+                      # unreliable through the remote-TPU tunnel)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        key, sk = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sk)
+    final_loss = float(m["loss"])  # device→host copy of a value dependent on
+    jax.block_until_ready(params)  # every step — cannot complete early
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+
+    frames_per_sec = MEASURE_STEPS * BATCH * CHUNK_FRAMES / dt
+    utt_per_sec = frames_per_sec / FRAMES_PER_UTT
+    print(json.dumps({
+        "metric": "ce_train_utt_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/sec/chip (LibriSpeech-960-normalized, 4x1024 LSTM CE)",
+        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,8 +86,11 @@ def lstm_layer_apply(
         c_new = m * c_new + (1.0 - m) * c
         return (h_new, c_new), h_new
 
-    h0 = jnp.zeros((B, out_size), jnp.float32)
-    c0 = jnp.zeros((B, H), jnp.float32)
+    # derive the zero carry from the input so it inherits the input's
+    # varying-axes type under shard_map (check_vma replication tracking)
+    zero_row = xp_t[0] * 0.0  # [B, 4H]
+    h0 = zero_row[:, :out_size]
+    c0 = zero_row[:, :H]
     _, ys = jax.lax.scan(step, (h0, c0), (xp_t, mask_t), reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)  # [B, T, out]
 

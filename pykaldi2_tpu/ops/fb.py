@@ -1,0 +1,377 @@
+"""Batched FSA forward-backward on device: logZ, occupancies, Viterbi, sMBR.
+
+Replaces Kaldi's LatticeForwardBackwardMmi / LatticeForwardBackwardMpeVariants
+(kaldi/src/lat/lattice-functions.cc; SURVEY.md §3.2) with dense tensor
+recursions under ``lax.scan``:
+
+  * ``fsa_logz``     — log partition over a shared graph, custom VJP whose
+                       obs-cotangent is the per-frame pdf occupancy gamma
+                       (this IS the MMI denominator gradient).
+  * ``fsa_viterbi``  — best path score + per-frame pdf sequence (alignment /
+                       decoding primitive).
+  * ``fsa_expected_accuracy`` — the sMBR/MPE double forward-backward: value is
+                       E[#correct frames], custom VJP implements Kaldi's
+                       gamma*(c_arc − F) gradient.
+
+Shapes: obs [B, T, P] arbitrary real scores (typically acoustic_scale *
+(log-softmax − log-prior)); graph shared across the batch; num_frames [B]
+masks per-sequence tails. All recursions renormalize per step (running log
+normalizer) so fp32 never overflows regardless of T.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pykaldi2_tpu.ops.fsa import DenseFsa
+
+NEG_INF = -1e30
+
+
+class GraphArrays(NamedTuple):
+    """Device-side packed graph (see DenseFsa)."""
+
+    src: jax.Array      # [E] int32
+    dst: jax.Array      # [E] int32
+    pdf: jax.Array      # [E] int32
+    weight: jax.Array   # [E] f32 (graph score; -inf padding encoded as NEG_INF)
+    final: jax.Array    # [S] f32
+    start: int
+    num_states: int
+    phone: jax.Array | None = None
+
+
+def pack_graph(fsa: DenseFsa) -> GraphArrays:
+    fsa.validate()
+    clean = lambda a: jnp.asarray(np.nan_to_num(a, neginf=NEG_INF, posinf=NEG_INF), jnp.float32)
+    return GraphArrays(
+        src=jnp.asarray(fsa.src), dst=jnp.asarray(fsa.dst), pdf=jnp.asarray(fsa.pdf),
+        weight=clean(fsa.weight), final=clean(fsa.final),
+        start=int(fsa.start), num_states=int(fsa.num_states),
+        phone=None if fsa.phone is None else jnp.asarray(fsa.phone),
+    )
+
+
+def _seg_sum(values, ids, num_segments):
+    """values [E, B] → [num_segments, B] scatter-add."""
+    return jax.ops.segment_sum(values, ids, num_segments=num_segments)
+
+
+def _seg_max(values, ids, num_segments):
+    return jax.ops.segment_max(values, ids, num_segments=num_segments)
+
+
+def _alpha_init(g: GraphArrays, batch: int, like: jax.Array):
+    """[B, S] log-alpha at t=0; derived from `like` so vma tracking matches."""
+    a = jnp.full((batch, g.num_states), NEG_INF, jnp.float32) + 0.0 * like[:, :1, 0] * 0.0
+    a = jnp.full((batch, g.num_states), NEG_INF, jnp.float32)
+    a = a.at[:, g.start].set(0.0)
+    return a + 0.0 * jnp.sum(like * 0.0)  # inherit varying axes from obs
+
+
+# ---------------------------------------------------------------------------
+# logZ with occupancy VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def fsa_logz(obs: jax.Array, graph: GraphArrays, num_frames: jax.Array) -> jax.Array:
+    """log partition function per batch element: [B]."""
+    logz, _ = _logz_fwd_scan(obs, graph, num_frames)
+    return logz
+
+
+def _logz_fwd_scan(obs, graph, num_frames):
+    b, t_len, _p = obs.shape
+    g = graph
+    alpha0 = _alpha_init(g, b, obs)
+
+    def step(carry, inp):
+        alpha, norm = carry
+        obs_t, t = inp
+        # [B, E] arc scores
+        score = alpha[:, g.src] + g.weight[None, :] + obs_t[:, g.pdf]
+        mx = jnp.max(score, axis=1, keepdims=True)            # [B, 1]
+        mx = jnp.maximum(mx, NEG_INF)
+        lin = jnp.exp(score - mx)                              # [B, E]
+        summed = _seg_sum(lin.T, g.dst, g.num_states).T        # [B, S]
+        new_alpha = jnp.where(summed > 0, jnp.log(jnp.where(summed > 0, summed, 1.0)), NEG_INF) + mx
+        # renormalize to max 0
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, norm), (alpha, norm)
+
+    obs_t = jnp.swapaxes(obs, 0, 1)  # [T, B, P]
+    ts = jnp.arange(t_len)
+    (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
+        step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), (obs_t, ts))
+    total = alpha_T + g.final[None, :]
+    logz = jax.nn.logsumexp(jnp.maximum(total, NEG_INF), axis=1) + norm_T
+    return logz, (alphas, norms)
+
+
+def _fsa_logz_fwd(obs, graph, num_frames):
+    logz, (alphas, norms) = _logz_fwd_scan(obs, graph, num_frames)
+    return logz, (obs, num_frames, logz, alphas, norms)
+
+
+def _fsa_logz_bwd(graph, res, ct):
+    obs, num_frames, logz, alphas, norms = res
+    gamma = _occupancies(obs, graph, num_frames, logz, alphas, norms)
+    return (ct[:, None, None] * gamma, None)
+
+
+def _occupancies(obs, g: GraphArrays, num_frames, logz, alphas, norms):
+    """gamma [B, T, P]: per-frame pdf posterior under the graph."""
+    b, t_len, p_dim = obs.shape
+
+    beta0 = jnp.broadcast_to(g.final[None, :], (b, g.num_states)) + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+
+    def step(carry, inp):
+        beta, bnorm = carry
+        obs_t, alpha_t_prev, anorm_prev, t = inp
+        # beta recursion: beta[t][src] = lse_e(w + obs[t] + beta_next[dst])
+        score = g.weight[None, :] + obs_t[:, g.pdf] + beta[:, g.dst]      # [B, E]
+        mx = jnp.max(score, axis=1, keepdims=True)
+        mx = jnp.maximum(mx, NEG_INF)
+        lin = jnp.exp(score - mx)
+        summed = _seg_sum(lin.T, g.src, g.num_states).T
+        new_beta = jnp.where(summed > 0, jnp.log(jnp.where(summed > 0, summed, 1.0)), NEG_INF) + mx
+        m2 = jnp.max(new_beta, axis=1, keepdims=True)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        # gamma at frame t uses alpha[t] (state at frame t = alphas[t-1]... see below)
+        log_gamma_arc = (
+            alpha_t_prev[:, g.src] + anorm_prev[:, None]
+            + g.weight[None, :] + obs_t[:, g.pdf]
+            + beta[:, g.dst] + bnorm[:, None]
+            - logz[:, None]
+        )
+        gamma_arc = jnp.exp(jnp.minimum(log_gamma_arc, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_arc = jnp.where(active, gamma_arc, 0.0)
+        gamma_t = _seg_sum(gamma_arc.T, g.pdf, p_dim).T                    # [B, P]
+        beta = jnp.where(active, new_beta_n, beta)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bnorm), gamma_t
+
+    # alpha entering frame t is alphas[t-1] (alpha after t arcs is alphas[t]);
+    # for t=0 it's the start one-hot with norm 0.
+    alpha_prev = jnp.concatenate(
+        [_alpha_init(g, b, obs)[None], alphas[:-1]], axis=0)               # [T, B, S]
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    _, gammas = jax.lax.scan(
+        step, (beta0, bnorm0), (obs_t, alpha_prev, anorm_prev, ts), reverse=True)
+    return jnp.swapaxes(gammas, 0, 1)  # [B, T, P]
+
+
+fsa_logz.defvjp(_fsa_logz_fwd, _fsa_logz_bwd)
+
+
+def fsa_occupancies(obs, graph: GraphArrays, num_frames):
+    """Convenience: (logZ [B], gamma [B,T,P]) without autodiff plumbing."""
+    logz, (alphas, norms) = _logz_fwd_scan(obs, graph, num_frames)
+    gamma = _occupancies(obs, graph, num_frames, logz, alphas, norms)
+    return logz, gamma
+
+
+# ---------------------------------------------------------------------------
+# Viterbi (max semiring + backpointers)
+# ---------------------------------------------------------------------------
+
+
+def fsa_viterbi(obs, graph: GraphArrays, num_frames):
+    """Best-path score and arc sequence: ([B], [B, T] best arc index per frame).
+
+    Per-frame pdf labels are graph.pdf[best_arcs]; t >= num_frames[b] → -1.
+    """
+    b, t_len, _ = obs.shape
+    g = graph
+    alpha0 = _alpha_init(g, b, obs)
+
+    def step(carry, inp):
+        alpha, norm = carry
+        obs_t, t = inp
+        score = alpha[:, g.src] + g.weight[None, :] + obs_t[:, g.pdf]      # [B, E]
+        best = _seg_max(score.T, g.dst, g.num_states).T                    # [B, S]
+        best = jnp.maximum(best, NEG_INF)
+        # argmax arc per dst state: arc e wins if score[e] == best[dst[e]]
+        e_ids = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)        # [B, E]
+        is_best = score >= best[:, g.dst] - 1e-6
+        cand = jnp.where(is_best, e_ids, jnp.iinfo(jnp.int32).max)
+        bp = -_seg_max((-cand).T, g.dst, g.num_states).T                   # min winning arc id
+        m2 = jnp.max(best, axis=1, keepdims=True)
+        new_alpha = best - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        bp = jnp.where(active, bp, -1)
+        return (alpha, norm), bp
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, norm_T), bps = jax.lax.scan(step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), (obs_t, ts))
+    total = alpha_T + g.final[None, :]
+    best_score = jnp.max(total, axis=1) + norm_T
+    end_state = jnp.argmax(total, axis=1).astype(jnp.int32)                # [B]
+
+    # backtrace: walk arcs from the end; frames beyond num_frames are skipped
+    def back(carry, bp_t_and_t):
+        state = carry
+        bp_t, t = bp_t_and_t
+        arc = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]      # [B]
+        active = t < num_frames
+        arc = jnp.where(active, arc, -1)
+        prev = jnp.where(arc >= 0, g.src[jnp.maximum(arc, 0)], state)
+        return prev.astype(jnp.int32), arc
+
+    ts = jnp.arange(t_len)
+    _, arcs_rev = jax.lax.scan(back, end_state, (bps[::-1], ts[::-1]))
+    arcs = jnp.swapaxes(arcs_rev[::-1], 0, 1)                              # [B, T]
+    return best_score, arcs
+
+
+# ---------------------------------------------------------------------------
+# Expected accuracy (sMBR / MPE) with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _arc_acc(g: GraphArrays, ref_t, level: str):
+    """[B, E] per-arc frame accuracy vs reference labels ref_t [B]."""
+    if level == "pdf":       # sMBR
+        lab = g.pdf
+    elif level == "phone":   # MPE/MPFE
+        if g.phone is None:
+            raise ValueError("graph has no phone labels; cannot do phone-level accuracy")
+        lab = g.phone
+    else:
+        raise ValueError(level)
+    return (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def fsa_expected_accuracy(obs, graph: GraphArrays, ref, num_frames, level: str = "pdf"):
+    """E[#correct frames] under the graph posterior: [B].
+
+    ref: [B, T] int32 reference pdf (level='pdf') or phone (level='phone') per
+    frame (the numerator alignment, as in Kaldi's sMBR/MPFE).
+    """
+    f, _ = _smbr_fwd_scan(obs, graph, ref, num_frames, level)
+    return f
+
+
+def _smbr_fwd_scan(obs, graph, ref, num_frames, level):
+    b, t_len, _ = obs.shape
+    g = graph
+    alpha0 = _alpha_init(g, b, obs)
+    acc0 = jnp.zeros((b, g.num_states), jnp.float32) + 0.0 * alpha0
+
+    def step(carry, inp):
+        alpha, aacc, norm = carry
+        obs_t, ref_t, t = inp
+        score = alpha[:, g.src] + g.weight[None, :] + obs_t[:, g.pdf]      # [B, E]
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)                                          # [B, E]
+        arc_acc = _arc_acc(g, ref_t, level)                                # [B, E]
+        # expected accumulated accuracy arriving via each arc
+        acc_in = aacc[:, g.src] + arc_acc                                  # [B, E]
+        denom = _seg_sum(lin.T, g.dst, g.num_states).T                     # [B, S]
+        numer = _seg_sum((lin * acc_in).T, g.dst, g.num_states).T
+        new_alpha = jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF) + mx
+        new_acc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        aacc = jnp.where(active, new_acc, aacc)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, aacc, norm), (alpha, aacc, norm)
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, acc_T, norm_T), (alphas, aaccs, norms) = jax.lax.scan(
+        step, (alpha0, acc0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]),
+        (obs_t, ref_t, ts))
+    total = alpha_T + g.final[None, :]
+    w = jax.nn.softmax(jnp.maximum(total, NEG_INF), axis=1)                # final-state posterior
+    f = jnp.sum(w * acc_T, axis=1)
+    logz = jax.nn.logsumexp(jnp.maximum(total, NEG_INF), axis=1) + norm_T
+    return f, (alphas, aaccs, norms, logz, f)
+
+
+def _smbr_fwd(obs, graph, ref, num_frames, level):
+    f, res = _smbr_fwd_scan(obs, graph, ref, num_frames, level)
+    return f, (obs, ref, num_frames) + res
+
+
+def _smbr_bwd(graph, level, res, ct):
+    obs, ref, num_frames, alphas, aaccs, norms, logz, f = res
+    g = graph
+    b, t_len, p_dim = obs.shape
+
+    beta0 = jnp.broadcast_to(g.final[None, :], (b, g.num_states)) + 0.0 * alphas[0]
+    bacc0 = jnp.zeros((b, g.num_states), jnp.float32) + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+
+    alpha_prev = jnp.concatenate([_alpha_init(g, b, obs)[None], alphas[:-1]], axis=0)
+    aacc_prev = jnp.concatenate([jnp.zeros((1, b, g.num_states), jnp.float32), aaccs[:-1]], axis=0)
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
+
+    def step(carry, inp):
+        beta, bacc, bnorm = carry
+        obs_t, ref_t, a_prev, aa_prev, an_prev, t = inp
+        arc_acc = _arc_acc(g, ref_t, level)                                # [B, E]
+        # gamma over arcs at frame t
+        log_gamma = (
+            a_prev[:, g.src] + an_prev[:, None] + g.weight[None, :] + obs_t[:, g.pdf]
+            + beta[:, g.dst] + bnorm[:, None] - logz[:, None]
+        )
+        gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        c_arc = aa_prev[:, g.src] + arc_acc + bacc[:, g.dst]               # E[acc | arc]
+        contrib = gamma * (c_arc - f[:, None])                             # [B, E]
+        active = (t < num_frames)[:, None]
+        contrib = jnp.where(active, contrib, 0.0)
+        grad_t = _seg_sum(contrib.T, g.pdf, p_dim).T                       # [B, P]
+        # beta/bacc recursion for frame t
+        score = g.weight[None, :] + obs_t[:, g.pdf] + beta[:, g.dst]
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        acc_out = arc_acc + bacc[:, g.dst]
+        denom = _seg_sum(lin.T, g.src, g.num_states).T
+        numer = _seg_sum((lin * acc_out).T, g.src, g.num_states).T
+        new_beta = jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF) + mx
+        new_bacc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.max(new_beta, axis=1, keepdims=True)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        beta = jnp.where(active, new_beta_n, beta)
+        bacc = jnp.where(active, new_bacc, bacc)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bacc, bnorm), grad_t
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    _, grads = jax.lax.scan(
+        step, (beta0, bacc0, bnorm0),
+        (obs_t, ref_t, alpha_prev, aacc_prev, anorm_prev, ts), reverse=True)
+    grad = jnp.swapaxes(grads, 0, 1)                                       # [B, T, P]
+    return (ct[:, None, None] * grad, None, None)
+
+
+fsa_expected_accuracy.defvjp(_smbr_fwd, _smbr_bwd)

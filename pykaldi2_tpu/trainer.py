@@ -68,9 +68,11 @@ def make_ce_train_step(
             loss = sum_nll / jnp.maximum(gcount, 1.0)
             return loss, (sum_nll, count, correct)
 
+        # NOTE: no manual grad psum — under shard_map's replication tracking
+        # (check_vma), the cotangent of replicated params is automatically
+        # psum-reduced over the mesh axis; a manual psum would multiply by the
+        # axis size (caught by tests/test_parallel.py grad-parity checks).
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        if axis:
-            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         sum_nll, count, correct = aux
@@ -97,7 +99,7 @@ def make_ce_train_step(
             mesh=mesh,
             in_specs=(P(), P(), specs, P()),
             out_specs=(P(), P(), P()),
-            check_vma=False,
+
         )
         return mapped(params, opt_state, batch, key)
 
@@ -122,7 +124,7 @@ def make_eval_step(model: NnetAM, feat_fn: FeaturePipeline, mesh: Optional[Mesh]
         specs = jax.tree.map(lambda _: P("data"), batch)
         return jax.shard_map(
             local_eval, mesh=mesh, in_specs=(P(), specs), out_specs=(P(), P(), P()),
-            check_vma=False,
+
         )(params, batch)
 
     return jax.jit(step)

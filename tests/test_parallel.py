@@ -1,0 +1,68 @@
+"""Parallelism tests: mesh building, DP grad parity (see test_trainer), and
+2-D data×model (TP output layer) parity vs single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pykaldi2_tpu.config import FbankOpts, FeatConfig, FrameOpts, MelOpts, ModelConfig, OptimizerConfig
+from pykaldi2_tpu.data.dataloader import ChunkDataloader
+from pykaldi2_tpu.data.dataset import SpeechDataset
+from pykaldi2_tpu.models import build_model
+from pykaldi2_tpu.parallel.mesh import make_mesh
+from pykaldi2_tpu.parallel.tensor_parallel import make_ce_train_step_2d, shard_params, _opt_specs
+from pykaldi2_tpu.pipeline import FeaturePipeline
+from pykaldi2_tpu.trainer import make_ce_train_step
+from pykaldi2_tpu.utils import make_optimizer
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from toydata import make_toy_corpus
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.axis_names == ("data",) and m.size == 8
+    m2 = make_mesh({"data": 4, "model": 2})
+    assert m2.devices.shape == (4, 2)
+    m3 = make_mesh({"data": -1, "model": 2})
+    assert m3.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3})
+
+
+def test_tp2d_matches_single_device(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=8, num_pdfs=6, seed=0)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=24)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    mcfg = ModelConfig(type="lstm", input_size=feat_fn.dim, hidden_size=16, num_layers=1,
+                       output_size=6, compute_dtype="float32")
+    model = build_model(mcfg)
+    # SGD for strict parity: adam's rsqrt amplifies fp32 reduction-order noise
+    opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.05, grad_clip=1.0))
+    opt_noclip = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.05, grad_clip=0.0))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    loader = ChunkDataloader(ds, batch_size=4, chunk_len=40, shuffle=False)
+    batch = next(iter(loader))
+
+    single = make_ce_train_step(model, feat_fn, opt, mesh=None, donate=False)
+    p1, o1, m1 = single(params, opt_state, batch, jax.random.PRNGKey(3))
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    tp_step = make_ce_train_step_2d(model, feat_fn, opt_noclip, mesh, donate=False, grad_clip=1.0)
+    sp = shard_params(params, mesh)
+    opt_state_nc = opt_noclip.init(params)
+    so = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state_nc, _opt_specs(opt_state_nc, params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    sb = {k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in batch.items()}
+    p2, o2, m2 = tp_step(sp, so, sb, jax.random.PRNGKey(3))
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    assert float(m1["frame_acc"]) == pytest.approx(float(m2["frame_acc"]), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6)
