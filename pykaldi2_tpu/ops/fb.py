@@ -68,7 +68,6 @@ def _seg_max(values, ids, num_segments):
 
 def _alpha_init(g: GraphArrays, batch: int, like: jax.Array):
     """[B, S] log-alpha at t=0; derived from `like` so vma tracking matches."""
-    a = jnp.full((batch, g.num_states), NEG_INF, jnp.float32) + 0.0 * like[:, :1, 0] * 0.0
     a = jnp.full((batch, g.num_states), NEG_INF, jnp.float32)
     a = a.at[:, g.start].set(0.0)
     return a + 0.0 * jnp.sum(like * 0.0)  # inherit varying axes from obs
