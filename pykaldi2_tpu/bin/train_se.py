@@ -1,0 +1,193 @@
+"""Sequence-discriminative trainer entry point (MMI / sMBR / MPE).
+
+Reference behavior: pykaldi2/bin/train_se.py (SURVEY.md §4.2) — seeds from a
+CE model, computes scaled pseudo-log-likelihoods, and trains with a lattice
+criterion. TPU-native hot path: a fixed LF-MMI-style denominator graph with
+on-device forward-backward (no per-utterance host decoding); the phone LM
+for the den graph is estimated from the training alignments at startup
+unless a prebuilt graph (-den_graph *.npz from ops/fsa.save_fsa) is given.
+
+CLI: python -m pykaldi2_tpu.bin.train_se -config exp.yaml -data data.yaml
+     -exp_dir exp/se -seed_model exp/ce/model.7.npz -criterion mmi
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from pykaldi2_tpu.config import load_config, load_data_config
+from pykaldi2_tpu.data.dataloader import BucketSpec, SeqDataloader
+from pykaldi2_tpu.data.dataset import SpeechDataset
+from pykaldi2_tpu.data.prefetch import device_prefetch
+from pykaldi2_tpu.graph import TransitionModel, HmmTopology, estimate_phone_bigram, make_den_graph
+from pykaldi2_tpu.graph.phone_lm import collapse_to_phones
+from pykaldi2_tpu.models import build_model
+from pykaldi2_tpu.ops.fb import pack_graph
+from pykaldi2_tpu.ops.fsa import load_fsa
+from pykaldi2_tpu.ops.se_losses import count_labels, priors_from_counts
+from pykaldi2_tpu.parallel.mesh import local_batch_sharding, make_mesh
+from pykaldi2_tpu.pipeline import FeaturePipeline
+from pykaldi2_tpu.trainer import Throughput, make_se_train_step
+from pykaldi2_tpu.utils import (
+    MetricsLogger, latest_checkpoint, load_checkpoint, make_optimizer,
+    save_checkpoint, setup_logging,
+)
+from pykaldi2_tpu.utils.lr import PlateauAnnealer, set_lr_scale
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="sequence-discriminative training")
+    p.add_argument("-config", default=None)
+    p.add_argument("-data", default=None)
+    p.add_argument("-exp_dir", required=True)
+    p.add_argument("-criterion", choices=["mmi", "smbr", "mpfe", "mpe"], default=None)
+    p.add_argument("-seed_model", default=None, help="CE checkpoint to start from")
+    p.add_argument("-resume_from_model", default=None)
+    p.add_argument("-den_graph", default=None, help="prebuilt den graph (.npz)")
+    p.add_argument("-prior_path", default=None, help="log-prior vector (.npy)")
+    p.add_argument("-trans_model", default=None, help="final.mdl (ours or Kaldi)")
+    p.add_argument("-lr", type=float, default=None)
+    p.add_argument("-batch_size", type=int, default=None)
+    p.add_argument("-num_epochs", type=int, default=None)
+    p.add_argument("-acoustic_scale", type=float, default=None)
+    p.add_argument("-den_scale", type=float, default=None)
+    p.add_argument("-ce_ratio", type=float, default=None)
+    p.add_argument("-no_drop_frames", action="store_true")
+    p.add_argument("-single_device", action="store_true")
+    p.add_argument("-log_interval", type=int, default=None)
+    return p
+
+
+def _build_tm_and_den(cfg, args, dataset, log):
+    """TransitionModel + denominator graph + pdf→phone map."""
+    if args.trans_model or cfg.data.trans_model:
+        tm = TransitionModel.read_kaldi(args.trans_model or cfg.data.trans_model)
+        log.info("loaded transition model: %d pdfs, %d tids", tm.num_pdfs, tm.num_tids)
+    else:
+        # standalone fallback: CI 1-state topology, phone i+1 <-> pdf i
+        num_pdfs = 1 + max(int(np.max(l)) for l in dataset.labels.values())
+        tm = TransitionModel(HmmTopology.one_state(range(1, num_pdfs + 1)))
+        log.info("built CI 1-state transition model over %d pdfs", num_pdfs)
+    pdf_to_phone = np.zeros(tm.num_pdfs, np.int32)
+    for (p, _j, pdf) in tm.tuples:
+        pdf_to_phone[pdf] = p
+    if args.den_graph or cfg.trainer.den_graph:
+        den = load_fsa(args.den_graph or cfg.trainer.den_graph)
+        log.info("loaded den graph: %d states, %d arcs", den.num_states, den.num_arcs)
+    else:
+        seqs = [collapse_to_phones(pdf_to_phone[l]) for l in dataset.labels.values()]
+        lm = estimate_phone_bigram(seqs, tm.topo.phones)
+        den = make_den_graph(tm, lm)
+        log.info("built den graph from alignments: %d states, %d arcs",
+                 den.num_states, den.num_arcs)
+    return tm, den, pdf_to_phone
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config)
+    if args.data:
+        cfg.data = load_data_config(args.data)
+    if args.lr is not None:
+        cfg.optimizer.lr = args.lr
+    for name in ("batch_size", "num_epochs", "log_interval"):
+        if getattr(args, name) is not None:
+            setattr(cfg.trainer, name, getattr(args, name))
+    for name in ("criterion", "acoustic_scale", "den_scale", "ce_ratio"):
+        if getattr(args, name) is not None:
+            setattr(cfg.trainer, name, getattr(args, name))
+    if args.no_drop_frames:
+        cfg.trainer.drop_frames = False
+    cfg.trainer.exp_dir = args.exp_dir
+
+    log = setup_logging(args.exp_dir)
+    metrics_log = MetricsLogger(args.exp_dir)
+    mesh = None if args.single_device else make_mesh(cfg.trainer.mesh_shape)
+
+    dataset = SpeechDataset.from_config(cfg.data)
+    if dataset.labels is None:
+        raise SystemExit("train_se requires alignments (label_ark)")
+    feat_fn = FeaturePipeline(cfg.data.feat)
+    cfg.model.input_size = feat_fn.dim
+    model = build_model(cfg.model)
+    optimizer = make_optimizer(cfg.optimizer)
+
+    tm, den, pdf_to_phone = _build_tm_and_den(cfg, args, dataset, log)
+    if cfg.model.output_size < tm.num_pdfs:
+        raise SystemExit(f"model output {cfg.model.output_size} < num pdfs {tm.num_pdfs}")
+    den_packed = pack_graph(den)
+
+    if args.prior_path or cfg.trainer.prior_path:
+        log_prior = np.load(args.prior_path or cfg.trainer.prior_path)
+    else:
+        counts = count_labels(dataset.labels.values(), cfg.model.output_size)
+        log_prior = priors_from_counts(counts)
+        log.info("estimated priors from alignments")
+
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(init_key)
+    opt_state = optimizer.init(params)
+    start_epoch = 0
+    resume = args.resume_from_model or latest_checkpoint(args.exp_dir)
+    if resume:
+        params, opt_state2, meta = load_checkpoint(resume, params, opt_state)
+        if opt_state2 is not None:
+            opt_state = opt_state2
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        log.info("resumed from %s (epoch %d)", resume, start_epoch)
+    elif args.seed_model or cfg.trainer.seed_model:
+        params, _, _ = load_checkpoint(args.seed_model or cfg.trainer.seed_model, params)
+        log.info("seeded from CE model %s", args.seed_model or cfg.trainer.seed_model)
+    else:
+        log.warning("no seed model — SE training from random init is unusual")
+
+    crit = {"mpe": "mpfe"}.get(cfg.trainer.criterion, cfg.trainer.criterion)
+    step = make_se_train_step(
+        model, feat_fn, optimizer, den_packed, crit, mesh,
+        log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
+        den_scale=cfg.trainer.den_scale, drop_frames=cfg.trainer.drop_frames,
+        ce_ratio=cfg.trainer.ce_ratio, pdf_to_phone=pdf_to_phone,
+    )
+    sharding = None if mesh is None else local_batch_sharding(mesh)
+    annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
+    bucket = BucketSpec(batch_sizes=cfg.trainer.batch_size)
+
+    step_no = 0
+    for epoch in range(start_epoch, cfg.trainer.num_epochs):
+        loader = SeqDataloader(dataset, bucket, shuffle=cfg.data.shuffle, seed=cfg.trainer.seed)
+        loader.set_epoch(epoch)
+        tp = Throughput()
+        ep_obj = ep_frames = 0.0
+        for batch in device_prefetch(iter(loader), sharding=sharding, device_keys={"wave", "feats", "labels", "mask", "num_frames"}):
+            utt_ids = batch.pop("utt_ids")
+            key, sk = jax.random.split(key)
+            params, opt_state, m = step(params, opt_state, batch, sk)
+            step_no += 1
+            frames = float(m["frames"])
+            ep_obj += float(m["objective"]) * frames
+            ep_frames += frames
+            tp.update(len(utt_ids), frames)
+            if step_no % cfg.trainer.log_interval == 0:
+                u_s, f_s = tp.rates()
+                log.info("epoch %d step %d %s %.4f acc %.4f | %.1f utt/s %.0f frames/s",
+                         epoch, step_no, crit, m["objective"], m["frame_acc"], u_s, f_s)
+                metrics_log.log(epoch=epoch, step=step_no, objective=m["objective"],
+                                frame_acc=m["frame_acc"], utt_per_sec=u_s, frames_per_sec=f_s)
+        ep = ep_obj / max(ep_frames, 1.0)
+        scale = annealer.step(-ep)  # objective is maximized
+        opt_state = set_lr_scale(opt_state, scale)
+        ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
+        save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "objective": ep, "lr_scale": scale})
+        log.info("epoch %d done: %s objective %.4f → %s", epoch, crit, ep, ckpt)
+        metrics_log.log(epoch=epoch, epoch_objective=ep, lr_scale=scale)
+    metrics_log.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

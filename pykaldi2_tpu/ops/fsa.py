@@ -87,6 +87,19 @@ class DenseFsa:
             final=(self.final * scale).astype(np.float32))
 
 
+def save_fsa(path: str, fsa: DenseFsa):
+    np.savez(path, num_states=fsa.num_states, src=fsa.src, dst=fsa.dst,
+             pdf=fsa.pdf, weight=fsa.weight, final=fsa.final, start=fsa.start,
+             phone=fsa.phone if fsa.phone is not None else np.zeros(0, np.int32))
+
+
+def load_fsa(path: str) -> DenseFsa:
+    z = np.load(path)
+    phone = z["phone"] if z["phone"].size else None
+    return DenseFsa(int(z["num_states"]), z["src"], z["dst"], z["pdf"],
+                    z["weight"], z["final"], int(z["start"]), phone).validate()
+
+
 def linear_chain_fsa(pdf_seq: np.ndarray, weight: float = 0.0) -> DenseFsa:
     """Exact forced-alignment FSA: state t --pdf[t]--> state t+1, final at T.
 

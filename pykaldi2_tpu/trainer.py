@@ -106,6 +106,103 @@ def make_ce_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_se_train_step(
+    model: NnetAM,
+    feat_fn: FeaturePipeline,
+    optimizer: optax.GradientTransformation,
+    den_graph,
+    criterion: str = "mmi",
+    mesh: Optional[Mesh] = None,
+    log_prior=None,
+    acoustic_scale: float = 0.1,
+    den_scale: float = 1.0,
+    drop_frames: bool = True,
+    ce_ratio: float = 0.0,
+    pdf_to_phone=None,
+    donate: bool = True,
+) -> Callable:
+    """Sequence-discriminative train step (reference train_se hot loop,
+    SURVEY.md §4.2) with the fixed-denominator on-device formulation.
+
+    batch needs: wave|feats, labels (pdf alignment), mask, num_frames.
+    criterion: mmi | smbr | mpfe (mpe). ce_ratio adds f-smoothing CE.
+    """
+    from pykaldi2_tpu.ops.se_losses import acoustic_scores, mmi_objective
+    from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
+
+    crit = {"mpe": "mpfe"}.get(criterion, criterion)
+    if crit not in ("mmi", "smbr", "mpfe"):
+        raise ValueError(f"unknown criterion {criterion!r}")
+    if crit == "mpfe" and pdf_to_phone is None:
+        raise ValueError("mpfe needs a pdf_to_phone mapping")
+    lp = None if log_prior is None else jnp.asarray(log_prior)
+
+    def local_step(params, opt_state, batch, key):
+        axis = "data" if mesh is not None else None
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        mask = batch["mask"].astype(jnp.float32)
+        nf = batch["num_frames"]
+
+        def loss_fn(p):
+            dither_key, dropout_key = jax.random.split(key)
+            feats = feat_fn(batch, dither_key=dither_key)
+            logits = model.apply(p, feats, mask, train=True, dropout_key=dropout_key)
+            obs = acoustic_scores(logits, lp, acoustic_scale)
+            if crit == "mmi":
+                obj = jnp.sum(mmi_objective(obs, batch["labels"], den_graph, nf, mask,
+                                            drop_frames, den_scale))
+            else:
+                ref = batch["labels"]
+                level = "pdf"
+                if crit == "mpfe":
+                    ref = jnp.asarray(pdf_to_phone)[jnp.maximum(ref, 0)]
+                    level = "phone"
+                obj = jnp.sum(fsa_expected_accuracy(obs, den_graph, jnp.maximum(ref, 0), nf, level))
+            count = jnp.sum(mask)
+            gcount = jax.lax.psum(count, axis) if axis else count
+            loss = -obj / jnp.maximum(gcount, 1.0)
+            sum_nll = jnp.array(0.0)
+            if ce_ratio > 0.0:
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                ll = jnp.take_along_axis(logp, jnp.maximum(batch["labels"], 0)[..., None],
+                                         axis=-1)[..., 0]
+                sum_nll = -jnp.sum(ll * mask)
+                loss = loss + ce_ratio * sum_nll / jnp.maximum(gcount, 1.0)
+            correct = jnp.sum(
+                (jnp.argmax(jax.lax.stop_gradient(logits), -1) == batch["labels"]) * mask)
+            return loss, (obj, count, correct, sum_nll)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        obj, count, correct, sum_nll = aux
+        if axis:
+            obj = jax.lax.psum(obj, axis)
+            count = jax.lax.psum(count, axis)
+            correct = jax.lax.psum(correct, axis)
+            sum_nll = jax.lax.psum(sum_nll, axis)
+        metrics = {
+            "objective": obj / jnp.maximum(count, 1.0),
+            "frame_acc": correct / jnp.maximum(count, 1.0),
+            "frames": count,
+            "ce": sum_nll / jnp.maximum(count, 1.0),
+        }
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0, 1) if donate else ())
+
+    def step(params, opt_state, batch, key):
+        specs = jax.tree.map(lambda _: P("data"), batch)
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), specs, P()), out_specs=(P(), P(), P()),
+        )(params, opt_state, batch, key)
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
 def make_eval_step(model: NnetAM, feat_fn: FeaturePipeline, mesh: Optional[Mesh] = None):
     """step(params, batch) → (sum_nll, frames, correct) — for dev-loss tracking."""
 

@@ -1,0 +1,157 @@
+"""Sequence-training tests: MMI/sMBR losses, SE train step, train_se CLI.
+
+BASELINE.json configs #3 (lattice MMI) and #4 (sMBR/MPE posterior-weighted
+gradient) on the fixed-denominator on-device path.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
+                                 ModelConfig, OptimizerConfig)
+from pykaldi2_tpu.data.dataloader import BucketSpec, SeqDataloader
+from pykaldi2_tpu.data.dataset import SpeechDataset
+from pykaldi2_tpu.graph import HmmTopology, TransitionModel, estimate_phone_bigram, make_den_graph
+from pykaldi2_tpu.graph.phone_lm import collapse_to_phones
+from pykaldi2_tpu.models import build_model
+from pykaldi2_tpu.ops.fb import pack_graph
+from pykaldi2_tpu.ops.se_losses import (count_labels, mmi_loss, priors_from_counts, smbr_loss)
+from pykaldi2_tpu.pipeline import FeaturePipeline
+from pykaldi2_tpu.trainer import make_se_train_step
+from pykaldi2_tpu.utils import make_optimizer
+
+from toydata import make_toy_corpus
+
+NUM_PDFS = 4
+
+
+def _den(tm=None):
+    tm = tm or TransitionModel(HmmTopology.one_state(range(1, NUM_PDFS + 1)))
+    lm = estimate_phone_bigram(
+        [[1, 2, 3, 4], [2, 1, 4], [3, 3, 2]], tm.topo.phones, smoothing=1.0)
+    return tm, pack_graph(make_den_graph(tm, lm))
+
+
+def test_mmi_loss_decreases_with_better_model():
+    """Logits matching the alignment → higher MMI objective than random."""
+    tm, den = _den()
+    rng = np.random.RandomState(0)
+    B, T = 2, 12
+    ali = rng.randint(0, NUM_PDFS, (B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.float32)
+    nf = jnp.asarray([T, T])
+    good = jax.nn.one_hot(ali, NUM_PDFS) * 8.0
+    bad = jnp.asarray(rng.randn(B, T, NUM_PDFS).astype(np.float32))
+    l_good, aux_g = mmi_loss(good, jnp.asarray(ali), jnp.asarray(mask), den, nf, acoustic_scale=1.0)
+    l_bad, _ = mmi_loss(bad, jnp.asarray(ali), jnp.asarray(mask), den, nf, acoustic_scale=1.0)
+    assert float(l_good) < float(l_bad)
+    assert np.isfinite(float(aux_g["mmi_obj_per_frame"]))
+
+
+def test_mmi_gradient_is_num_minus_den():
+    tm, den = _den()
+    rng = np.random.RandomState(1)
+    B, T = 1, 6
+    ali = rng.randint(0, NUM_PDFS, (B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.float32)
+    nf = jnp.asarray([T])
+    logits = jnp.asarray(rng.randn(B, T, NUM_PDFS).astype(np.float32))
+
+    def obj(lg):
+        l, _ = mmi_loss(lg, jnp.asarray(ali), jnp.asarray(mask), den, nf,
+                        acoustic_scale=1.0, drop_frames=False)
+        return l
+
+    g = jax.grad(obj)(logits)
+    # finite differences through the whole loss (incl. log-softmax)
+    eps = 1e-3
+    fd = np.zeros_like(np.asarray(logits))
+    for t in range(T):
+        for p in range(NUM_PDFS):
+            lp = np.asarray(logits).copy(); lp[0, t, p] += eps
+            lm_ = np.asarray(logits).copy(); lm_[0, t, p] -= eps
+            fd[0, t, p] = (float(obj(jnp.asarray(lp))) - float(obj(jnp.asarray(lm_)))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), fd, atol=3e-3)
+
+
+def test_smbr_loss_favors_correct_posteriors():
+    tm, den = _den()
+    rng = np.random.RandomState(2)
+    B, T = 2, 10
+    ali = rng.randint(0, NUM_PDFS, (B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.float32)
+    nf = jnp.asarray([T, T])
+    good = jax.nn.one_hot(ali, NUM_PDFS) * 8.0
+    bad = jnp.asarray(rng.randn(B, T, NUM_PDFS).astype(np.float32))
+    l_good, aux = smbr_loss(good, jnp.asarray(ali), jnp.asarray(mask), den, nf, acoustic_scale=1.0)
+    l_bad, _ = smbr_loss(bad, jnp.asarray(ali), jnp.asarray(mask), den, nf, acoustic_scale=1.0)
+    assert float(l_good) < float(l_bad)
+    acc = float(aux["expected_acc_per_frame"])
+    assert 0.0 <= acc <= 1.0 + 1e-5
+
+
+@pytest.mark.parametrize("criterion", ["mmi", "smbr", "mpfe"])
+def test_se_training_improves_objective(tmp_path, criterion):
+    paths = make_toy_corpus(str(tmp_path), num_utts=6, num_pdfs=NUM_PDFS, seed=3)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=24)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    mcfg = ModelConfig(type="lstm", input_size=feat_fn.dim, hidden_size=24, num_layers=1,
+                       output_size=NUM_PDFS, compute_dtype="float32")
+    model = build_model(mcfg)
+    opt = make_optimizer(OptimizerConfig(type="adam", lr=5e-3, grad_clip=5.0))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+
+    tm = TransitionModel(HmmTopology.one_state(range(1, NUM_PDFS + 1)))
+    pdf_to_phone = np.zeros(tm.num_pdfs, np.int32)
+    for (p, _j, pdf) in tm.tuples:
+        pdf_to_phone[pdf] = p
+    seqs = [collapse_to_phones(pdf_to_phone[l]) for l in ds.labels.values()]
+    lm = estimate_phone_bigram(seqs, tm.topo.phones)
+    den = pack_graph(make_den_graph(tm, lm))
+    log_prior = priors_from_counts(count_labels(ds.labels.values(), NUM_PDFS))
+
+    step = make_se_train_step(model, feat_fn, opt, den, criterion, None,
+                              log_prior=log_prior, acoustic_scale=1.0,
+                              ce_ratio=0.1, pdf_to_phone=pdf_to_phone)
+    key = jax.random.PRNGKey(1)
+    objs = []
+    for epoch in range(8):
+        loader = SeqDataloader(ds, BucketSpec(boundaries=(256,), batch_sizes=6), shuffle=False)
+        for batch in loader:
+            batch.pop("utt_ids")
+            key, sk = jax.random.split(key)
+            params, opt_state, m = step(params, opt_state, batch, sk)
+            objs.append(float(m["objective"]))
+    assert np.isfinite(objs).all()
+    # objective (MMI: <=0; sMBR/MPE accuracy: [0,1]) must improve
+    assert objs[-1] > objs[0], (objs[0], objs[-1])
+    if criterion != "mmi":
+        assert objs[-1] <= 1.0 + 1e-5
+
+
+def test_train_se_cli(tmp_path):
+    import yaml
+    paths = make_toy_corpus(str(tmp_path / "corpus"), num_utts=4, num_pdfs=NUM_PDFS, seed=4)
+    data_yaml = {"wav_scp": paths["wav_scp"], "label_ark": paths["ali"],
+                 "feat": {"fbank": {"frame_opts": {"dither": 0.0}, "mel_opts": {"num_bins": 24}}}}
+    cfg_yaml = {"model": {"type": "lstm", "hidden_size": 16, "num_layers": 1,
+                          "output_size": NUM_PDFS, "compute_dtype": "float32"},
+                "optimizer": {"type": "adam", "lr": 0.003},
+                "trainer": {"batch_size": 4, "num_epochs": 2, "log_interval": 1,
+                            "acoustic_scale": 1.0}}
+    dp, cp = str(tmp_path / "data.yaml"), str(tmp_path / "exp.yaml")
+    with open(dp, "w") as f:
+        yaml.dump(data_yaml, f)
+    with open(cp, "w") as f:
+        yaml.dump(cfg_yaml, f)
+    exp = str(tmp_path / "exp")
+    from pykaldi2_tpu.bin.train_se import main
+    assert main(["-config", cp, "-data", dp, "-exp_dir", exp, "-criterion", "mmi",
+                 "-single_device"]) == 0
+    assert os.path.exists(os.path.join(exp, "model.1.npz"))
