@@ -1,0 +1,276 @@
+// Beam-pruned token-passing Viterbi decoder with time-synchronous lattice
+// output.
+//
+// TPU-native equivalent of kaldi/src/decoder/lattice-faster-decoder.{h,cc}
+// as used by pykaldi2 through kaldi.asr.MappedLatticeFasterRecognizer
+// (SURVEY.md §3.2 "Kaldi decoder"): the host decodes pruned lattices over an
+// HCLG-style pdf-labeled graph fed with scaled log-likelihoods; the heavy
+// forward-backward math stays on the TPU (the lattice comes back as a dense
+// arc table consumed by ops/fb.py). Like Kaldi, each token keeps the
+// alternative incoming links within the lattice beam, not just the Viterbi
+// backpointer, so the emitted lattice contains competing paths.
+//
+// Graph convention (from pykaldi2_tpu.graph.compile.expand_to_pdf_fst):
+//   - arcs: src, dst, ilabel = pdf+1 (no epsilon input arcs), olabel = word,
+//     cost = -log-prob graph weight
+//   - final_cost[state] = -log-prob final weight (+inf = non-final)
+// Observation matrix: loglikes[t*P + pdf], already acoustic-scaled.
+//
+// C ABI only (consumed via ctypes).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+
+struct Graph {
+  int num_states = 0;
+  int start = 0;
+  std::vector<int> row_off;  // CSR by src
+  std::vector<int> dst, ilabel, olabel;
+  std::vector<float> cost;
+  std::vector<float> final_cost;
+};
+
+struct Link {           // an incoming arc alternative
+  int prev;             // token index in previous frame
+  int arc;              // graph arc id
+  float cost;           // total path cost via this link
+};
+
+struct Token {
+  float cost;           // best cost (== alts front's cost)
+  int state;
+  std::vector<Link> alts;  // kept links, alts[0] is the best
+};
+
+struct Decoder {
+  Graph g;
+  float beam = 16.0f;
+  int max_active = 7000;
+  float lattice_beam = 8.0f;
+  std::vector<std::vector<Token>> frames;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* latdec_new(int num_states, int start, const int* src, const int* dst,
+                 const int* ilabel, const int* olabel, const float* cost,
+                 int num_arcs, const float* final_cost, float beam,
+                 int max_active, float lattice_beam) {
+  auto* d = new Decoder();
+  d->beam = beam;
+  d->max_active = max_active;
+  d->lattice_beam = lattice_beam;
+  Graph& g = d->g;
+  g.num_states = num_states;
+  g.start = start;
+  g.final_cost.assign(final_cost, final_cost + num_states);
+  std::vector<int> count(num_states + 1, 0);
+  for (int e = 0; e < num_arcs; ++e) count[src[e] + 1]++;
+  g.row_off.resize(num_states + 1);
+  g.row_off[0] = 0;
+  for (int s = 0; s < num_states; ++s) g.row_off[s + 1] = g.row_off[s] + count[s + 1];
+  g.dst.resize(num_arcs);
+  g.ilabel.resize(num_arcs);
+  g.olabel.resize(num_arcs);
+  g.cost.resize(num_arcs);
+  std::vector<int> fill(g.row_off.begin(), g.row_off.end() - 1);
+  for (int e = 0; e < num_arcs; ++e) {
+    int pos = fill[src[e]]++;
+    g.dst[pos] = dst[e];
+    g.ilabel[pos] = ilabel[e];
+    g.olabel[pos] = olabel[e];
+    g.cost[pos] = cost[e];
+  }
+  return d;
+}
+
+void latdec_free(void* h) { delete static_cast<Decoder*>(h); }
+
+namespace {
+
+int RunSearch(Decoder* d, const float* loglikes, int T, int P,
+              float* best_final_cost_out) {
+  Decoder& dec = *d;
+  const Graph& g = dec.g;
+  dec.frames.assign(T + 1, {});
+  dec.frames[0].push_back({0.0f, g.start, {}});
+
+  std::vector<int> state_tok(g.num_states, -1);
+  std::vector<int> touched;
+
+  for (int t = 0; t < T; ++t) {
+    const std::vector<Token>& cur = dec.frames[t];
+    std::vector<Token>& nxt = dec.frames[t + 1];
+    const float* obs = loglikes + (size_t)t * P;
+    touched.clear();
+    float frame_best = kInf;
+
+    for (int i = 0; i < (int)cur.size(); ++i) {
+      const Token& tok = cur[i];
+      for (int e = g.row_off[tok.state]; e < g.row_off[tok.state + 1]; ++e) {
+        int pdf = g.ilabel[e] - 1;
+        if (pdf < 0 || pdf >= P) continue;
+        float c = tok.cost + g.cost[e] - obs[pdf];
+        int s2 = g.dst[e];
+        int ti = state_tok[s2];
+        if (ti < 0) {
+          state_tok[s2] = (int)nxt.size();
+          touched.push_back(s2);
+          nxt.push_back({c, s2, {{i, e, c}}});
+        } else {
+          Token& tk = nxt[ti];
+          tk.alts.push_back({i, e, c});
+          if (c < tk.cost) {
+            tk.cost = c;
+            std::swap(tk.alts.front(), tk.alts.back());
+          }
+        }
+        if (c < frame_best) frame_best = c;
+      }
+    }
+    float cutoff = frame_best + dec.beam;
+    if ((int)nxt.size() > dec.max_active) {
+      std::vector<float> costs;
+      costs.reserve(nxt.size());
+      for (auto& tk : nxt) costs.push_back(tk.cost);
+      std::nth_element(costs.begin(), costs.begin() + dec.max_active - 1, costs.end());
+      cutoff = std::min(cutoff, costs[dec.max_active - 1]);
+    }
+    std::vector<Token> kept;
+    kept.reserve(nxt.size());
+    for (auto& tk : nxt) {
+      if (tk.cost > cutoff) continue;
+      // prune link alternatives to the lattice beam
+      std::vector<Link> keep_alts;
+      for (auto& l : tk.alts)
+        if (l.cost <= tk.cost + dec.lattice_beam) keep_alts.push_back(l);
+      std::sort(keep_alts.begin(), keep_alts.end(),
+                [](const Link& a, const Link& b) { return a.cost < b.cost; });
+      tk.alts.swap(keep_alts);
+      kept.push_back(std::move(tk));
+    }
+    nxt.swap(kept);
+    for (int s : touched) state_tok[s] = -1;
+    if (nxt.empty()) return -1;
+  }
+
+  float best = kInf;
+  int best_i = -1;
+  const std::vector<Token>& last = dec.frames[T];
+  for (int i = 0; i < (int)last.size(); ++i) {
+    float fc = g.final_cost[last[i].state];
+    if (std::isinf(fc)) continue;
+    float c = last[i].cost + fc;
+    if (c < best) { best = c; best_i = i; }
+  }
+  if (best_i < 0) {  // Kaldi-style fallback: no final state reached
+    for (int i = 0; i < (int)last.size(); ++i)
+      if (last[i].cost < best) { best = last[i].cost; best_i = i; }
+  }
+  *best_final_cost_out = best;
+  return best_i;
+}
+
+}  // namespace
+
+// Best-path decode. Returns number of output words (>=0) or -1 on failure.
+int latdec_decode(void* h, const float* loglikes, int T, int P, int* out_words,
+                  int max_words, int* out_pdfs, float* out_score) {
+  auto* d = static_cast<Decoder*>(h);
+  float best_cost;
+  int best_i = RunSearch(d, loglikes, T, P, &best_cost);
+  if (best_i < 0) return -1;
+  *out_score = -best_cost;
+  std::vector<int> words;
+  int i = best_i;
+  for (int t = T; t > 0; --t) {
+    const Token& tok = d->frames[t][i];
+    const Link& l = tok.alts.front();
+    out_pdfs[t - 1] = d->g.ilabel[l.arc] - 1;
+    int ol = d->g.olabel[l.arc];
+    if (ol != 0) words.push_back(ol);
+    i = l.prev;
+  }
+  std::reverse(words.begin(), words.end());
+  int n = std::min((int)words.size(), max_words);
+  if (n > 0) std::memcpy(out_words, words.data(), n * sizeof(int));
+  return (int)words.size() <= max_words ? n : -2;
+}
+
+// Lattice decode: emits the pruned time-synchronous arc table (state 0 =
+// start). Returns 0 ok, -1 search failure, -2 capacity too small.
+int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
+                          int* lat_src, int* lat_dst, int* lat_pdf,
+                          float* lat_weight, int arc_capacity,
+                          int* num_arcs_out, float* final_weights,
+                          int state_capacity, int* num_states_out,
+                          float* best_score) {
+  auto* d = static_cast<Decoder*>(h);
+  float best_cost;
+  int best_i = RunSearch(d, loglikes, T, P, &best_cost);
+  if (best_i < 0) return -1;
+  *best_score = -best_cost;
+
+  int next_id = 1;
+  std::vector<std::vector<int>> ids(T + 1);
+  ids[0].assign(d->frames[0].size(), 0);
+  for (int t = 1; t <= T; ++t) {
+    float fb = kInf;
+    for (auto& tk : d->frames[t]) fb = std::min(fb, tk.cost);
+    ids[t].assign(d->frames[t].size(), -1);
+    for (int i = 0; i < (int)d->frames[t].size(); ++i) {
+      if (d->frames[t][i].cost <= fb + d->lattice_beam) {
+        if (next_id >= state_capacity) return -2;
+        ids[t][i] = next_id++;
+      }
+    }
+  }
+  *num_states_out = next_id;
+  for (int s = 0; s < next_id; ++s) final_weights[s] = -kInf;
+
+  int n_arcs = 0;
+  for (int t = 1; t <= T; ++t) {
+    for (int i = 0; i < (int)d->frames[t].size(); ++i) {
+      if (ids[t][i] < 0) continue;
+      const Token& tok = d->frames[t][i];
+      for (const Link& l : tok.alts) {
+        int prev = ids[t - 1][l.prev];
+        if (prev < 0) continue;
+        if (n_arcs >= arc_capacity) return -2;
+        lat_src[n_arcs] = prev;
+        lat_dst[n_arcs] = ids[t][i];
+        lat_pdf[n_arcs] = d->g.ilabel[l.arc] - 1;
+        lat_weight[n_arcs] = -d->g.cost[l.arc];
+        ++n_arcs;
+      }
+    }
+  }
+  *num_arcs_out = n_arcs;
+  bool any_final = false;
+  for (int i = 0; i < (int)d->frames[T].size(); ++i) {
+    int id = ids[T][i];
+    if (id < 0) continue;
+    float fc = d->g.final_cost[d->frames[T][i].state];
+    if (!std::isinf(fc)) {
+      final_weights[id] = -fc;
+      any_final = true;
+    }
+  }
+  if (!any_final) {  // fallback: every surviving end token is final, weight 0
+    for (int i = 0; i < (int)d->frames[T].size(); ++i)
+      if (ids[T][i] >= 0) final_weights[ids[T][i]] = 0.0f;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,112 @@
+"""Decode/eval entry point: posteriors → native beam decode → WER.
+
+Reference behavior: pykaldi2's decode/forward scripts + Kaldi
+latgen-faster-mapped / compute-wer (SURVEY.md §4.4). Forward runs batched on
+device (bucketed), decoding on the host decoder, scoring in-process.
+
+CLI: python -m pykaldi2_tpu.bin.decode -config exp.yaml -data data.yaml \
+       -model exp/ce/model.7.npz -graph graph.fst.txt -words words.txt \
+       [-ref ref.txt] [-hyp_out hyp.txt] [-acoustic_scale 0.1] [-prior prior.npy]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pykaldi2_tpu.config import load_config, load_data_config
+from pykaldi2_tpu.data.dataloader import BucketSpec, SeqDataloader
+from pykaldi2_tpu.data.dataset import SpeechDataset
+from pykaldi2_tpu.decode.decoder import LatticeDecoder
+from pykaldi2_tpu.decode.wer import score_corpus
+from pykaldi2_tpu.graph.fst import Fst
+from pykaldi2_tpu.models import build_model
+from pykaldi2_tpu.pipeline import FeaturePipeline
+from pykaldi2_tpu.utils import load_checkpoint, setup_logging
+
+
+def read_symtab(path: str):
+    """OpenFst-style symbol table: 'word id' per line."""
+    id2w = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                id2w[int(parts[1])] = parts[0]
+    return id2w
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-config", required=True)
+    p.add_argument("-data", required=True)
+    p.add_argument("-model", required=True)
+    p.add_argument("-graph", required=True, help="pdf-level decode FST (text format)")
+    p.add_argument("-words", required=True, help="word symbol table")
+    p.add_argument("-ref", default=None, help="reference transcripts (utt words...)")
+    p.add_argument("-hyp_out", default=None)
+    p.add_argument("-acoustic_scale", type=float, default=0.1)
+    p.add_argument("-prior", default=None, help="log-prior .npy")
+    p.add_argument("-beam", type=float, default=16.0)
+    p.add_argument("-max_active", type=int, default=7000)
+    args = p.parse_args(argv)
+
+    log = setup_logging(None)
+    cfg = load_config(args.config)
+    cfg.data = load_data_config(args.data)
+    dataset = SpeechDataset.from_config(cfg.data)
+    feat_fn = FeaturePipeline(cfg.data.feat)
+    cfg.model.input_size = feat_fn.dim
+    model = build_model(cfg.model)
+    params, _, _ = load_checkpoint(args.model, model.init(jax.random.PRNGKey(0)))
+    log_prior = np.load(args.prior) if args.prior else None
+
+    graph = Fst.read_text(args.graph)
+    decoder = LatticeDecoder(graph, beam=args.beam, max_active=args.max_active)
+    id2w = read_symtab(args.words)
+
+    @jax.jit
+    def forward(batch):
+        feats = feat_fn(batch)
+        logits = model.apply(params, feats, batch["mask"])
+        logpost = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if log_prior is not None:
+            logpost = logpost - jnp.asarray(log_prior)
+        return args.acoustic_scale * logpost
+
+    hyps = {}
+    loader = SeqDataloader(dataset, BucketSpec(boundaries=(200, 400, 800, 1600, 3200),
+                                               batch_sizes=8), shuffle=False)
+    for batch in loader:
+        utt_ids = batch.pop("utt_ids")
+        nf = batch["num_frames"]
+        obs = np.asarray(forward(batch))
+        for i, uid in enumerate(utt_ids):
+            try:
+                words, _pdfs, _score = decoder.decode(obs[i, : nf[i]])
+                hyps[uid] = [id2w.get(w, f"<{w}>") for w in words]
+            except RuntimeError as e:
+                log.warning("decode failed for %s: %s", uid, e)
+    if args.hyp_out:
+        with open(args.hyp_out, "w") as f:
+            for uid in sorted(hyps):
+                f.write(uid + " " + " ".join(hyps[uid]) + "\n")
+    if args.ref:
+        refs = {}
+        with open(args.ref) as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    refs[parts[0]] = parts[1:]
+        result = score_corpus(refs, hyps)
+        print(f"%WER {result['wer']:.2f} [ {result['errors']} / {result['ref_len']}, "
+              f"{result['ins']} ins, {result['dels']} del, {result['subs']} sub ]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

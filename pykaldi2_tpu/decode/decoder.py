@@ -1,0 +1,146 @@
+"""ctypes bindings for the native lattice decoder (native/latdec.cc)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from pykaldi2_tpu.graph.fst import Fst
+from pykaldi2_tpu.ops.fsa import DenseFsa
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "liblatdec.so")
+
+_lib = None
+
+
+def build_native(force: bool = False) -> str:
+    """Build liblatdec.so with make if missing; returns the library path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(build_native())
+    ip = ctypes.POINTER(ctypes.c_int)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.latdec_new.restype = ctypes.c_void_p
+    lib.latdec_new.argtypes = [ctypes.c_int, ctypes.c_int, ip, ip, ip, ip, fp,
+                               ctypes.c_int, fp, ctypes.c_float, ctypes.c_int,
+                               ctypes.c_float]
+    lib.latdec_free.argtypes = [ctypes.c_void_p]
+    lib.latdec_decode.restype = ctypes.c_int
+    lib.latdec_decode.argtypes = [ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int,
+                                  ip, ctypes.c_int, ip, fp]
+    lib.latdec_decode_lattice.restype = ctypes.c_int
+    lib.latdec_decode_lattice.argtypes = [
+        ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int,
+        ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int, ip, fp]
+    _lib = lib
+    return lib
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class LatticeDecoder:
+    """Beam decoder over a pdf-labeled FST (expand_to_pdf_fst output).
+
+    Equivalent to the reference's MappedLatticeFasterRecognizer usage:
+    feed acoustic-scaled pseudo-log-likelihoods, get words / alignments /
+    time-synchronous lattices (as DenseFsa for on-device FB).
+    """
+
+    def __init__(self, graph: Fst, beam: float = 16.0, max_active: int = 7000,
+                 lattice_beam: float = 8.0):
+        lib = _load()
+        src, dst, il, ol, cost = [], [], [], [], []
+        for s in range(graph.num_states):
+            for a in graph.arcs[s]:
+                src.append(s)
+                dst.append(a.nextstate)
+                il.append(a.ilabel)
+                ol.append(a.olabel)
+                cost.append(-a.weight)  # log-prob → cost
+        finals = np.full(graph.num_states, np.inf, np.float32)
+        for s, w in graph.finals.items():
+            finals[s] = -w
+        self._src = np.ascontiguousarray(src, np.int32)
+        self._dst = np.ascontiguousarray(dst, np.int32)
+        self._il = np.ascontiguousarray(il, np.int32)
+        self._ol = np.ascontiguousarray(ol, np.int32)
+        self._cost = np.ascontiguousarray(cost, np.float32)
+        self._finals = np.ascontiguousarray(finals, np.float32)
+        self._h = lib.latdec_new(
+            graph.num_states, graph.start, _iptr(self._src), _iptr(self._dst),
+            _iptr(self._il), _iptr(self._ol), _fptr(self._cost),
+            len(src), _fptr(self._finals),
+            ctypes.c_float(beam), int(max_active), ctypes.c_float(lattice_beam))
+        self._lib = lib
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.latdec_free(self._h)
+            self._h = None
+
+    def decode(self, loglikes: np.ndarray) -> Tuple[List[int], np.ndarray, float]:
+        """loglikes [T, P] (scaled) → (word ids, per-frame pdfs [T], log score)."""
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        t, p = ll.shape
+        max_words = t + 1
+        words = np.zeros(max_words, np.int32)
+        pdfs = np.zeros(t, np.int32)
+        score = ctypes.c_float()
+        n = self._lib.latdec_decode(self._h, _fptr(ll), t, p, _iptr(words),
+                                    max_words, _iptr(pdfs), ctypes.byref(score))
+        if n < 0:
+            raise RuntimeError("decoding failed (no surviving tokens — widen beam?)")
+        return words[:n].tolist(), pdfs, float(score.value)
+
+    def decode_lattice(self, loglikes: np.ndarray) -> Tuple[DenseFsa, float]:
+        """loglikes [T, P] → (time-synchronous lattice as DenseFsa, best score).
+
+        The lattice's arc weights are graph scores only; run it through
+        ops/fb with the same obs matrix to get den posteriors (the decoded-
+        lattice MMI mode).
+        """
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        t, p = ll.shape
+        arc_cap, state_cap = max(4096, 64 * t), max(1024, 16 * t)
+        for _ in range(8):
+            src = np.zeros(arc_cap, np.int32)
+            dst = np.zeros(arc_cap, np.int32)
+            pdf = np.zeros(arc_cap, np.int32)
+            w = np.zeros(arc_cap, np.float32)
+            finals = np.zeros(state_cap, np.float32)
+            n_arcs = ctypes.c_int()
+            n_states = ctypes.c_int()
+            score = ctypes.c_float()
+            rc = self._lib.latdec_decode_lattice(
+                self._h, _fptr(ll), t, p, _iptr(src), _iptr(dst), _iptr(pdf),
+                _fptr(w), arc_cap, ctypes.byref(n_arcs), _fptr(finals),
+                state_cap, ctypes.byref(n_states), ctypes.byref(score))
+            if rc == 0:
+                na, ns = n_arcs.value, n_states.value
+                fsa = DenseFsa(ns, src[:na].copy(), dst[:na].copy(), pdf[:na].copy(),
+                               w[:na].copy(), finals[:ns].copy(), 0)
+                return fsa.validate(), float(score.value)
+            if rc == -1:
+                raise RuntimeError("lattice decoding failed (no surviving tokens)")
+            arc_cap *= 4
+            state_cap *= 4
+        raise RuntimeError("lattice capacity still insufficient after retries")
