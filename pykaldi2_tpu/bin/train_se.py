@@ -59,6 +59,15 @@ def build_argparser():
     p.add_argument("-no_drop_frames", action="store_true")
     p.add_argument("-single_device", action="store_true")
     p.add_argument("-log_interval", type=int, default=None)
+    p.add_argument("-on_the_fly", action="store_true",
+                   help="decode per-utterance denominator lattices with the "
+                        "native decoder (reference train_se mode) instead of "
+                        "the fixed denominator graph")
+    p.add_argument("-den_hclg", default=None,
+                   help="pdf-level decoding FST (text) for -on_the_fly; "
+                        "default: phone-loop graph from the den phone LM")
+    p.add_argument("-beam", type=float, default=None)
+    p.add_argument("-lattice_beam", type=float, default=None)
     return p
 
 
@@ -147,6 +156,12 @@ def main(argv=None):
         log.warning("no seed model — SE training from random init is unusual")
 
     crit = {"mpe": "mpfe"}.get(cfg.trainer.criterion, cfg.trainer.criterion)
+    if args.on_the_fly:
+        if crit != "mmi":
+            raise SystemExit("-on_the_fly currently supports criterion=mmi")
+        return _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
+                               optimizer, tm, den, pdf_to_phone, log_prior,
+                               params, opt_state, start_epoch, key)
     step = make_se_train_step(
         model, feat_fn, optimizer, den_packed, crit, mesh,
         log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
@@ -184,6 +199,102 @@ def main(argv=None):
         ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
         save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "objective": ep, "lr_scale": scale})
         log.info("epoch %d done: %s objective %.4f → %s", epoch, crit, ep, ckpt)
+        metrics_log.log(epoch=epoch, epoch_objective=ep, lr_scale=scale)
+    metrics_log.close()
+    return 0
+
+
+def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
+                    optimizer, tm, den, pdf_to_phone, log_prior,
+                    params, opt_state, start_epoch, key):
+    """Reference train_se semantics: per-utterance denominator lattices
+    decoded on the host per batch, forward-backward on device."""
+    import numpy as np
+    from pykaldi2_tpu.decode.decoder import LatticeDecoder
+    from pykaldi2_tpu.graph.compile import expand_to_pdf_fst
+    from pykaldi2_tpu.graph.fst import Fst
+    from pykaldi2_tpu.ops.fb_batched import pack_graph_batch
+    from pykaldi2_tpu.trainer import make_se_lattice_steps
+
+    if args.den_hclg:
+        den_fst = Fst.read_text(args.den_hclg)
+    else:
+        # phone-loop denominator HCLG from the same phone LM as the den graph
+        from pykaldi2_tpu.graph.phone_lm import collapse_to_phones, estimate_phone_bigram
+        from pykaldi2_tpu.graph.fst import EPS, Fst as _Fst
+        seqs = [collapse_to_phones(pdf_to_phone[l]) for l in dataset.labels.values()]
+        lm = estimate_phone_bigram(seqs, tm.topo.phones)
+        f = _Fst()
+        start = f.add_state()
+        f.set_start(start)
+        junction = {p: f.add_state() for p in tm.topo.phones}
+        for p in tm.topo.phones:
+            if np.isfinite(lm["log_init"][p]):
+                f.add_arc(start, p, EPS, float(lm["log_init"][p]), junction[p])
+            for q in tm.topo.phones:
+                if np.isfinite(lm["log_bigram"][p, q]):
+                    f.add_arc(junction[p], q, EPS, float(lm["log_bigram"][p, q]), junction[q])
+            f.set_final(junction[p], float(lm["log_final"][p]))
+        den_fst = expand_to_pdf_fst(f, tm)
+    beam = args.beam if args.beam is not None else cfg.trainer.beam
+    lat_beam = args.lattice_beam if args.lattice_beam is not None else cfg.trainer.lattice_beam
+    decoder = LatticeDecoder(den_fst, beam=beam, max_active=cfg.trainer.max_active,
+                             lattice_beam=lat_beam)
+    log.info("on-the-fly den decoding: graph %d states %d arcs, beam %.1f lat_beam %.1f",
+             den_fst.num_states, den_fst.num_arcs, beam, lat_beam)
+
+    forward_fn, train_fn = make_se_lattice_steps(
+        model, feat_fn, optimizer,
+        log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
+        den_scale=cfg.trainer.den_scale, drop_frames=cfg.trainer.drop_frames,
+        ce_ratio=cfg.trainer.ce_ratio)
+
+    import jax
+    from pykaldi2_tpu.data.dataloader import BucketSpec, SeqDataloader
+    from pykaldi2_tpu.utils import save_checkpoint
+    from pykaldi2_tpu.utils.lr import PlateauAnnealer, set_lr_scale
+    from pykaldi2_tpu.trainer import Throughput
+
+    annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
+    bucket = BucketSpec(batch_sizes=cfg.trainer.batch_size)
+    step_no = 0
+    for epoch in range(start_epoch, cfg.trainer.num_epochs):
+        loader = SeqDataloader(dataset, bucket, shuffle=cfg.data.shuffle, seed=cfg.trainer.seed)
+        loader.set_epoch(epoch)
+        tp = Throughput()
+        ep_obj = ep_frames = 0.0
+        for batch in loader:
+            utt_ids = batch.pop("utt_ids")
+            obs = np.asarray(forward_fn(params, batch))
+            lats = []
+            for i in range(obs.shape[0]):
+                nf = int(batch["num_frames"][i])
+                if nf == 0:
+                    from pykaldi2_tpu.ops.fsa import linear_chain_fsa
+                    lats.append(linear_chain_fsa(np.zeros(1, np.int32)))
+                    continue
+                lat, _score = decoder.decode_lattice(obs[i, :nf])
+                lats.append(lat)
+            den_b = pack_graph_batch(lats)
+            key, sk = jax.random.split(key)
+            params, opt_state, m = train_fn(params, opt_state, batch, den_b, sk)
+            step_no += 1
+            frames = float(m["frames"])
+            ep_obj += float(m["objective"]) * frames
+            ep_frames += frames
+            tp.update(len(utt_ids), frames)
+            if step_no % cfg.trainer.log_interval == 0:
+                u_s, f_s = tp.rates()
+                log.info("epoch %d step %d mmi(lat) %.4f acc %.4f | %.1f utt/s %.0f frames/s",
+                         epoch, step_no, m["objective"], m["frame_acc"], u_s, f_s)
+                metrics_log.log(epoch=epoch, step=step_no, objective=m["objective"],
+                                frame_acc=m["frame_acc"], utt_per_sec=u_s, frames_per_sec=f_s)
+        ep = ep_obj / max(ep_frames, 1.0)
+        scale = annealer.step(-ep)
+        opt_state = set_lr_scale(opt_state, scale)
+        ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
+        save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "objective": ep, "lr_scale": scale})
+        log.info("epoch %d done: mmi(lat) objective %.4f → %s", epoch, ep, ckpt)
         metrics_log.log(epoch=epoch, epoch_objective=ep, lr_scale=scale)
     metrics_log.close()
     return 0

@@ -1,0 +1,212 @@
+"""Forward-backward over PER-UTTERANCE graphs (batched arc tables).
+
+The shared-graph kernels in ops/fb.py cover the fixed-denominator hot path;
+this module covers per-utterance graphs — decoded denominator lattices (the
+reference's on-the-fly mode, SURVEY.md §4.2) and transcript numerator graphs.
+Graphs are padded to a common (num_arcs, num_states) bucket so each bucket
+shape compiles once; padding arcs carry -inf weights and are exact no-ops
+(tested).
+
+Indexing differences vs fb.py: gathers become take_along_axis over the batch
+dim and segment reductions run over a flattened (batch x state) id space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pykaldi2_tpu.ops.fsa import DenseFsa
+from pykaldi2_tpu.ops.fb import NEG_INF
+
+
+class BatchedGraphs(NamedTuple):
+    src: jax.Array      # [B, E] int32
+    dst: jax.Array      # [B, E] int32
+    pdf: jax.Array      # [B, E] int32
+    weight: jax.Array   # [B, E] f32 (NEG_INF on padding arcs)
+    final: jax.Array    # [B, S] f32
+
+    @property
+    def num_states(self) -> int:  # static: derived from the padded shape
+        return self.final.shape[1]
+
+
+def _round_bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def pack_graph_batch(fsas: List[DenseFsa], bucket: bool = True) -> BatchedGraphs:
+    """Pad per-utt graphs to a common (power-of-two) arc/state budget."""
+    e_max = max(f.num_arcs for f in fsas)
+    s_max = max(f.num_states for f in fsas)
+    if bucket:
+        e_max, s_max = _round_bucket(e_max), _round_bucket(s_max)
+    padded = [f.pad_to(e_max, s_max) for f in fsas]
+    clean = lambda a: np.nan_to_num(np.stack(a), neginf=NEG_INF, posinf=NEG_INF)
+    for f in padded:
+        if f.start != 0:
+            raise ValueError("batched graphs must start at state 0")
+    return BatchedGraphs(
+        src=jnp.asarray(np.stack([f.src for f in padded])),
+        dst=jnp.asarray(np.stack([f.dst for f in padded])),
+        pdf=jnp.asarray(np.stack([f.pdf for f in padded])),
+        weight=jnp.asarray(clean([f.weight for f in padded]).astype(np.float32)),
+        final=jnp.asarray(clean([f.final for f in padded]).astype(np.float32)),
+    )
+
+
+def _gather_state(x, idx):
+    """x [B, S], idx [B, E] → [B, E]."""
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def _seg_sum_b(values, ids, num_states):
+    """values [B, E], ids [B, E] → [B, S] scatter-add per batch row."""
+    b = values.shape[0]
+    offs = jnp.arange(b, dtype=ids.dtype)[:, None] * num_states
+    flat = jax.ops.segment_sum(values.reshape(-1), (ids + offs).reshape(-1),
+                               num_segments=b * num_states)
+    return flat.reshape(b, num_states)
+
+
+def _alpha0(g: BatchedGraphs, like):
+    b = g.src.shape[0]
+    a = jnp.full((b, g.num_states), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    return a + 0.0 * jnp.sum(like * 0.0)
+
+
+def _logz_fwd_scan_b(obs, g: BatchedGraphs, num_frames):
+    b, t_len, _ = obs.shape
+
+    def step(carry, inp):
+        alpha, norm = carry
+        obs_t, t = inp
+        score = (_gather_state(alpha, g.src) + g.weight
+                 + jnp.take_along_axis(obs_t, g.pdf, axis=1))
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        summed = _seg_sum_b(lin, g.dst, g.num_states)
+        new_alpha = jnp.where(summed > 0, jnp.log(jnp.where(summed > 0, summed, 1.0)), NEG_INF) + mx
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, norm), (alpha, norm)
+
+    alpha0 = _alpha0(g, obs)
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
+        step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), (obs_t, ts))
+    total = jnp.maximum(alpha_T + g.final, NEG_INF)
+    logz = jax.nn.logsumexp(total, axis=1) + norm_T
+    return logz, (alphas, norms)
+
+
+@jax.custom_vjp
+def fsa_logz_b(obs, graphs: BatchedGraphs, num_frames):
+    """Per-sequence log partition over per-utterance graphs: [B]."""
+    return _logz_fwd_scan_b(obs, graphs, num_frames)[0]
+
+
+def _fsa_logz_b_fwd(obs, graphs, num_frames):
+    logz, (alphas, norms) = _logz_fwd_scan_b(obs, graphs, num_frames)
+    return logz, (obs, graphs, num_frames, logz, alphas, norms)
+
+
+def _fsa_logz_b_bwd(res, ct):
+    obs, g, num_frames, logz, alphas, norms = res
+    gamma = _occupancies_b(obs, g, num_frames, logz, alphas, norms)
+    return (ct[:, None, None] * gamma, None, None)
+
+
+def _occupancies_b(obs, g: BatchedGraphs, num_frames, logz, alphas, norms):
+    b, t_len, p_dim = obs.shape
+    beta0 = g.final + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+    alpha_prev = jnp.concatenate([_alpha0(g, obs)[None], alphas[:-1]], axis=0)
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
+
+    def step(carry, inp):
+        beta, bnorm = carry
+        obs_t, a_prev, an_prev, t = inp
+        obs_arc = jnp.take_along_axis(obs_t, g.pdf, axis=1)
+        score = g.weight + obs_arc + _gather_state(beta, g.dst)
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        summed = _seg_sum_b(lin, g.src, g.num_states)
+        new_beta = jnp.where(summed > 0, jnp.log(jnp.where(summed > 0, summed, 1.0)), NEG_INF) + mx
+        m2 = jnp.max(new_beta, axis=1, keepdims=True)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        log_gamma = (_gather_state(a_prev, g.src) + an_prev[:, None] + g.weight + obs_arc
+                     + _gather_state(beta, g.dst) + bnorm[:, None] - logz[:, None])
+        gamma_arc = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_arc = jnp.where(active, gamma_arc, 0.0)
+        gamma_t = _seg_sum_b(gamma_arc, g.pdf, p_dim)
+        beta = jnp.where(active, new_beta_n, beta)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bnorm), gamma_t
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    _, gammas = jax.lax.scan(step, (beta0, bnorm0),
+                             (obs_t, alpha_prev, anorm_prev, ts), reverse=True)
+    return jnp.swapaxes(gammas, 0, 1)
+
+
+fsa_logz_b.defvjp(_fsa_logz_b_fwd, _fsa_logz_b_bwd)
+
+
+def fsa_occupancies_b(obs, graphs: BatchedGraphs, num_frames):
+    logz, (alphas, norms) = _logz_fwd_scan_b(obs, graphs, num_frames)
+    gamma = _occupancies_b(obs, graphs, num_frames, logz, alphas, norms)
+    return logz, gamma
+
+
+# ---------------------------------------------------------------------------
+# MMI over decoded lattices (per-utt den graphs)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def mmi_objective_lattice(obs, ali, den: BatchedGraphs, num_frames, mask,
+                          drop_frames: bool = True, den_scale: float = 1.0):
+    """MMI with per-utterance denominator lattices: [B] objectives."""
+    safe = jnp.maximum(ali, 0)
+    num = jnp.sum(jnp.take_along_axis(obs, safe[..., None], axis=-1)[..., 0] * mask, axis=-1)
+    den_lz = fsa_logz_b(obs, den, num_frames)
+    return num - den_scale * den_lz
+
+
+def _mmi_lat_fwd(obs, ali, den, num_frames, mask, drop_frames, den_scale):
+    logz, gamma = fsa_occupancies_b(obs, den, num_frames)
+    safe = jnp.maximum(ali, 0)
+    num = jnp.sum(jnp.take_along_axis(obs, safe[..., None], axis=-1)[..., 0] * mask, axis=-1)
+    return num - den_scale * logz, (ali, mask, gamma)
+
+
+def _mmi_lat_bwd(drop_frames, den_scale, res, ct):
+    ali, mask, gamma = res
+    safe = jnp.maximum(ali, 0)
+    num_onehot = jax.nn.one_hot(safe, gamma.shape[-1], dtype=jnp.float32)
+    grad = num_onehot - den_scale * gamma
+    m = mask[..., None]
+    if drop_frames:
+        den_at_num = jnp.take_along_axis(gamma, safe[..., None], axis=-1)
+        m = m * (den_at_num > 1e-20).astype(jnp.float32)
+    return (ct[:, None, None] * grad * m, None, None, None, None)
+
+
+mmi_objective_lattice.defvjp(_mmi_lat_fwd, _mmi_lat_bwd)

@@ -203,6 +203,69 @@ def make_se_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_se_lattice_steps(
+    model: NnetAM,
+    feat_fn: FeaturePipeline,
+    optimizer: optax.GradientTransformation,
+    log_prior=None,
+    acoustic_scale: float = 0.1,
+    den_scale: float = 1.0,
+    drop_frames: bool = True,
+    ce_ratio: float = 0.0,
+):
+    """On-the-fly denominator-lattice MMI (the reference's signature mode,
+    SURVEY.md §4.2): returns (forward_fn, train_fn).
+
+    forward_fn(params, batch) → scaled obs [B, T, P] (host decodes lattices
+    from it); train_fn(params, opt_state, batch, den_graphs, key) applies the
+    lattice-MMI update, recomputing the forward under autodiff. den_graphs is
+    a BatchedGraphs whose bucketed shapes bound recompilation.
+    """
+    from pykaldi2_tpu.ops.fb_batched import mmi_objective_lattice
+    from pykaldi2_tpu.ops.se_losses import acoustic_scores
+
+    lp = None if log_prior is None else jnp.asarray(log_prior)
+
+    @jax.jit
+    def forward_fn(params, batch):
+        feats = feat_fn(batch)
+        logits = model.apply(params, feats, batch["mask"])
+        return acoustic_scores(logits, lp, acoustic_scale)
+
+    def local_step(params, opt_state, batch, den_graphs, key):
+        mask = batch["mask"].astype(jnp.float32)
+        nf = batch["num_frames"]
+
+        def loss_fn(p):
+            dither_key, dropout_key = jax.random.split(key)
+            feats = feat_fn(batch, dither_key=dither_key)
+            logits = model.apply(p, feats, mask, train=True, dropout_key=dropout_key)
+            obs = acoustic_scores(logits, lp, acoustic_scale)
+            obj = jnp.sum(mmi_objective_lattice(obs, batch["labels"], den_graphs, nf,
+                                                mask, drop_frames, den_scale))
+            count = jnp.sum(mask)
+            loss = -obj / jnp.maximum(count, 1.0)
+            if ce_ratio > 0.0:
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                ll = jnp.take_along_axis(logp, jnp.maximum(batch["labels"], 0)[..., None],
+                                         axis=-1)[..., 0]
+                loss = loss - ce_ratio * jnp.sum(ll * mask) / jnp.maximum(count, 1.0)
+            correct = jnp.sum(
+                (jnp.argmax(jax.lax.stop_gradient(logits), -1) == batch["labels"]) * mask)
+            return loss, (obj, count, correct)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        obj, count, correct = aux
+        metrics = {"objective": obj / jnp.maximum(count, 1.0),
+                   "frame_acc": correct / jnp.maximum(count, 1.0),
+                   "frames": count}
+        return params, opt_state, metrics
+
+    return forward_fn, jax.jit(local_step)
+
+
 def make_eval_step(model: NnetAM, feat_fn: FeaturePipeline, mesh: Optional[Mesh] = None):
     """step(params, batch) → (sum_nll, frames, correct) — for dev-loss tracking."""
 
