@@ -48,6 +48,8 @@ def build_argparser():
     p.add_argument("-dropout", type=float, default=None)
     p.add_argument("-log_interval", type=int, default=None)
     p.add_argument("-single_device", action="store_true", help="no mesh (debug)")
+    p.add_argument("-profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the first steps into DIR")
     return p
 
 
@@ -105,6 +107,9 @@ def main(argv=None):
     log.info("model: %s input=%d params=%.2fM output=%d",
              cfg.model.type, feat_fn.dim, num_params / 1e6, cfg.model.output_size)
 
+    from pykaldi2_tpu.utils.profiling import maybe_trace
+
+    profile_steps = 20 if args.profile else 0
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
         loader = ChunkDataloader(
@@ -116,8 +121,16 @@ def main(argv=None):
         ep_nll = ep_frames = 0.0
         for batch in device_prefetch(iter(loader), sharding=sharding):
             key, step_key = jax.random.split(key)
+            if step_no == 2 and profile_steps:  # skip compile steps
+                profiler_ctx = maybe_trace(args.profile)
+                profiler_ctx.__enter__()
             params, opt_state, m = train_step(params, opt_state, batch, step_key)
             step_no += 1
+            if profile_steps and step_no == 2 + profile_steps:
+                jax.block_until_ready(m["loss"])
+                profiler_ctx.__exit__(None, None, None)
+                log.info("profiler trace written to %s", args.profile)
+                profile_steps = 0
             frames = float(m["frames"])
             ep_nll += float(m["loss"]) * frames
             ep_frames += frames

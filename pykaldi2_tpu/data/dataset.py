@@ -82,10 +82,16 @@ class SpeechDataset:
 
     @classmethod
     def from_config(cls, cfg: DataConfig, simulate_fn=None, tid_to_pdf=None):
+        frame_opts = cfg.feat.fbank.frame_opts if cfg.feat.type == "fbank" else cfg.feat.mfcc.frame_opts
+        if simulate_fn is None and cfg.simulation.enabled:
+            from pykaldi2_tpu.simulation.simulator import Simulator
+
+            simulate_fn = Simulator(cfg.simulation, samp_freq=frame_opts.samp_freq,
+                                    frame_shift=frame_opts.window_shift)
         return cls(
             wav_scp=cfg.wav_scp,
             ali=cfg.label_ark,
-            frame_opts=cfg.feat.fbank.frame_opts if cfg.feat.type == "fbank" else cfg.feat.mfcc.frame_opts,
+            frame_opts=frame_opts,
             simulate_fn=simulate_fn,
             tid_to_pdf=tid_to_pdf,
         )
@@ -120,7 +126,11 @@ class SpeechDataset:
         if wave.ndim > 1:
             wave = wave[:, 0]
         if self.simulate_fn is not None:
-            wave = self.simulate_fn(wave, rng)
+            # simulators that change duration (speed perturb) remap labels too
+            if labels is not None and hasattr(self.simulate_fn, "simulate_with_labels"):
+                wave, labels = self.simulate_fn.simulate_with_labels(wave, labels, rng)
+            else:
+                wave = self.simulate_fn(wave, rng)
         nf = num_frames(wave.shape[-1], self.frame_opts)
         if labels is not None:
             # alignments and snip-edges frame counts can differ by a frame or two
