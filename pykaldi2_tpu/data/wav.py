@@ -18,9 +18,17 @@ def read_wav(path_or_bytes, normalize: bool = False):
     """Read a RIFF WAV file → (waveform [n] or [n, ch] float32, sample_rate).
 
     ``normalize=False`` (default) keeps int16-range amplitudes like Kaldi.
+    Paths of the form ``archive.zip:member.wav`` read from zip archives
+    (the reference's zip-of-wav storage, SURVEY.md §3.1 "Readers / IO").
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         f = io.BytesIO(path_or_bytes)
+    elif isinstance(path_or_bytes, str) and ".zip:" in path_or_bytes:
+        import zipfile
+
+        zpath, member = path_or_bytes.split(".zip:", 1)
+        with zipfile.ZipFile(zpath + ".zip") as z:
+            f = io.BytesIO(z.read(member))
     else:
         f = open(path_or_bytes, "rb")
     try:

@@ -43,12 +43,28 @@ def lstm_layer_init(key, input_size: int, hidden_size: int, proj_size: int = 0) 
     return p
 
 
+import os
+
+# Pallas fused recurrence: keeps Wh VMEM-resident across timesteps
+# (ops/lstm_pallas.py). Default: on for TPU backends, off elsewhere;
+# override with PK2_PALLAS_LSTM=0/1.
+def _use_pallas_default() -> bool:
+    env = os.environ.get("PK2_PALLAS_LSTM")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def lstm_layer_apply(
     params: dict,
     x: jax.Array,                     # [B, T, D]
     mask: Optional[jax.Array] = None, # [B, T] 1.0 on valid frames
     reverse: bool = False,
     compute_dtype=jnp.bfloat16,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Run one (uni-directional) LSTM layer; returns [B, T, H or proj]."""
     B, T, _ = x.shape
@@ -67,6 +83,18 @@ def lstm_layer_apply(
         mask_t = jnp.ones((T, B, 1), jnp.float32)
     else:
         mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas and wp is None:
+        from pykaldi2_tpu.ops import lstm_pallas
+
+        if lstm_pallas.supported(B, H):
+            xp_k, mask_k = (xp_t, mask_t) if not reverse else (xp_t[::-1], mask_t[::-1])
+            ys = lstm_pallas.lstm_seq_pallas(xp_k, params["wh"], mask_k)
+            if reverse:
+                ys = ys[::-1]
+            return jnp.swapaxes(ys, 0, 1)
 
     def step(carry, inp):
         h, c = carry

@@ -1,0 +1,206 @@
+"""Pallas fused LSTM sequence kernels: weight-resident recurrence on TPU.
+
+Why: the ``lax.scan`` LSTM re-reads the recurrent weight matrix Wh
+(H×4H, ~8 MB bf16 at H=1024) from HBM on every timestep — ~640 MB per layer
+per direction per pass. These kernels pin Wh (forward) / Whᵀ (backward) in
+VMEM for the whole sequence (TPU grid steps run sequentially and VMEM scratch
+persists across them), stream the per-step gate inputs/outputs through
+pipelined block DMA, and keep h/c carries in fp32 scratch.
+
+The backward kernel emits per-step pre-activation gate gradients; dWh then
+falls out as ONE large [T·B, H]ᵀ×[T·B, 4H] MXU GEMM outside the kernel and
+dX-projection is the gate-gradient tensor itself.
+
+Masking follows models/lstm.py: padded frames carry state through unchanged,
+which also makes the reversed (backward-direction) scan correct for
+right-padded batches.
+
+Gate order i, f, g, o (as models/lstm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _supported(b: int, h: int) -> bool:
+    return b % 8 == 0 and h % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(xp_ref, wh_ref, mask_ref, ys_ref, cs_ref, gates_ref, h_s, c_s):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = jnp.zeros_like(h_s)
+        c_s[:] = jnp.zeros_like(c_s)
+
+    h = h_s[:]
+    gates = xp_ref[0] + jnp.dot(
+        h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32
+    )
+    hdim = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hdim])
+    f = jax.nn.sigmoid(gates[:, hdim : 2 * hdim])
+    g = jnp.tanh(gates[:, 2 * hdim : 3 * hdim])
+    o = jax.nn.sigmoid(gates[:, 3 * hdim :])
+    c_new = f * c_s[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    m = mask_ref[0]                      # [B, 1]
+    h_s[:] = m * h_new + (1.0 - m) * h
+    c_s[:] = m * c_new + (1.0 - m) * c_s[:]
+    ys_ref[0] = h_s[:]
+    cs_ref[0] = c_s[:]
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1).astype(gates_ref.dtype)
+
+
+def _lstm_fwd_pallas(xp, wh, mask):
+    """xp [T,B,4H] f32, wh [H,4H] bf16, mask [T,B,1] f32 → (ys, cs, gates)."""
+    t_len, b, h4 = xp.shape
+    h = h4 // 4
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(t_len,),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, h4), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+        ],
+    )(xp, wh, mask)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (reverse time)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref, whT_ref,
+                dgates_ref, dh_s, dc_s):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_s[:] = jnp.zeros_like(dh_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
+
+    hdim = dh_s.shape[-1]
+    m = mask_ref[0]                                  # [B, 1]
+    dh_total = dh_s[:] + dys_ref[0]                  # recurrent + output cotangent
+    dc_in = dc_s[:]
+    gates = gates_ref[0].astype(jnp.float32)
+    i = gates[:, :hdim]
+    f = gates[:, hdim : 2 * hdim]
+    g = gates[:, 2 * hdim : 3 * hdim]
+    o = gates[:, 3 * hdim :]
+    c = cs_ref[0]
+    c_prev = csp_ref[0]
+    tanh_c = jnp.tanh(c)
+    dh_m = m * dh_total
+    do = dh_m * tanh_c
+    dc = dh_m * o * (1.0 - tanh_c * tanh_c) + m * dc_in
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * i
+    dgates = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g), do * o * (1.0 - o)],
+        axis=-1,
+    )
+    dgates_ref[0] = dgates
+    dh_rec = jnp.dot(dgates.astype(whT_ref.dtype), whT_ref[:],
+                     preferred_element_type=jnp.float32)
+    dh_s[:] = dh_rec + (1.0 - m) * dh_total
+    dc_s[:] = dc * f + (1.0 - m) * dc_in
+
+
+def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT):
+    t_len, b, h = dys.shape
+    h4 = 4 * h
+    rev = lambda t: (t_len - 1 - t, 0, 0)
+    (dgates,) = pl.pallas_call(
+        _bwd_kernel,
+        grid=(t_len,),
+        in_specs=[
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h4, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((t_len, b, h4), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+        ],
+    )(dys, gates, cs, cs_prev, mask, whT)
+    return dgates
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def lstm_seq_pallas(xp, wh, mask):
+    """xp [T,B,4H] (input projections + bias), wh [H,4H], mask [T,B,1] → ys [T,B,H]."""
+    ys, _, _ = _lstm_fwd_pallas(xp, wh.astype(jnp.bfloat16), mask)
+    return ys
+
+
+def _seq_fwd(xp, wh, mask):
+    wh_b = wh.astype(jnp.bfloat16)
+    ys, cs, gates = _lstm_fwd_pallas(xp, wh_b, mask)
+    return ys, (wh_b, mask, ys, cs, gates)
+
+
+def _seq_bwd(res, dys):
+    wh_b, mask, ys, cs, gates = res
+    t_len, b, h = ys.shape
+    cs_prev = jnp.concatenate([jnp.zeros((1, b, h), jnp.float32), cs[:-1]], axis=0)
+    whT = jnp.swapaxes(wh_b, 0, 1)
+    dgates = _lstm_bwd_pallas(dys.astype(jnp.float32), gates, cs, cs_prev, mask, whT)
+    # dWh = sum_t h_{t-1}^T dgates_t — one big MXU GEMM
+    h_prev = jnp.concatenate([jnp.zeros((1, b, h), jnp.float32), ys[:-1]], axis=0)
+    dwh = jax.lax.dot_general(
+        h_prev.reshape(-1, h).astype(jnp.bfloat16),
+        dgates.reshape(-1, 4 * h).astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dgates, dwh, None
+
+
+lstm_seq_pallas.defvjp(_seq_fwd, _seq_bwd)
+
+
+def supported(b: int, h: int) -> bool:
+    """Shapes the kernels handle (8-sublane batch, 128-lane hidden)."""
+    return _supported(b, h)

@@ -1,0 +1,75 @@
+"""Pallas LSTM sequence kernels vs the lax.scan reference (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pykaldi2_tpu.ops.lstm_pallas as LP
+from pykaldi2_tpu.models.lstm import lstm_layer_apply, lstm_layer_init
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    """Run pallas kernels in interpreter mode on CPU."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+def _data(seed=0, b=8, t=6, d=16, h=128):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(b, t, d).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[-1, t // 2 :] = 0.0  # one padded row
+    params = lstm_layer_init(jax.random.PRNGKey(seed), d, h)
+    return x, mask, params
+
+
+def test_pallas_forward_matches_scan():
+    x, mask, params = _data()
+    ref = lstm_layer_apply(params, jnp.asarray(x), jnp.asarray(mask),
+                           compute_dtype=jnp.float32, use_pallas=False)
+    got = lstm_layer_apply(params, jnp.asarray(x), jnp.asarray(mask),
+                           compute_dtype=jnp.float32, use_pallas=True)
+    # pallas path uses bf16 Wh; tolerance accordingly
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_reverse_matches_scan():
+    x, mask, params = _data(seed=1)
+    ref = lstm_layer_apply(params, jnp.asarray(x), jnp.asarray(mask), reverse=True,
+                           compute_dtype=jnp.float32, use_pallas=False)
+    got = lstm_layer_apply(params, jnp.asarray(x), jnp.asarray(mask), reverse=True,
+                           compute_dtype=jnp.float32, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_gradients_match_scan():
+    x, mask, params = _data(seed=2, t=5)
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+
+    def loss(p, xx, use_pallas):
+        ys = lstm_layer_apply(p, xx, mj, compute_dtype=jnp.float32, use_pallas=use_pallas)
+        w = jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) * 1e-3
+        return jnp.sum(ys * w)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, xj, False)
+    g_pal = jax.grad(loss, argnums=(0, 1))(params, xj, True)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-2, rtol=5e-2)
+
+
+def test_unsupported_shapes_fall_back():
+    # B=3 (not multiple of 8) must silently use the scan path
+    rng = np.random.RandomState(3)
+    x = rng.randn(3, 4, 8).astype(np.float32)
+    params = lstm_layer_init(jax.random.PRNGKey(3), 8, 24)
+    out = lstm_layer_apply(params, jnp.asarray(x), compute_dtype=jnp.float32, use_pallas=True)
+    assert out.shape == (3, 4, 24)
