@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("-prior", default=None, help="log-prior .npy")
     p.add_argument("-beam", type=float, default=16.0)
     p.add_argument("-max_active", type=int, default=7000)
+    p.add_argument("-dump_ark", default=None,
+                   help="also dump scaled pseudo-log-likelihood matrices to this "
+                        "ark (+.scp) for external/Kaldi decoders")
     args = p.parse_args(argv)
 
     log = setup_logging(None)
@@ -79,18 +82,28 @@ def main(argv=None):
         return args.acoustic_scale * logpost
 
     hyps = {}
+    dump = None
+    if args.dump_ark:
+        from pykaldi2_tpu.data.kaldi_io import ArkWriter
+
+        dump = ArkWriter(args.dump_ark, args.dump_ark + ".scp", kind="mat")
     loader = SeqDataloader(dataset, BucketSpec(boundaries=(200, 400, 800, 1600, 3200),
                                                batch_sizes=8), shuffle=False)
     for batch in loader:
         utt_ids = batch.pop("utt_ids")
         nf = batch["num_frames"]
         obs = np.asarray(forward(batch))
+        if dump is not None:
+            for i, uid in enumerate(utt_ids):
+                dump.write(uid, obs[i, : nf[i]])
         for i, uid in enumerate(utt_ids):
             try:
                 words, _pdfs, _score = decoder.decode(obs[i, : nf[i]])
                 hyps[uid] = [id2w.get(w, f"<{w}>") for w in words]
             except RuntimeError as e:
                 log.warning("decode failed for %s: %s", uid, e)
+    if dump is not None:
+        dump.close()
     if args.hyp_out:
         with open(args.hyp_out, "w") as f:
             for uid in sorted(hyps):

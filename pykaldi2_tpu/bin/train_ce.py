@@ -47,6 +47,8 @@ def build_argparser():
     p.add_argument("-resume_from_model", default=None, help="resume params+optimizer")
     p.add_argument("-dropout", type=float, default=None)
     p.add_argument("-log_interval", type=int, default=None)
+    p.add_argument("-debug_nans", action="store_true",
+                   help="enable jax_debug_nans (sanitizer mode, SURVEY.md §6.2)")
     p.add_argument("-single_device", action="store_true", help="no mesh (debug)")
     p.add_argument("-profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the first steps into DIR")
@@ -68,6 +70,8 @@ def main(argv=None):
         cfg.model.dropout = args.dropout
     cfg.trainer.exp_dir = args.exp_dir
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     log = setup_logging(args.exp_dir)
     metrics_log = MetricsLogger(args.exp_dir)
     mesh = None if args.single_device else make_mesh(cfg.trainer.mesh_shape)

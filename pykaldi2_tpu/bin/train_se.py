@@ -57,6 +57,8 @@ def build_argparser():
     p.add_argument("-den_scale", type=float, default=None)
     p.add_argument("-ce_ratio", type=float, default=None)
     p.add_argument("-no_drop_frames", action="store_true")
+    p.add_argument("-debug_nans", action="store_true",
+                   help="enable jax_debug_nans (sanitizer mode, SURVEY.md §6.2)")
     p.add_argument("-single_device", action="store_true")
     p.add_argument("-log_interval", type=int, default=None)
     p.add_argument("-on_the_fly", action="store_true",
@@ -113,6 +115,8 @@ def main(argv=None):
         cfg.trainer.drop_frames = False
     cfg.trainer.exp_dir = args.exp_dir
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     log = setup_logging(args.exp_dir)
     metrics_log = MetricsLogger(args.exp_dir)
     mesh = None if args.single_device else make_mesh(cfg.trainer.mesh_shape)

@@ -61,6 +61,7 @@ class SpeechDataset:
             raise ValueError("exactly one of wav_scp / feats_scp required")
         self.frame_opts = frame_opts or FrameOpts()
         self.simulate_fn = simulate_fn
+        self._h5 = None
         self.mode = "wave" if wav_scp else "feats"
         self._entries = dict(kaldi_io.read_scp(wav_scp or feats_scp))
         self.labels: Optional[dict] = None
@@ -115,6 +116,25 @@ class SpeechDataset:
 
     def get(self, utt_id: str, rng: Optional[np.random.RandomState] = None) -> Utterance:
         labels = self.labels.get(utt_id) if self.labels is not None else None
+        if getattr(self, "_h5", None) is not None:
+            arr, _ = self._h5.get(utt_id)
+            if self.mode == "feats":
+                nf = arr.shape[0]
+                if labels is not None:
+                    nf = min(nf, len(labels))
+                    arr, labels = arr[:nf], labels[:nf]
+                return Utterance(utt_id, None, arr, labels, nf)
+            wave = arr
+            if self.simulate_fn is not None:
+                if labels is not None and hasattr(self.simulate_fn, "simulate_with_labels"):
+                    wave, labels = self.simulate_fn.simulate_with_labels(wave, labels, rng)
+                else:
+                    wave = self.simulate_fn(wave, rng)
+            nf = num_frames(wave.shape[-1], self.frame_opts)
+            if labels is not None:
+                nf = min(nf, len(labels))
+                labels = labels[:nf]
+            return Utterance(utt_id, wave.astype(np.float32), None, labels, nf)
         if self.mode == "feats":
             feats = kaldi_io.read_scp_entry(self._entries[utt_id], "mat").astype(np.float32)
             nf = feats.shape[0]
@@ -140,6 +160,30 @@ class SpeechDataset:
 
     def __getitem__(self, i: int) -> Utterance:
         return self.get(self.utt_ids[i])
+
+    @classmethod
+    def from_hdf5(cls, path: str, kind: str = "wave",
+                  frame_opts: Optional[FrameOpts] = None, simulate_fn=None):
+        """Corpus from an hdf5 archive (data/hdf5_io.py layout)."""
+        from pykaldi2_tpu.data.hdf5_io import Hdf5Corpus
+
+        corpus = Hdf5Corpus(path, kind)
+        self = cls.__new__(cls)
+        self.frame_opts = frame_opts or FrameOpts()
+        self.simulate_fn = simulate_fn
+        self.mode = "wave" if kind == "wave" else "feats"
+        self._entries = {u: u for u in corpus.keys()}
+        self._h5 = corpus
+        self.labels = {}
+        for u in corpus.keys():
+            _, lab = corpus.get(u)
+            if lab is not None:
+                self.labels[u] = lab
+        if not self.labels:
+            self.labels = None
+        self.utt_ids = list(self._entries)
+        self._frame_counts = {}
+        return self
 
 
 def _looks_text(path: str) -> bool:

@@ -159,3 +159,20 @@ def test_prefetch_propagates_errors():
     with pytest.raises(RuntimeError, match="loader boom"):
         for _ in device_prefetch(bad()):
             pass
+
+
+def test_hdf5_corpus_roundtrip(tmp_path):
+    from pykaldi2_tpu.data.hdf5_io import write_corpus
+    rng = np.random.RandomState(11)
+    utts = [(f"u{i}", (rng.randn(4000 + 100 * i) * 2000).astype(np.float32),
+             rng.randint(0, 5, 23 + i).astype(np.int32)) for i in range(3)]
+    path = str(tmp_path / "corpus.h5")
+    write_corpus(path, utts)
+    ds = SpeechDataset.from_hdf5(path, frame_opts=FrameOpts(dither=0.0))
+    assert len(ds) == 3
+    u = ds.get("u1")
+    np.testing.assert_array_equal(u.wave, utts[1][1])
+    assert u.labels is not None and u.num_frames == len(u.labels)
+    loader = ChunkDataloader(ds, batch_size=2, chunk_len=10, shuffle=False)
+    b = next(iter(loader))
+    assert b["wave"].shape[0] == 2
