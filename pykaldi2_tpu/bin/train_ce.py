@@ -47,6 +47,9 @@ def build_argparser():
     p.add_argument("-resume_from_model", default=None, help="resume params+optimizer")
     p.add_argument("-dropout", type=float, default=None)
     p.add_argument("-log_interval", type=int, default=None)
+    p.add_argument("-multihost", action="store_true",
+                   help="multi-host bring-up: jax.distributed.initialize(); "
+                        "data sharded by process, mesh over all hosts' chips")
     p.add_argument("-debug_nans", action="store_true",
                    help="enable jax_debug_nans (sanitizer mode, SURVEY.md §6.2)")
     p.add_argument("-single_device", action="store_true", help="no mesh (debug)")
@@ -70,6 +73,8 @@ def main(argv=None):
         cfg.model.dropout = args.dropout
     cfg.trainer.exp_dir = args.exp_dir
 
+    if args.multihost:
+        jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     log = setup_logging(args.exp_dir)
@@ -117,7 +122,8 @@ def main(argv=None):
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
         loader = ChunkDataloader(
-            dataset, cfg.trainer.batch_size, cfg.trainer.chunk_len,
+            dataset, cfg.trainer.batch_size // jax.process_count(), cfg.trainer.chunk_len,
+            rank=jax.process_index(), world_size=jax.process_count(),
             shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
         )
         loader.set_epoch(epoch)

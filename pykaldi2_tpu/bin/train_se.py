@@ -57,6 +57,9 @@ def build_argparser():
     p.add_argument("-den_scale", type=float, default=None)
     p.add_argument("-ce_ratio", type=float, default=None)
     p.add_argument("-no_drop_frames", action="store_true")
+    p.add_argument("-multihost", action="store_true",
+                   help="multi-host bring-up: jax.distributed.initialize(); "
+                        "data sharded by process, mesh over all hosts' chips")
     p.add_argument("-debug_nans", action="store_true",
                    help="enable jax_debug_nans (sanitizer mode, SURVEY.md §6.2)")
     p.add_argument("-single_device", action="store_true")
@@ -70,6 +73,9 @@ def build_argparser():
                         "default: phone-loop graph from the den phone LM")
     p.add_argument("-beam", type=float, default=None)
     p.add_argument("-lattice_beam", type=float, default=None)
+    p.add_argument("-generic_den", action="store_true",
+                   help="force the generic arc-table den kernels instead of "
+                        "the structured bigram kernels (mmi hot path)")
     return p
 
 
@@ -115,6 +121,8 @@ def main(argv=None):
         cfg.trainer.drop_frames = False
     cfg.trainer.exp_dir = args.exp_dir
 
+    if args.multihost:
+        jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     log = setup_logging(args.exp_dir)
@@ -132,7 +140,25 @@ def main(argv=None):
     tm, den, pdf_to_phone = _build_tm_and_den(cfg, args, dataset, log)
     if cfg.model.output_size < tm.num_pdfs:
         raise SystemExit(f"model output {cfg.model.output_size} < num pdfs {tm.num_pdfs}")
-    den_packed = pack_graph(den)
+    crit0 = {"mpe": "mpfe"}.get(cfg.trainer.criterion, cfg.trainer.criterion)
+    den_packed = None
+    if (crit0 == "mmi" and not args.generic_den and not args.on_the_fly
+            and not (args.den_graph or cfg.trainer.den_graph)):
+        # structured bigram kernels: O(P·J) + crossbar GEMM per frame instead
+        # of O(E) scatters — the MMI hot path (ops/fb_bigram.py)
+        try:
+            from pykaldi2_tpu.graph.phone_lm import estimate_phone_bigram as _epb
+            from pykaldi2_tpu.ops.fb_bigram import make_bigram_den
+
+            seqs = [collapse_to_phones(pdf_to_phone[l]) for l in dataset.labels.values()]
+            lm = _epb(seqs, tm.topo.phones)
+            den_packed = make_bigram_den(tm, lm, num_pdfs=cfg.model.output_size)
+            log.info("using structured bigram den kernels (%d phones x %d states)",
+                     *den_packed.pdf.shape)
+        except ValueError as e:
+            log.warning("structured den unavailable (%s); using generic kernels", e)
+    if den_packed is None:
+        den_packed = pack_graph(den)
 
     if args.prior_path or cfg.trainer.prior_path:
         log_prior = np.load(args.prior_path or cfg.trainer.prior_path)
@@ -178,7 +204,9 @@ def main(argv=None):
 
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
-        loader = SeqDataloader(dataset, bucket, shuffle=cfg.data.shuffle, seed=cfg.trainer.seed)
+        loader = SeqDataloader(dataset, bucket, rank=jax.process_index(),
+                               world_size=jax.process_count(),
+                               shuffle=cfg.data.shuffle, seed=cfg.trainer.seed)
         loader.set_epoch(epoch)
         tp = Throughput()
         ep_obj = ep_frames = 0.0

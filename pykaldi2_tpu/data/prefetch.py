@@ -31,11 +31,19 @@ def device_prefetch(
     """
     q: queue.Queue = queue.Queue(maxsize=size)
 
+    multihost = jax.process_count() > 1
+
     def put(batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
             if hasattr(v, "dtype") and (device_keys is None or k in device_keys):
-                out[k] = jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
+                if sharding is not None and multihost:
+                    # per-host local shard → global array over the full mesh
+                    out[k] = jax.make_array_from_process_local_data(sharding, v)
+                elif sharding is not None:
+                    out[k] = jax.device_put(v, sharding)
+                else:
+                    out[k] = jax.device_put(v)
             else:
                 out[k] = v
         return out

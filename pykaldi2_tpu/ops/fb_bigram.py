@@ -1,0 +1,210 @@
+"""Structured forward-backward for bigram phone-LM denominator graphs.
+
+The generic arc-table kernels (ops/fb.py) pay O(E) gather/scatter per frame —
+for a 3-state x 41-phone bigram den graph that is ~80k arcs and dominated the
+MMI step (~1s at flagship scale). But graphs built by make_den_graph have
+exact structure: per-phone left-to-right HMM chains + one dense phone-bigram
+crossbar. The recursion then factorizes into O(P·J) elementwise work plus a
+[B,P]x[P,P] crossbar GEMM and a [B,P·J]x[P·J,num_pdfs] one-hot GEMM per
+frame — all MXU/VPU native, no scatters (SURVEY.md §8 hard part 1's "banded
+states" plan, realized through the LM structure instead of banding).
+
+States are (phone p, hmm-state j); arcs emit the DESTINATION state's pdf
+(the graph-compiler convention, graph/compile.py):
+
+  alpha'[p,0]  = obs[pdf(p,0)]  + lse(alpha[p,0]+w_self[p,0], cross_in[p])
+  alpha'[p,j]  = obs[pdf(p,j)]  + lse(alpha[p,j]+w_self[p,j],
+                                      alpha[p,j-1]+w_fwd[p,j-1])
+  cross_in[p]  = lse_q(alpha[q,J-1] + w_exit[q] + logLM[q,p])   (GEMM)
+                 ⊕ start_mass + log_init[p]                      (t=0 only)
+  logZ         = lse_p(alpha_T[p,J-1] + w_exit[p] + log_final[p])
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pykaldi2_tpu.graph.transition_model import TransitionModel
+from pykaldi2_tpu.ops.fb import NEG_INF
+
+
+class BigramDenGraph(NamedTuple):
+    """Structured denominator graph (uniform J states per phone)."""
+
+    pdf: jax.Array        # [P, J] int32 pdf of each (phone, state)
+    w_self: jax.Array     # [P, J] log self-loop prob
+    w_fwd: jax.Array      # [P, J] log forward prob (j→j+1; j=J-1 is exit)
+    log_init: jax.Array   # [P]
+    lm_lin: jax.Array     # [P, P] exp(log P(q|p)) crossbar
+    log_final: jax.Array  # [P]
+    onehot: jax.Array     # [P*J, num_pdfs] f32 one-hot of pdf (gamma GEMM)
+    num_pdfs: int
+
+
+def make_bigram_den(tm: TransitionModel, phone_lm: dict, num_pdfs: int | None = None) -> BigramDenGraph:
+    """Build the structured graph (topology must be uniform left-to-right)."""
+    phones = phone_lm["phones"]
+    J = len(tm.topo.states_for(phones[0]))
+    num_pdfs = num_pdfs or tm.num_pdfs
+    P = len(phones)
+    pdf = np.zeros((P, J), np.int32)
+    w_self = np.zeros((P, J), np.float32)
+    w_fwd = np.zeros((P, J), np.float32)
+    for i, p in enumerate(phones):
+        states = tm.topo.states_for(p)
+        if len(states) != J:
+            raise ValueError("bigram den kernel needs a uniform topology")
+        for j, st in enumerate(states):
+            pdf[i, j] = tm.pdf_for(p, j)
+            for k, (nxt, _prob) in enumerate(st.transitions):
+                _, logp, _ = tm.transition(p, j, k)
+                if nxt == j:
+                    w_self[i, j] = logp
+                else:
+                    w_fwd[i, j] = logp
+    li = phone_lm["log_init"][phones].astype(np.float32)
+    lb = phone_lm["log_bigram"][np.ix_(phones, phones)].astype(np.float32)
+    lf = phone_lm["log_final"][phones].astype(np.float32)
+    onehot = np.zeros((P * J, num_pdfs), np.float32)
+    onehot[np.arange(P * J), pdf.reshape(-1)] = 1.0
+    return BigramDenGraph(
+        pdf=jnp.asarray(pdf), w_self=jnp.asarray(w_self), w_fwd=jnp.asarray(w_fwd),
+        log_init=jnp.asarray(np.nan_to_num(li, neginf=NEG_INF)),
+        lm_lin=jnp.asarray(np.exp(np.nan_to_num(lb, neginf=-np.inf))),
+        log_final=jnp.asarray(np.nan_to_num(lf, neginf=NEG_INF)),
+        onehot=jnp.asarray(onehot), num_pdfs=num_pdfs,
+    )
+
+
+def _lse2(a, b):
+    m = jnp.maximum(a, b)
+    m = jnp.maximum(m, NEG_INF)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def _obs_states(obs_t, g: BigramDenGraph):
+    """obs for every (p,j) state: [B, P, J] gathered from [B, num_pdfs]."""
+    return obs_t[:, g.pdf]
+
+
+def _fwd_scan(obs, g: BigramDenGraph, num_frames):
+    b, t_len, _ = obs.shape
+    P, J = g.pdf.shape
+
+    def step(carry, inp):
+        alpha, norm, start_mass = carry
+        obs_t, t = inp
+        obs_pj = _obs_states(obs_t, g)                                 # [B,P,J]
+        # crossbar: exit scores → entry of every phone (linear-domain GEMM)
+        exit_score = alpha[:, :, J - 1] + g.w_fwd[None, :, J - 1]      # [B,P]
+        mx = jnp.max(exit_score, axis=1, keepdims=True)
+        mx = jnp.maximum(mx, NEG_INF)
+        cross_lin = jnp.exp(exit_score - mx) @ g.lm_lin                # [B,P]
+        cross = jnp.where(cross_lin > 0,
+                          jnp.log(jnp.where(cross_lin > 0, cross_lin, 1.0)), NEG_INF) + mx
+        cross = _lse2(cross, start_mass[:, None] + g.log_init[None, :])
+        stay = alpha + g.w_self[None]
+        enter0 = cross
+        enter_j = alpha[:, :, :-1] + g.w_fwd[None, :, :-1]
+        prev = jnp.concatenate([enter0[:, :, None], enter_j], axis=2)  # [B,P,J]
+        new_alpha = obs_pj + _lse2(stay, prev)
+        m2 = jnp.max(new_alpha.reshape(b, -1), axis=1)
+        m2 = jnp.maximum(m2, NEG_INF)
+        new_alpha = new_alpha - m2[:, None, None]
+        new_norm = norm + m2
+        active = t < num_frames
+        alpha = jnp.where(active[:, None, None], new_alpha, alpha)
+        norm = jnp.where(active, new_norm, norm)
+        start_mass = jnp.where(active, jnp.full_like(start_mass, NEG_INF), start_mass)
+        return (alpha, norm, start_mass), (alpha, norm)
+
+    alpha0 = jnp.full((b, P, J), NEG_INF, jnp.float32) + 0.0 * jnp.sum(obs * 0.0)
+    norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0, 0]
+    start0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0, 0]
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, norm_T, _), (alphas, norms) = jax.lax.scan(
+        step, (alpha0, norm0, start0), (obs_t, ts))
+    final = alpha_T[:, :, J - 1] + g.w_fwd[None, :, J - 1] + g.log_final[None, :]
+    logz = jax.nn.logsumexp(jnp.maximum(final, NEG_INF), axis=1) + norm_T
+    return logz, (alphas, norms)
+
+
+@jax.custom_vjp
+def bigram_logz(obs, graph: BigramDenGraph, num_frames):
+    """[B] log partition over the structured bigram den graph."""
+    return _fwd_scan(obs, graph, num_frames)[0]
+
+
+def _bigram_fwd(obs, graph, num_frames):
+    logz, (alphas, norms) = _fwd_scan(obs, graph, num_frames)
+    return logz, (obs, graph, num_frames, logz, alphas, norms)
+
+
+def _bigram_bwd(res, ct):
+    obs, g, num_frames, logz, alphas, norms = res
+    gamma = bigram_occupancies_from(obs, g, num_frames, logz, alphas, norms)
+    return (ct[:, None, None] * gamma, None, None)
+
+
+def bigram_occupancies_from(obs, g: BigramDenGraph, num_frames, logz, alphas, norms):
+    """gamma [B, T, num_pdfs] via the structured beta recursion."""
+    b, t_len, _ = obs.shape
+    P, J = g.pdf.shape
+    lm_lin_T = g.lm_lin.T
+
+    beta_T = jnp.full((b, P, J), NEG_INF, jnp.float32).at[:, :, J - 1].set(
+        g.w_fwd[None, :, J - 1] + g.log_final[None, :]) + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+
+    def step(carry, inp):
+        beta, bnorm = carry
+        obs_t, alpha_t, anorm_t, t = inp
+        # gamma at frame t: state posterior with alpha AFTER frame t
+        g_state = alpha_t + anorm_t[:, None, None] + beta + bnorm[:, None, None] - logz[:, None, None]
+        gamma_lin = jnp.exp(jnp.minimum(g_state, 0.0))
+        active = t < num_frames
+        gamma_lin = jnp.where(active[:, None, None], gamma_lin, 0.0)
+        gamma_pdf = gamma_lin.reshape(b, P * J) @ g.onehot              # [B, num_pdfs]
+        # beta recursion to frame t (consuming obs at t)
+        obs_pj = _obs_states(obs_t, g)
+        arrive = obs_pj + beta                                          # [B,P,J]
+        stay = g.w_self[None] + arrive
+        fwd = jnp.concatenate(
+            [g.w_fwd[None, :, :-1] + arrive[:, :, 1:],
+             jnp.full((b, P, 1), NEG_INF) + 0.0 * arrive[:, :, :1]], axis=2)
+        # last state also exits through the crossbar
+        entry = arrive[:, :, 0]                                         # [B,P]
+        mx = jnp.maximum(jnp.max(entry, axis=1, keepdims=True), NEG_INF)
+        cross_lin = jnp.exp(entry - mx) @ lm_lin_T                      # [B,P]
+        cross = jnp.where(cross_lin > 0,
+                          jnp.log(jnp.where(cross_lin > 0, cross_lin, 1.0)), NEG_INF) + mx
+        cross_full = jnp.full((b, P, J), NEG_INF).at[:, :, J - 1].set(
+            g.w_fwd[None, :, J - 1] + cross) + 0.0 * arrive
+        new_beta = _lse2(_lse2(stay, fwd), cross_full)
+        m2 = jnp.maximum(jnp.max(new_beta.reshape(b, -1), axis=1), NEG_INF)
+        new_beta = new_beta - m2[:, None, None]
+        new_bnorm = bnorm + m2
+        beta = jnp.where(active[:, None, None], new_beta, beta)
+        bnorm = jnp.where(active, new_bnorm, bnorm)
+        return (beta, bnorm), gamma_pdf
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    _, gammas = jax.lax.scan(step, (beta_T, bnorm0),
+                             (obs_t, alphas, norms, ts), reverse=True)
+    return jnp.swapaxes(gammas, 0, 1)
+
+
+bigram_logz.defvjp(_bigram_fwd, _bigram_bwd)
+
+
+def bigram_occupancies(obs, graph: BigramDenGraph, num_frames):
+    logz, (alphas, norms) = _fwd_scan(obs, graph, num_frames)
+    return logz, bigram_occupancies_from(obs, graph, num_frames, logz, alphas, norms)

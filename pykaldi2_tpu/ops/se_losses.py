@@ -57,15 +57,32 @@ def mmi_objective(obs, ali, den_graph: GraphArrays, num_frames, mask,
     return num - den_scale * den
 
 
+def _graph_logz(obs, graph, num_frames):
+    """Dispatch: structured bigram den graphs vs generic arc tables."""
+    from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph, bigram_logz
+
+    if isinstance(graph, BigramDenGraph):
+        return bigram_logz(obs, graph, num_frames)
+    return fsa_logz(obs, graph, num_frames)
+
+
+def _graph_occupancies(obs, graph, num_frames):
+    from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph, bigram_occupancies
+
+    if isinstance(graph, BigramDenGraph):
+        return bigram_occupancies(obs, graph, num_frames)
+    return fsa_occupancies(obs, graph, num_frames)
+
+
 def _mmi_terms(obs, ali, den_graph, num_frames, mask):
     safe = jnp.maximum(ali, 0)
     num = jnp.sum(jnp.take_along_axis(obs, safe[..., None], axis=-1)[..., 0] * mask, axis=-1)
-    den = fsa_logz(obs, den_graph, num_frames)
+    den = _graph_logz(obs, den_graph, num_frames)
     return num, den
 
 
 def _mmi_fwd(obs, ali, den_graph, num_frames, mask, drop_frames, den_scale):
-    logz_den, gamma_den = fsa_occupancies(obs, den_graph, num_frames)
+    logz_den, gamma_den = _graph_occupancies(obs, den_graph, num_frames)
     safe = jnp.maximum(ali, 0)
     num = jnp.sum(jnp.take_along_axis(obs, safe[..., None], axis=-1)[..., 0] * mask, axis=-1)
     obj = num - den_scale * logz_den

@@ -73,12 +73,35 @@ class FeaturePipeline:
             self.mean, self.scale = cmvn_mean_std(cmvn_stats, cfg.cmvn.norm_vars)
         self.dim = feature_dim(cfg)
 
+    def _use_fused(self, dither_key) -> bool:
+        """Pallas fused fbank kernel: default on TPU for the standard
+        log-power fbank path (PK2_PALLAS_FBANK overrides); dithered batches
+        fall back to the XLA path (the kernel has no PRNG)."""
+        import os
+
+        fb = self.cfg.fbank
+        if fb.frame_opts.dither != 0.0 or fb.use_energy \
+                or not fb.use_log_fbank or not fb.use_power:
+            return False
+        env = os.environ.get("PK2_PALLAS_FBANK")
+        if env is not None:
+            return env not in ("0", "false", "")
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
     def __call__(self, batch: dict, dither_key=None) -> jax.Array:
         cfg = self.cfg
         if "feats" in batch:
             feats = batch["feats"].astype(jnp.float32)
         elif cfg.type == "fbank":
-            feats = compute_fbank(batch["wave"], cfg.fbank, dither_key=dither_key)
+            if self._use_fused(dither_key):
+                from pykaldi2_tpu.frontend.fused import fused_fbank
+
+                feats = fused_fbank(batch["wave"], cfg.fbank)
+            else:
+                feats = compute_fbank(batch["wave"], cfg.fbank, dither_key=dither_key)
         else:
             feats = compute_mfcc(batch["wave"], cfg.mfcc, dither_key=dither_key)
         mask = batch.get("mask")

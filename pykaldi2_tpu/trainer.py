@@ -130,11 +130,16 @@ def make_se_train_step(
     from pykaldi2_tpu.ops.se_losses import acoustic_scores, mmi_objective
     from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
 
+    from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph
+
     crit = {"mpe": "mpfe"}.get(criterion, criterion)
     if crit not in ("mmi", "smbr", "mpfe"):
         raise ValueError(f"unknown criterion {criterion!r}")
     if crit == "mpfe" and pdf_to_phone is None:
         raise ValueError("mpfe needs a pdf_to_phone mapping")
+    if crit != "mmi" and isinstance(den_graph, BigramDenGraph):
+        raise ValueError("structured bigram den graphs currently support mmi only; "
+                         "pass the generic packed graph for smbr/mpfe")
     lp = None if log_prior is None else jnp.asarray(log_prior)
 
     def local_step(params, opt_state, batch, key):
