@@ -140,9 +140,8 @@ def main(argv=None):
     tm, den, pdf_to_phone = _build_tm_and_den(cfg, args, dataset, log)
     if cfg.model.output_size < tm.num_pdfs:
         raise SystemExit(f"model output {cfg.model.output_size} < num pdfs {tm.num_pdfs}")
-    crit0 = {"mpe": "mpfe"}.get(cfg.trainer.criterion, cfg.trainer.criterion)
     den_packed = None
-    if (crit0 == "mmi" and not args.generic_den and not args.on_the_fly
+    if (not args.generic_den and not args.on_the_fly
             and not (args.den_graph or cfg.trainer.den_graph)):
         # structured bigram kernels: O(P·J) + crossbar GEMM per frame instead
         # of O(E) scatters — the MMI hot path (ops/fb_bigram.py)

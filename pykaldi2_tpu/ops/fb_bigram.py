@@ -44,6 +44,7 @@ class BigramDenGraph(NamedTuple):
     lm_lin: jax.Array     # [P, P] exp(log P(q|p)) crossbar
     log_final: jax.Array  # [P]
     onehot: jax.Array     # [P*J, num_pdfs] f32 one-hot of pdf (gamma GEMM)
+    phone_ids: jax.Array  # [P] int32 phone id of each row (MPE accuracy)
     num_pdfs: int
 
 
@@ -78,7 +79,8 @@ def make_bigram_den(tm: TransitionModel, phone_lm: dict, num_pdfs: int | None = 
         log_init=jnp.asarray(np.nan_to_num(li, neginf=NEG_INF)),
         lm_lin=jnp.asarray(np.exp(np.nan_to_num(lb, neginf=-np.inf))),
         log_final=jnp.asarray(np.nan_to_num(lf, neginf=NEG_INF)),
-        onehot=jnp.asarray(onehot), num_pdfs=num_pdfs,
+        onehot=jnp.asarray(onehot),
+        phone_ids=jnp.asarray(np.asarray(phones, np.int32)), num_pdfs=num_pdfs,
     )
 
 
@@ -208,3 +210,162 @@ bigram_logz.defvjp(_bigram_fwd, _bigram_bwd)
 def bigram_occupancies(obs, graph: BigramDenGraph, num_frames):
     logz, (alphas, norms) = _fwd_scan(obs, graph, num_frames)
     return logz, bigram_occupancies_from(obs, graph, num_frames, logz, alphas, norms)
+
+
+# ---------------------------------------------------------------------------
+# expected accuracy (sMBR / MPE) on the structured graph
+# ---------------------------------------------------------------------------
+
+
+def _state_acc(g: BigramDenGraph, ref_t, level: str):
+    """[B, P, J] per-frame accuracy of being in each state vs ref labels."""
+    if level == "pdf":
+        lab = g.pdf[None]                              # [1, P, J]
+        return (lab == ref_t[:, None, None]).astype(jnp.float32)
+    if level == "phone":
+        lab = g.phone_ids[None, :, None]
+        return (lab == ref_t[:, None, None]).astype(jnp.float32)
+    raise ValueError(level)
+
+
+def _smbr_fwd_scan(obs, g: BigramDenGraph, ref, num_frames, level):
+    b, t_len, _ = obs.shape
+    P, J = g.pdf.shape
+
+    def step(carry, inp):
+        alpha, aacc, norm, start_mass = carry
+        obs_t, ref_t, t = inp
+        obs_pj = _obs_states(obs_t, g)
+        a_t = _state_acc(g, ref_t, level)                              # [B,P,J]
+        # linear-domain path weights relative to per-batch max
+        exit_score = alpha[:, :, J - 1] + g.w_fwd[None, :, J - 1]
+        stay = alpha + g.w_self[None]
+        enter_j = alpha[:, :, :-1] + g.w_fwd[None, :, :-1]
+        # normalizer must cover the start mass too: at t=0 alpha is all
+        # NEG_INF and the start term is the only live path
+        m = jnp.maximum(
+            jnp.maximum(jnp.max(alpha.reshape(b, -1), axis=1),
+                        start_mass + jnp.max(g.log_init)),
+            NEG_INF)[:, None, None]
+        stay_lin = jnp.exp(stay - m)
+        enter_lin = jnp.concatenate(
+            [jnp.zeros((b, P, 1)) + 0.0 * alpha[:, :, :1], jnp.exp(enter_j - m)], axis=2)
+        exit_lin = jnp.exp(exit_score - m[:, :, 0])
+        cross_lin = exit_lin @ g.lm_lin                                # [B,P]
+        cross_acc_num = (exit_lin * aacc[:, :, J - 1]) @ g.lm_lin      # [B,P]
+        start_lin = jnp.exp(start_mass[:, None] + g.log_init[None, :] - m[:, :, 0])
+        # combine: denominator (prob mass) and numerator (acc-weighted)
+        denom = stay_lin + enter_lin
+        denom = denom.at[:, :, 0].add(cross_lin + start_lin)
+        acc_prev = jnp.concatenate(
+            [jnp.zeros((b, P, 1)) + 0.0 * aacc[:, :, :1], aacc[:, :, :-1]], axis=2)
+        numer = stay_lin * aacc + enter_lin * acc_prev
+        numer = numer.at[:, :, 0].add(cross_acc_num)                   # start path acc = 0
+        new_alpha = jnp.where(denom > 0,
+                              jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF) + m
+        new_aacc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        new_aacc = new_aacc + a_t  # every arc into (p,j) at t scores a_t(p,j)
+        new_alpha = new_alpha + obs_pj
+        m2 = jnp.maximum(jnp.max(new_alpha.reshape(b, -1), axis=1), NEG_INF)
+        new_alpha = new_alpha - m2[:, None, None]
+        new_norm = norm + m2
+        active = t < num_frames
+        alpha = jnp.where(active[:, None, None], new_alpha, alpha)
+        aacc = jnp.where(active[:, None, None], new_aacc, aacc)
+        norm = jnp.where(active, new_norm, norm)
+        start_mass = jnp.where(active, jnp.full_like(start_mass, NEG_INF), start_mass)
+        return (alpha, aacc, norm, start_mass), (alpha, aacc, norm)
+
+    vma = 0.0 * jnp.sum(obs * 0.0)
+    alpha0 = jnp.full((b, P, J), NEG_INF, jnp.float32) + vma
+    aacc0 = jnp.zeros((b, P, J), jnp.float32) + vma
+    norm0 = jnp.zeros((b,), jnp.float32) + vma
+    start0 = jnp.zeros((b,), jnp.float32) + vma
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, aacc_T, norm_T, _), (alphas, aaccs, norms) = jax.lax.scan(
+        step, (alpha0, aacc0, norm0, start0), (obs_t, ref_t, ts))
+    final = alpha_T[:, :, J - 1] + g.w_fwd[None, :, J - 1] + g.log_final[None, :]
+    final = jnp.maximum(final, NEG_INF)
+    w = jax.nn.softmax(final, axis=1)
+    f = jnp.sum(w * aacc_T[:, :, J - 1], axis=1)
+    logz = jax.nn.logsumexp(final, axis=1) + norm_T
+    return f, (alphas, aaccs, norms, logz, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def bigram_expected_accuracy(obs, graph: BigramDenGraph, ref, num_frames, level: str = "pdf"):
+    """E[#correct frames] under the structured den posterior: [B]."""
+    return _smbr_fwd_scan(obs, graph, ref, num_frames, level)[0]
+
+
+def _bsmbr_fwd(obs, graph, ref, num_frames, level):
+    f, res = _smbr_fwd_scan(obs, graph, ref, num_frames, level)
+    return f, (obs, ref, num_frames) + res
+
+
+def _bsmbr_bwd(g, level, res, ct):
+    obs, ref, num_frames, alphas, aaccs, norms, logz, f = res
+    b, t_len, p_dim = obs.shape
+    P, J = g.pdf.shape
+    lm_lin_T = g.lm_lin.T
+
+    vma = 0.0 * alphas[0]
+    beta_T = (jnp.full((b, P, J), NEG_INF, jnp.float32)
+              .at[:, :, J - 1].set(g.w_fwd[None, :, J - 1] + g.log_final[None, :]) + vma)
+    bacc_T = jnp.zeros((b, P, J), jnp.float32) + vma
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+
+    def step(carry, inp):
+        beta, bacc, bnorm = carry
+        obs_t, ref_t, alpha_t, aacc_t, anorm_t, t = inp
+        active = t < num_frames
+        # gradient at frame t: gamma_state * (E[acc|state] − F)
+        g_state = (alpha_t + anorm_t[:, None, None] + beta + bnorm[:, None, None]
+                   - logz[:, None, None])
+        gamma = jnp.exp(jnp.minimum(g_state, 0.0))
+        c_state = aacc_t + bacc
+        contrib = gamma * (c_state - f[:, None, None])
+        contrib = jnp.where(active[:, None, None], contrib, 0.0)
+        grad_t = contrib.reshape(b, P * J) @ g.onehot                  # [B, num_pdfs]
+        # beta/bacc recursion through frame t
+        obs_pj = _obs_states(obs_t, g)
+        a_t = _state_acc(g, ref_t, level)
+        arrive = obs_pj + beta                                         # to-state score
+        arr_acc = a_t + bacc                                           # acc from t onward via that state
+        m = jnp.maximum(jnp.max(arrive.reshape(b, -1), axis=1), NEG_INF)[:, None, None]
+        stay_lin = jnp.exp(g.w_self[None] + arrive - m)
+        fwd_lin = jnp.concatenate(
+            [jnp.exp(g.w_fwd[None, :, :-1] + arrive[:, :, 1:] - m),
+             jnp.zeros((b, P, 1)) + vma[:, :, :1]], axis=2)
+        entry_lin = jnp.exp(arrive[:, :, 0] - m[:, :, 0])              # [B,P]
+        cross_lin = entry_lin @ lm_lin_T
+        cross_acc = (entry_lin * arr_acc[:, :, 0]) @ lm_lin_T
+        denom = stay_lin + fwd_lin
+        acc_next = jnp.concatenate(
+            [arr_acc[:, :, 1:], jnp.zeros((b, P, 1)) + vma[:, :, :1]], axis=2)
+        numer = stay_lin * arr_acc + fwd_lin * acc_next
+        ex_lin = jnp.exp(g.w_fwd[None, :, J - 1])       # exit prob of each phone
+        denom = denom.at[:, :, J - 1].add(ex_lin * cross_lin)
+        numer = numer.at[:, :, J - 1].add(ex_lin * cross_acc)
+        new_beta = jnp.where(denom > 0,
+                             jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF) + m
+        new_bacc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.maximum(jnp.max(new_beta.reshape(b, -1), axis=1), NEG_INF)
+        new_beta = new_beta - m2[:, None, None]
+        new_bnorm = bnorm + m2
+        beta = jnp.where(active[:, None, None], new_beta, beta)
+        bacc = jnp.where(active[:, None, None], new_bacc, bacc)
+        bnorm = jnp.where(active, new_bnorm, bnorm)
+        return (beta, bacc, bnorm), grad_t
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    _, grads = jax.lax.scan(step, (beta_T, bacc_T, bnorm0),
+                            (obs_t, ref_t, alphas, aaccs, norms, ts), reverse=True)
+    return (ct[:, None, None] * jnp.swapaxes(grads, 0, 1), None, None)
+
+
+bigram_expected_accuracy.defvjp(_bsmbr_fwd, _bsmbr_bwd)

@@ -130,16 +130,14 @@ def make_se_train_step(
     from pykaldi2_tpu.ops.se_losses import acoustic_scores, mmi_objective
     from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
 
-    from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph
+    from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph, bigram_expected_accuracy
 
     crit = {"mpe": "mpfe"}.get(criterion, criterion)
     if crit not in ("mmi", "smbr", "mpfe"):
         raise ValueError(f"unknown criterion {criterion!r}")
     if crit == "mpfe" and pdf_to_phone is None:
         raise ValueError("mpfe needs a pdf_to_phone mapping")
-    if crit != "mmi" and isinstance(den_graph, BigramDenGraph):
-        raise ValueError("structured bigram den graphs currently support mmi only; "
-                         "pass the generic packed graph for smbr/mpfe")
+    structured = isinstance(den_graph, BigramDenGraph)
     lp = None if log_prior is None else jnp.asarray(log_prior)
 
     def local_step(params, opt_state, batch, key):
@@ -163,7 +161,8 @@ def make_se_train_step(
                 if crit == "mpfe":
                     ref = jnp.asarray(pdf_to_phone)[jnp.maximum(ref, 0)]
                     level = "phone"
-                obj = jnp.sum(fsa_expected_accuracy(obs, den_graph, jnp.maximum(ref, 0), nf, level))
+                acc_fn = bigram_expected_accuracy if structured else fsa_expected_accuracy
+                obj = jnp.sum(acc_fn(obs, den_graph, jnp.maximum(ref, 0), nf, level))
             count = jnp.sum(mask)
             gcount = jax.lax.psum(count, axis) if axis else count
             loss = -obj / jnp.maximum(gcount, 1.0)

@@ -96,3 +96,36 @@ def test_bigram_mmi_in_se_step(tmp_path):
             objs.append(float(m["objective"]))
     assert np.isfinite(objs).all()
     assert objs[-1] > objs[0]
+
+
+@pytest.mark.parametrize("nstates,level", [(1, "pdf"), (3, "pdf"), (3, "phone")])
+def test_bigram_expected_accuracy_matches_generic(nstates, level):
+    from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
+    from pykaldi2_tpu.ops.fb_bigram import bigram_expected_accuracy
+
+    tm, generic, structured = _setup(nstates)
+    rng = np.random.RandomState(3)
+    B, T = 2, 12
+    obs = rng.randn(B, T, tm.num_pdfs).astype(np.float32)
+    if level == "pdf":
+        ref = rng.randint(0, tm.num_pdfs, (B, T)).astype(np.int32)
+    else:
+        ref = rng.choice(PHONES, (B, T)).astype(np.int32)
+    lens = jnp.asarray([T, T - 3])
+    f_g = np.asarray(fsa_expected_accuracy(jnp.asarray(obs), generic, jnp.asarray(ref), lens, level))
+    f_s = np.asarray(bigram_expected_accuracy(jnp.asarray(obs), structured, jnp.asarray(ref), lens, level))
+    np.testing.assert_allclose(f_s, f_g, rtol=1e-4, atol=1e-4)
+
+
+def test_bigram_expected_accuracy_gradient_matches_generic():
+    from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
+    from pykaldi2_tpu.ops.fb_bigram import bigram_expected_accuracy
+
+    tm, generic, structured = _setup(3)
+    rng = np.random.RandomState(4)
+    obs = rng.randn(1, 8, tm.num_pdfs).astype(np.float32)
+    ref = rng.randint(0, tm.num_pdfs, (1, 8)).astype(np.int32)
+    lens = jnp.asarray([8])
+    g_g = jax.grad(lambda o: jnp.sum(fsa_expected_accuracy(o, generic, jnp.asarray(ref), lens, "pdf")))(jnp.asarray(obs))
+    g_s = jax.grad(lambda o: jnp.sum(bigram_expected_accuracy(o, structured, jnp.asarray(ref), lens, "pdf")))(jnp.asarray(obs))
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g), rtol=1e-3, atol=1e-4)
