@@ -138,3 +138,38 @@ def test_fbank_jit_and_grad():
     assert out.dtype == jnp.float32
     g = jax.grad(lambda w: jnp.sum(compute_fbank(w, opts)))(wave)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_vtln_warp_shifts_mel_banks():
+    from pykaldi2_tpu.frontend.mel import mel_banks
+    fo = FrameOpts()
+    mo = MelOpts(num_bins=30)
+    plain = mel_banks(mo, fo, warp=1.0)
+    warped = mel_banks(mo, fo, warp=1.1)
+    assert plain.shape == warped.shape
+    assert not np.allclose(plain, warped)
+    # warp > 1 compresses the spectrum: each bank's center of mass moves down
+    freqs = np.arange(plain.shape[1])
+    com_p = (plain * freqs).sum(1) / np.maximum(plain.sum(1), 1e-9)
+    com_w = (warped * freqs).sum(1) / np.maximum(warped.sum(1), 1e-9)
+    mid = slice(5, 25)
+    assert (com_w[mid] < com_p[mid] + 1e-6).all()
+
+
+def test_sliding_cmvn_wide_window_equals_utterance():
+    from pykaldi2_tpu.frontend import apply_cmvn_sliding
+    rng = np.random.RandomState(12)
+    feats = rng.randn(50, 8).astype(np.float32) * 3 + 2
+    slid = np.asarray(apply_cmvn_sliding(jnp.asarray(feats), window=1000, norm_vars=False))
+    want = feats - feats.mean(0)
+    np.testing.assert_allclose(slid, want, atol=1e-4)
+
+
+def test_sliding_cmvn_local_window():
+    from pykaldi2_tpu.frontend import apply_cmvn_sliding
+    rng = np.random.RandomState(13)
+    # mean shifts halfway through; a local window should track it
+    a = rng.randn(60, 4).astype(np.float32)
+    a[30:] += 10.0
+    out = np.asarray(apply_cmvn_sliding(jnp.asarray(a), window=20))
+    assert abs(out[10].mean()) < 2.0 and abs(out[50].mean()) < 2.0
