@@ -125,6 +125,7 @@ def main(argv=None):
             dataset, cfg.trainer.batch_size // jax.process_count(), cfg.trainer.chunk_len,
             rank=jax.process_index(), world_size=jax.process_count(),
             shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
+            num_workers=cfg.data.num_workers,
         )
         loader.set_epoch(epoch)
         tp = Throughput()

@@ -205,7 +205,8 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
         loader = SeqDataloader(dataset, bucket, rank=jax.process_index(),
                                world_size=jax.process_count(),
-                               shuffle=cfg.data.shuffle, seed=cfg.trainer.seed)
+                               shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
+                               num_workers=cfg.data.num_workers)
         loader.set_epoch(epoch)
         tp = Throughput()
         ep_obj = ep_frames = 0.0

@@ -32,6 +32,37 @@ def chunk_samples(chunk_len: int, fo: FrameOpts) -> int:
     return (chunk_len - 1) * fo.window_shift + fo.window_size
 
 
+def _utt_rng(seed: int, epoch: int, utt_id: str) -> np.random.RandomState:
+    """Deterministic per-utterance RNG (stable under worker parallelism)."""
+    h = (hash((seed, epoch, utt_id)) & 0x7FFFFFFF) or 1
+    return np.random.RandomState(h)
+
+
+def _iter_utts(ds: SpeechDataset, utt_ids, seed: int, epoch: int, num_workers: int):
+    """Yield Utterances in order; ``num_workers`` threads overlap IO+simulation
+    (the reference's DataLoader worker processes, SURVEY.md §4.3)."""
+    if num_workers <= 0:
+        for uid in utt_ids:
+            yield ds.get(uid, _utt_rng(seed, epoch, uid))
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        lookahead = 2 * num_workers
+        futures = []
+        it = iter(utt_ids)
+        for uid in it:
+            futures.append(pool.submit(ds.get, uid, _utt_rng(seed, epoch, uid)))
+            if len(futures) >= lookahead:
+                break
+        for uid in it:
+            done = futures.pop(0)
+            futures.append(pool.submit(ds.get, uid, _utt_rng(seed, epoch, uid)))
+            yield done.result()
+        for f in futures:
+            yield f.result()
+
+
 class ChunkDataloader:
     """CE-mode loader: split utterances into fixed ``chunk_len``-frame chunks.
 
@@ -50,6 +81,7 @@ class ChunkDataloader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = False,
+        num_workers: int = 0,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -58,6 +90,7 @@ class ChunkDataloader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -92,8 +125,8 @@ class ChunkDataloader:
             key = "feats" if feats_mode else "wave"
             return {key: xs, "labels": labels, "mask": mask}
 
-        for idx in order:
-            utt = self.ds.get(self.ds.utt_ids[idx], rng)
+        ordered_ids = [self.ds.utt_ids[i] for i in order]
+        for utt in _iter_utts(self.ds, ordered_ids, self.seed, self.epoch, self.num_workers):
             x = utt.feats if feats_mode else utt.wave
             nf = utt.num_frames
             for c0 in range(0, nf, T):
@@ -149,12 +182,14 @@ class SeqDataloader:
         world_size: int = 1,
         shuffle: bool = True,
         seed: int = 0,
+        num_workers: int = 0,
     ):
         self.ds = dataset
         self.spec = bucket_spec
         self.rank, self.world_size = rank, world_size
         self.shuffle = shuffle
         self.seed = seed
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -187,7 +222,8 @@ class SeqDataloader:
             # sort within batch by length, longest first (cheap locality win)
             items.sort(key=lambda u: -u.num_frames)
             for i, u in enumerate(items):
-                nf = u.num_frames
+                # speed perturbation can push an utterance past its bucket
+                nf = min(u.num_frames, T)
                 nfs[i] = nf
                 utt_ids.append(u.utt_id)
                 if feats_mode:
@@ -202,12 +238,17 @@ class SeqDataloader:
             key = "feats" if feats_mode else "wave"
             return {key: xs, "labels": labels, "mask": mask, "num_frames": nfs, "utt_ids": utt_ids}
 
+        eligible = []
         for uid in ids:
             nf = self.ds.utt_num_frames(uid)
             b = next((i for i, bound in enumerate(self.spec.boundaries) if nf <= bound), None)
             if b is None:
                 continue  # utterance longer than the largest bucket: skipped (logged upstream)
-            buckets[b].append(self.ds.get(uid, rng))
+            eligible.append((uid, b))
+        utts = _iter_utts(self.ds, [u for u, _ in eligible], self.seed, self.epoch,
+                          self.num_workers)
+        for (uid, b), utt in zip(eligible, utts):
+            buckets[b].append(utt)
             if len(buckets[b]) == self.spec.batch_size(b):
                 yield emit(b)
         for b in range(nb):

@@ -44,13 +44,21 @@ class Simulator:
 
     If speed perturbation is enabled, call ``simulate_with_labels`` so frame
     labels are remapped consistently with the new duration.
+    ``num_channels > 1`` simulates a mic array: per-mic RIR convolution +
+    isotropic (diffuse) noise, then returns ``output_channel`` (the
+    reference's multichannel simulation feeding single-channel AMs) or the
+    full [n, M] array when ``output_channel`` is None.
     """
 
     def __init__(self, cfg: SimulationConfig, samp_freq: float = 16000.0,
-                 frame_shift: int = 160):
+                 frame_shift: int = 160, num_channels: int = 1,
+                 output_channel: Optional[int] = 0, mic_spacing: float = 0.05):
         self.cfg = cfg
         self.samp_freq = samp_freq
         self.frame_shift = frame_shift
+        self.num_channels = num_channels
+        self.output_channel = output_channel
+        self.mic_spacing = mic_spacing
         self.rirs: Optional[List[np.ndarray]] = None
         self.noises: Optional[List[np.ndarray]] = None
         if cfg.reverb.rir_list:
@@ -98,6 +106,8 @@ class Simulator:
                     from pykaldi2_tpu.config import FrameOpts
                     nf_out = max(_nf(wave.shape[0], FrameOpts(samp_freq=self.samp_freq)), 0)
                     labels = speed_perturb_labels(labels, factor, nf_out)
+        if self.num_channels > 1:
+            return self._simulate_multichannel(wave, labels, rng)
         if cfg.reverb.use_reverb and rng.rand() < cfg.reverb.prob:
             wave = fft_convolve(wave, self._rir(rng))
         if cfg.noise.use_noise and rng.rand() < cfg.noise.prob:
@@ -107,3 +117,31 @@ class Simulator:
             gain_db = rng.uniform(*cfg.perturb.gain_range)
             wave = (wave * 10.0 ** (gain_db / 20.0)).astype(np.float32)
         return wave.astype(np.float32), labels
+
+    def _simulate_multichannel(self, wave, labels, rng):
+        """Mic-array path: per-mic RIRs + isotropic noise field."""
+        from pykaldi2_tpu.simulation.iso_noise import isotropic_noise
+
+        cfg = self.cfg
+        n = wave.shape[0]
+        m = self.num_channels
+        chans = np.tile(wave[:, None], (1, m)).astype(np.float32)
+        if cfg.reverb.use_reverb and rng.rand() < cfg.reverb.prob:
+            rirs = sample_room_rir(rng, self.samp_freq, cfg.reverb.room_dim_range,
+                                   cfg.reverb.rt60_range, num_mics=m,
+                                   mic_spacing=self.mic_spacing)
+            chans = np.stack([fft_convolve(wave, rirs[i]) for i in range(m)], axis=1)
+        if cfg.noise.use_noise and rng.rand() < cfg.noise.prob:
+            snr = rng.uniform(*cfg.noise.snr_range)
+            mics = np.stack([[i * self.mic_spacing, 0.0, 0.0] for i in range(m)])
+            iso = isotropic_noise(mics, n, self.samp_freq, rng)
+            ps = np.mean(chans.astype(np.float64) ** 2) + 1e-10
+            pn = np.mean(iso.astype(np.float64) ** 2) + 1e-10
+            chans = chans + iso * np.sqrt(ps / (pn * 10.0 ** (snr / 10.0)))
+        if cfg.perturb.use_gain:
+            gain_db = rng.uniform(*cfg.perturb.gain_range)
+            chans = chans * 10.0 ** (gain_db / 20.0)
+        chans = chans.astype(np.float32)
+        if self.output_channel is not None:
+            return chans[:, self.output_channel], labels
+        return chans, labels

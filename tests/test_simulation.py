@@ -143,3 +143,52 @@ def test_dataset_simulator_integration(tmp_path):
     assert u_sim.wave.shape == u_clean.wave.shape
     assert not np.allclose(u_sim.wave, u_clean.wave)
     assert u_sim.num_frames == u_clean.num_frames
+
+
+def test_isotropic_noise_coherence():
+    from pykaldi2_tpu.simulation.iso_noise import isotropic_noise
+    rng = np.random.RandomState(7)
+    # broadband coherence ≈ mean of sinc(2fd/c): high at 1 cm, ~0 at 2 m
+    mics = np.array([[0.0, 0, 0], [0.01, 0, 0], [2.0, 0, 0]])
+    iso = isotropic_noise(mics, 32000, 16000.0, rng)
+    assert iso.shape == (32000, 3)
+    c_close = np.corrcoef(iso[:, 0], iso[:, 1])[0, 1]
+    c_far = np.corrcoef(iso[:, 0], iso[:, 2])[0, 1]
+    assert c_close > 0.6 and abs(c_far) < 0.3, (c_close, c_far)
+
+
+def test_multichannel_simulator():
+    cfg = SimulationConfig(
+        reverb=ReverbConfig(use_reverb=True, prob=1.0, rt60_range=(0.1, 0.2)),
+        noise=NoiseConfig(use_noise=True, prob=1.0, snr_range=(10.0, 10.0)),
+    )
+    rng = np.random.RandomState(8)
+    wave = (rng.randn(8000) * 2000).astype(np.float32)
+    sim1 = Simulator(cfg, num_channels=4, output_channel=1)
+    out, _ = sim1.simulate_with_labels(wave, None, np.random.RandomState(1))
+    assert out.shape == (8000,) and np.isfinite(out).all()
+    sim2 = Simulator(cfg, num_channels=4, output_channel=None)
+    out2, _ = sim2.simulate_with_labels(wave, None, np.random.RandomState(1))
+    assert out2.shape == (8000, 4)
+    assert not np.allclose(out2[:, 0], out2[:, 3])
+
+
+def test_loader_num_workers_deterministic(tmp_path):
+    from pykaldi2_tpu.config import FrameOpts
+    from pykaldi2_tpu.data.dataset import SpeechDataset
+    from pykaldi2_tpu.data.dataloader import ChunkDataloader
+    from toydata import make_toy_corpus
+
+    paths = make_toy_corpus(str(tmp_path), num_utts=6, seed=9)
+    cfg = SimulationConfig(noise=NoiseConfig(use_noise=True, prob=1.0, snr_range=(15.0, 15.0)))
+    def batches(num_workers):
+        ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"],
+                           frame_opts=FrameOpts(dither=0.0), simulate_fn=Simulator(cfg))
+        loader = ChunkDataloader(ds, batch_size=3, chunk_len=40, shuffle=True,
+                                 seed=5, num_workers=num_workers)
+        return list(loader)
+    b0, b4 = batches(0), batches(4)
+    assert len(b0) == len(b4)
+    for a, b in zip(b0, b4):
+        np.testing.assert_array_equal(a["wave"], b["wave"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
