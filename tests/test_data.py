@@ -176,3 +176,19 @@ def test_hdf5_corpus_roundtrip(tmp_path):
     loader = ChunkDataloader(ds, batch_size=2, chunk_len=10, shuffle=False)
     b = next(iter(loader))
     assert b["wave"].shape[0] == 2
+
+
+def test_tid_to_pdf_mapping(tmp_path):
+    """Alignments in transition-ids are mapped to pdf-ids at load time."""
+    paths = make_toy_corpus(str(tmp_path), num_utts=2, num_pdfs=3, seed=14)
+    # rewrite alignments as fake tids: tid = pdf + 1 (tid 0 invalid)
+    alis = dict(kaldi_io.read_ark(paths["ali"], kind="ivec"))
+    tid_ark = str(tmp_path / "tid_ali.ark")
+    with kaldi_io.ArkWriter(tid_ark, kind="ivec") as w:
+        for uid, lab in alis.items():
+            w.write(uid, (lab + 1).astype(np.int32))
+    tid_to_pdf = np.array([-1, 0, 1, 2], np.int32)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=tid_ark,
+                       frame_opts=FrameOpts(dither=0.0), tid_to_pdf=tid_to_pdf)
+    for uid in ds.utt_ids:
+        np.testing.assert_array_equal(ds.labels[uid], alis[uid])
