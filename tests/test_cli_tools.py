@@ -1,0 +1,122 @@
+"""CLI coverage: compute_cmvn_stats, decode with -dump_ark, model variants."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import yaml
+
+from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
+                                 ModelConfig, OptimizerConfig)
+from pykaldi2_tpu.data import kaldi_io
+from pykaldi2_tpu.data.dataloader import ChunkDataloader
+from pykaldi2_tpu.data.dataset import SpeechDataset
+from pykaldi2_tpu.models import build_model
+from pykaldi2_tpu.pipeline import FeaturePipeline, load_cmvn_stats
+from pykaldi2_tpu.trainer import make_ce_train_step
+from pykaldi2_tpu.utils import make_optimizer, save_checkpoint
+
+from toydata import make_toy_corpus
+
+
+def _yamls(tmp_path, paths, num_pdfs=4, model_type="blstm"):
+    data_yaml = {"wav_scp": paths["wav_scp"], "label_ark": paths["ali"],
+                 "feat": {"fbank": {"frame_opts": {"dither": 0.0},
+                                    "mel_opts": {"num_bins": 24}}}}
+    cfg_yaml = {"model": {"type": model_type, "hidden_size": 24, "num_layers": 1,
+                          "output_size": num_pdfs, "compute_dtype": "float32"}}
+    dp, cp = str(tmp_path / "d.yaml"), str(tmp_path / "c.yaml")
+    yaml.dump(data_yaml, open(dp, "w"))
+    yaml.dump(cfg_yaml, open(cp, "w"))
+    return dp, cp
+
+
+def test_compute_cmvn_stats_cli(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=3, seed=15)
+    dp, _ = _yamls(tmp_path, paths)
+    out = str(tmp_path / "cmvn.stats")
+    from pykaldi2_tpu.bin.compute_cmvn_stats import main
+    assert main(["-data", dp, "-output", out]) == 0
+    stats = load_cmvn_stats(out)
+    assert stats.shape == (2, 25)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"],
+                       frame_opts=FrameOpts(dither=0.0))
+    total = sum(ds.utt_num_frames(u) for u in ds.utt_ids)
+    assert int(stats[0, 24]) == total
+
+
+def test_decode_cli_with_dump_ark(tmp_path):
+    num_pdfs = 4
+    paths = make_toy_corpus(str(tmp_path / "c"), num_utts=3, num_pdfs=num_pdfs, seed=16)
+    dp, cp = _yamls(tmp_path, paths)
+    # quick-train a model and save it
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=24)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    model = build_model(ModelConfig(type="blstm", input_size=feat_fn.dim, hidden_size=24,
+                                    num_layers=1, output_size=num_pdfs, compute_dtype="float32"))
+    opt = make_optimizer(OptimizerConfig(type="adam", lr=1e-2))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    step = make_ce_train_step(model, feat_fn, opt, mesh=None)
+    key = jax.random.PRNGKey(1)
+    for epoch in range(8):
+        for batch in ChunkDataloader(ds, batch_size=4, chunk_len=40, seed=3):
+            key, sk = jax.random.split(key)
+            params, opt_state, _ = step(params, opt_state, batch, sk)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, params)
+
+    # build decode graph + words
+    lex = str(tmp_path / "lex.txt")
+    with open(lex, "w") as f:
+        for p in range(1, num_pdfs + 1):
+            f.write(f"w{p} {p}\n")
+    from pykaldi2_tpu.bin.build_graph import main as bg
+    g_out, w_out = str(tmp_path / "g.txt"), str(tmp_path / "w.txt")
+    assert bg(["decode", "-lexicon", lex, "-out", g_out, "-words_out", w_out]) == 0
+
+    # reference transcripts
+    from pykaldi2_tpu.graph.phone_lm import collapse_to_phones
+    ref = str(tmp_path / "ref.txt")
+    with open(ref, "w") as f:
+        for uid in ds.utt_ids:
+            words = " ".join(f"w{p}" for p in collapse_to_phones(ds.labels[uid] + 1))
+            f.write(f"{uid} {words}\n")
+
+    from pykaldi2_tpu.bin.decode import main as dec
+    hyp = str(tmp_path / "hyp.txt")
+    dump = str(tmp_path / "post.ark")
+    assert dec(["-config", cp, "-data", dp, "-model", ckpt, "-graph", g_out,
+                "-words", w_out, "-ref", ref, "-hyp_out", hyp,
+                "-acoustic_scale", "1.0", "-dump_ark", dump]) == 0
+    assert os.path.exists(hyp) and os.path.getsize(hyp) > 0
+    posts = dict(kaldi_io.read_ark(dump, kind="mat"))
+    assert set(posts) == set(ds.utt_ids)
+    for uid in ds.utt_ids:
+        assert posts[uid].shape == (ds.utt_num_frames(uid), num_pdfs)
+
+
+def test_tdnn_and_transformer_training(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=6, num_pdfs=4, seed=17)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=24)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    for mtype, extra in [("tdnn", {"tdnn_dilations": (1, 2)}),
+                         ("transformer", {"num_heads": 4, "ffn_size": 64})]:
+        model = build_model(ModelConfig(type=mtype, input_size=feat_fn.dim, hidden_size=32,
+                                        num_layers=2, output_size=4, compute_dtype="float32",
+                                        **extra))
+        opt = make_optimizer(OptimizerConfig(type="adam", lr=5e-3))
+        params = model.init(jax.random.PRNGKey(0))
+        opt_state = opt.init(params)
+        step = make_ce_train_step(model, feat_fn, opt, mesh=None)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for epoch in range(6):
+            for batch in ChunkDataloader(ds, batch_size=8, chunk_len=40, seed=4):
+                key, sk = jax.random.split(key)
+                params, opt_state, m = step(params, opt_state, batch, sk)
+                losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], (mtype, losses[0], losses[-1])
