@@ -120,6 +120,93 @@ def fused_fbank(wave: jax.Array, opts: FbankOpts, interpret: bool = False) -> ja
     return out[:n_rows, :nb].reshape(b, t_frames, nb)
 
 
+def _mfcc_kernel(frames_ref, cosm_ref, sinm_ref, melw_ref, win_ref, dct_ref,
+                 out_ref, *, win_size, remove_dc, preemph, log_floor,
+                 use_energy, energy_floor):
+    """MFCC variant: …→log-mel→DCT→lifter (lifter is folded into dct_ref);
+    col 0 holds raw log-energy when use_energy."""
+    hi = jax.lax.Precision.HIGHEST
+    x = frames_ref[:, :]
+    if remove_dc:
+        mean = jnp.sum(x, axis=1, keepdims=True) * (1.0 / win_size)
+        x = x - mean * win_ref[1, :]
+    if use_energy:  # raw energy: after DC removal, before pre-emphasis
+        log_e = jnp.log(jnp.maximum(jnp.sum(x * x, axis=1), log_floor))
+        if energy_floor > 0.0:
+            log_e = jnp.maximum(log_e, float(np.log(energy_floor)))
+    if preemph != 0.0:
+        prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        x = x - preemph * prev * win_ref[1, :]
+    x = x * win_ref[0, :]
+    re = jnp.dot(x, cosm_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(x, sinm_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
+    spec = re * re + im * im
+    mel = jnp.dot(spec, melw_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
+    logmel = jnp.log(jnp.maximum(mel, log_floor))
+    ceps = jnp.dot(logmel, dct_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
+    if use_energy:
+        ceps = jnp.concatenate([log_e[:, None], ceps[:, 1:]], axis=1)
+    out_ref[:, :] = ceps
+
+
+def fused_mfcc(wave: jax.Array, opts, interpret: bool = False) -> jax.Array:
+    """[B, S] waveform → [B, T, num_ceps] MFCC (dither must be 0).
+
+    Same fusion strategy as fused_fbank; the lifter coefficients are folded
+    into the (zero-row-padded) DCT matrix so liftering is free.
+    """
+    from pykaldi2_tpu.config import MfccOpts
+    from pykaldi2_tpu.frontend.mfcc import dct_matrix, lifter_coeffs
+
+    assert isinstance(opts, MfccOpts)
+    fo = opts.frame_opts
+    if fo.dither != 0.0:
+        raise ValueError("fused kernel expects dither pre-applied (or 0)")
+    b, s = wave.shape
+    t_frames = W.num_frames(s, fo)
+    n_fft = fo.padded_window_size
+    nb = opts.mel_opts.num_bins
+
+    fb_like = FbankOpts(frame_opts=fo, mel_opts=opts.mel_opts)
+    cos_m, sin_m, mel_p, win_p = _constants((_HashableOpts(fb_like),))
+    nb_pad = mel_p.shape[1]
+    dct = dct_matrix(opts.num_ceps, nb)                    # [ceps, nb]
+    if opts.cepstral_lifter != 0.0:
+        dct = dct * lifter_coeffs(opts.num_ceps, opts.cepstral_lifter)[:, None]
+    ceps_pad = _round_up(opts.num_ceps, 128)
+    dct_p = np.zeros((nb_pad, ceps_pad), np.float32)
+    dct_p[:nb, : opts.num_ceps] = dct.T                    # zero rows kill padding cols
+
+    frames = W.extract_frames(wave, fo)
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - fo.window_size)))
+    n_rows = b * t_frames
+    R = 256
+    n_pad = _round_up(max(n_rows, R), R)
+    flat = jnp.pad(frames.reshape(n_rows, n_fft), ((0, n_pad - n_rows), (0, 0)))
+
+    kernel = functools.partial(
+        _mfcc_kernel, win_size=fo.window_size, remove_dc=fo.remove_dc_offset,
+        preemph=fo.preemph_coeff, log_floor=W.FLT_EPSILON,
+        use_energy=opts.use_energy, energy_floor=opts.energy_floor)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // R,),
+        in_specs=[
+            pl.BlockSpec((R, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_fft // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_fft // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft // 2, nb_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_pad, ceps_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, ceps_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, ceps_pad), jnp.float32),
+        interpret=interpret,
+    )(flat, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(mel_p),
+      jnp.asarray(win_p), jnp.asarray(dct_p))
+    return out[:n_rows, : opts.num_ceps].reshape(b, t_frames, opts.num_ceps)
+
+
 class _HashableOpts:
     """Hash FbankOpts by its relevant field values for the constants cache."""
 

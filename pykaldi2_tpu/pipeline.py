@@ -91,6 +91,19 @@ class FeaturePipeline:
         except Exception:
             return False
 
+    def _use_fused_mfcc(self) -> bool:
+        import os
+
+        if self.cfg.mfcc.frame_opts.dither != 0.0:
+            return False
+        env = os.environ.get("PK2_PALLAS_FBANK")
+        if env is not None:
+            return env not in ("0", "false", "")
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
     def __call__(self, batch: dict, dither_key=None) -> jax.Array:
         cfg = self.cfg
         if "feats" in batch:
@@ -102,6 +115,10 @@ class FeaturePipeline:
                 feats = fused_fbank(batch["wave"], cfg.fbank)
             else:
                 feats = compute_fbank(batch["wave"], cfg.fbank, dither_key=dither_key)
+        elif self._use_fused_mfcc():
+            from pykaldi2_tpu.frontend.fused import fused_mfcc
+
+            feats = fused_mfcc(batch["wave"], cfg.mfcc)
         else:
             feats = compute_mfcc(batch["wave"], cfg.mfcc, dither_key=dither_key)
         mask = batch.get("mask")

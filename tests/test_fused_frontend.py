@@ -33,3 +33,30 @@ def test_fused_fbank_rejects_dither():
     opts = FbankOpts(frame_opts=FrameOpts(dither=1.0))
     with pytest.raises(ValueError, match="dither"):
         fused_fbank(jnp.zeros((1, 4000)), opts, interpret=True)
+
+
+def test_fused_mfcc_matches_reference():
+    from pykaldi2_tpu.config import MfccOpts
+    from pykaldi2_tpu.frontend import compute_mfcc
+    from pykaldi2_tpu.frontend.fused import fused_mfcc
+
+    rng = np.random.RandomState(2)
+    wave = (rng.randn(2, 6400) * 4000).astype(np.float32)
+    opts = MfccOpts(frame_opts=FrameOpts(dither=0.0))
+    ref = np.asarray(compute_mfcc(jnp.asarray(wave), opts))
+    got = np.asarray(fused_mfcc(jnp.asarray(wave), opts, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-3)
+
+
+def test_fused_mfcc_no_energy():
+    from pykaldi2_tpu.config import MfccOpts
+    from pykaldi2_tpu.frontend import compute_mfcc
+    from pykaldi2_tpu.frontend.fused import fused_mfcc
+
+    rng = np.random.RandomState(3)
+    wave = (rng.randn(1, 4800) * 2000).astype(np.float32)
+    opts = MfccOpts(frame_opts=FrameOpts(dither=0.0), use_energy=False, cepstral_lifter=0.0)
+    ref = np.asarray(compute_mfcc(jnp.asarray(wave), opts))
+    got = np.asarray(fused_mfcc(jnp.asarray(wave), opts, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-3)
