@@ -52,6 +52,7 @@ def main(argv=None):
     p.add_argument("-acoustic_scale", type=float, default=0.1)
     p.add_argument("-prior", default=None, help="log-prior .npy")
     p.add_argument("-beam", type=float, default=16.0)
+    p.add_argument("-word_penalty", type=float, default=0.0)
     p.add_argument("-max_active", type=int, default=7000)
     p.add_argument("-dump_ark", default=None,
                    help="also dump scaled pseudo-log-likelihood matrices to this "
@@ -69,7 +70,8 @@ def main(argv=None):
     log_prior = np.load(args.prior) if args.prior else None
 
     graph = Fst.read_text(args.graph)
-    decoder = LatticeDecoder(graph, beam=args.beam, max_active=args.max_active)
+    decoder = LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
+                             word_penalty=args.word_penalty)
     id2w = read_symtab(args.words)
 
     @jax.jit

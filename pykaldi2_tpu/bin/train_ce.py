@@ -38,6 +38,9 @@ def build_argparser():
     p = argparse.ArgumentParser(description="frame-CE acoustic model training")
     p.add_argument("-config", default=None, help="model/optimizer/trainer YAML")
     p.add_argument("-data", default=None, help="corpus/simulation YAML")
+    p.add_argument("-cv_data", default=None,
+                   help="held-out corpus YAML; per-epoch CV loss drives LR "
+                        "annealing (reference behavior) instead of train loss")
     p.add_argument("-exp_dir", required=True)
     p.add_argument("-lr", type=float, default=None)
     p.add_argument("-batch_size", type=int, default=None)
@@ -86,6 +89,13 @@ def main(argv=None):
     log.info("devices: %s (mesh=%s)", jax.devices(), None if mesh is None else dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     dataset = SpeechDataset.from_config(cfg.data)
+    cv_dataset = None
+    if args.cv_data:
+        from pykaldi2_tpu.config import load_data_config as _ldc
+        cv_cfg = _ldc(args.cv_data)
+        cv_cfg.feat = cfg.data.feat  # same features as training
+        cv_cfg.simulation.enabled = False
+        cv_dataset = SpeechDataset.from_config(cv_cfg)
     feat_fn = FeaturePipeline(cfg.data.feat)
     cfg.model.input_size = feat_fn.dim
     model = build_model(cfg.model)
@@ -109,6 +119,10 @@ def main(argv=None):
         log.info("seeded params from %s", args.seed_model)
 
     train_step = make_ce_train_step(model, feat_fn, optimizer, mesh)
+    eval_step = None
+    if cv_dataset is not None:
+        from pykaldi2_tpu.trainer import make_eval_step
+        eval_step = make_eval_step(model, feat_fn, mesh)
     sharding = None if mesh is None else local_batch_sharding(mesh)
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
 
@@ -153,7 +167,19 @@ def main(argv=None):
                 metrics_log.log(epoch=epoch, step=step_no, loss=m["loss"],
                                 frame_acc=m["frame_acc"], utt_per_sec=u_s, frames_per_sec=f_s)
         ep_loss = ep_nll / max(ep_frames, 1.0)
-        scale = annealer.step(ep_loss)
+        anneal_loss = ep_loss
+        if eval_step is not None:
+            cv_nll = cv_frames = 0.0
+            cv_loader = ChunkDataloader(cv_dataset, cfg.trainer.batch_size,
+                                        cfg.trainer.chunk_len, shuffle=False)
+            for cb in device_prefetch(iter(cv_loader), sharding=sharding):
+                nll, cnt, _cor = eval_step(params, cb)
+                cv_nll += float(nll)
+                cv_frames += float(cnt)
+            anneal_loss = cv_nll / max(cv_frames, 1.0)
+            log.info("epoch %d cv loss %.4f", epoch, anneal_loss)
+            metrics_log.log(epoch=epoch, cv_loss=anneal_loss)
+        scale = annealer.step(anneal_loss)
         opt_state = set_lr_scale(opt_state, scale)
         ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
         save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "loss": ep_loss, "lr_scale": scale})

@@ -66,7 +66,9 @@ class LatticeDecoder:
     """
 
     def __init__(self, graph: Fst, beam: float = 16.0, max_active: int = 7000,
-                 lattice_beam: float = 8.0):
+                 lattice_beam: float = 8.0, word_penalty: float = 0.0):
+        """word_penalty: insertion penalty added to every word-emitting arc
+        (Kaldi's word insertion penalty, applied at graph load)."""
         lib = _load()
         src, dst, il, ol, cost = [], [], [], [], []
         for s in range(graph.num_states):
@@ -75,7 +77,7 @@ class LatticeDecoder:
                 dst.append(a.nextstate)
                 il.append(a.ilabel)
                 ol.append(a.olabel)
-                cost.append(-a.weight)  # log-prob → cost
+                cost.append(-a.weight + (word_penalty if a.olabel != 0 else 0.0))
         finals = np.full(graph.num_states, np.inf, np.float32)
         for s, w in graph.finals.items():
             finals[s] = -w

@@ -155,3 +155,38 @@ def test_train_ce_cli(tmp_path):
     assert main(["-config", cp, "-data", dp, "-exp_dir", exp, "-single_device",
                  "-num_epochs", "3"]) == 0
     assert os.path.exists(os.path.join(exp, "model.2.npz"))
+
+
+def test_train_ce_cli_with_cv(tmp_path):
+    import yaml
+    paths = make_toy_corpus(str(tmp_path / "corpus"), num_utts=6, num_pdfs=4, seed=21)
+    data_yaml = {"wav_scp": paths["wav_scp"], "label_ark": paths["ali"],
+                 "feat": {"fbank": {"frame_opts": {"dither": 0.0}, "mel_opts": {"num_bins": 24}}}}
+    cfg_yaml = {"model": {"type": "lstm", "hidden_size": 16, "num_layers": 1,
+                          "output_size": 4, "compute_dtype": "float32"},
+                "optimizer": {"type": "adam", "lr": 0.002},
+                "trainer": {"batch_size": 4, "chunk_len": 40, "num_epochs": 2, "log_interval": 5}}
+    dp, cp = str(tmp_path / "data.yaml"), str(tmp_path / "exp.yaml")
+    yaml.dump(data_yaml, open(dp, "w"))
+    yaml.dump(cfg_yaml, open(cp, "w"))
+    exp = str(tmp_path / "exp")
+    from pykaldi2_tpu.bin.train_ce import main
+    assert main(["-config", cp, "-data", dp, "-cv_data", dp, "-exp_dir", exp,
+                 "-single_device"]) == 0
+    lines = [json.loads(l) for l in open(os.path.join(exp, "metrics.jsonl"))]
+    assert sum(1 for l in lines if "cv_loss" in l) == 2
+
+
+def test_decoder_word_penalty(tmp_path):
+    from pykaldi2_tpu.decode import LatticeDecoder
+    from pykaldi2_tpu.graph import HmmTopology, TransitionModel, make_decode_graph
+    tm = TransitionModel(HmmTopology.one_state([1, 2]))
+    lexicon = {"a": [[1]], "b": [[2]]}
+    word_ids = {"a": 1, "b": 2}
+    g = make_decode_graph(tm, lexicon, word_ids)
+    obs = np.full((6, 2), -1.0, np.float32)
+    obs[:, 0] = -0.9  # slight preference for pdf 0 every frame
+    w0, _, _ = LatticeDecoder(g, beam=32.0).decode(obs)
+    wp, _, _ = LatticeDecoder(g, beam=32.0, word_penalty=3.0).decode(obs)
+    # heavy insertion penalty favors fewer words (longer phones per word)
+    assert len(wp) <= len(w0)
