@@ -135,9 +135,13 @@ def main(argv=None):
     profile_steps = 20 if args.profile else 0
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
+        sweep_world = max(int(round(1.0 / max(cfg.trainer.sweep_size, 1e-6))), 1)
         loader = ChunkDataloader(
             dataset, cfg.trainer.batch_size // jax.process_count(), cfg.trainer.chunk_len,
-            rank=jax.process_index(), world_size=jax.process_count(),
+            # sweep_size < 1 visits a rotating 1/sweep_size slice per epoch
+            # (reference -sweep_size semantics: fraction of data per sweep)
+            rank=(jax.process_index() * sweep_world + epoch % sweep_world),
+            world_size=jax.process_count() * sweep_world,
             shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
             num_workers=cfg.data.num_workers,
         )

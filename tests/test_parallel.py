@@ -66,3 +66,47 @@ def test_tp2d_matches_single_device(tmp_path):
     assert float(m1["frame_acc"]) == pytest.approx(float(m2["frame_acc"]), abs=1e-6)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6)
+
+
+def test_se_dp_step_matches_single_device(tmp_path):
+    """BASELINE config #5: multi-chip DP MMI == single-device math."""
+    from pykaldi2_tpu.data.dataloader import BucketSpec, SeqDataloader
+    from pykaldi2_tpu.graph import HmmTopology, TransitionModel, estimate_phone_bigram
+    from pykaldi2_tpu.graph.phone_lm import collapse_to_phones
+    from pykaldi2_tpu.ops.fb_bigram import make_bigram_den
+    from pykaldi2_tpu.trainer import make_se_train_step
+    from pykaldi2_tpu.ops.se_losses import count_labels, priors_from_counts
+
+    num_pdfs = 4
+    paths = make_toy_corpus(str(tmp_path), num_utts=8, num_pdfs=num_pdfs, seed=22)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=24)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    model = build_model(ModelConfig(type="lstm", input_size=feat_fn.dim, hidden_size=16,
+                                    num_layers=1, output_size=num_pdfs, compute_dtype="float32"))
+    opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.01, grad_clip=5.0))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+
+    tm = TransitionModel(HmmTopology.one_state(range(1, num_pdfs + 1)))
+    pdf_to_phone = np.array([p for (p, _j, _pdf) in tm.tuples], np.int32)
+    lm = estimate_phone_bigram(
+        [collapse_to_phones(pdf_to_phone[l]) for l in ds.labels.values()], tm.topo.phones)
+    den = make_bigram_den(tm, lm)
+    prior = priors_from_counts(count_labels(ds.labels.values(), num_pdfs))
+
+    loader = SeqDataloader(ds, BucketSpec(boundaries=(256,), batch_sizes=8), shuffle=False)
+    batch = next(iter(loader))
+    batch.pop("utt_ids")
+
+    kwargs = dict(log_prior=prior, acoustic_scale=1.0, ce_ratio=0.1)
+    single = make_se_train_step(model, feat_fn, opt, den, "mmi", None, donate=False, **kwargs)
+    mesh = make_mesh()
+    dp = make_se_train_step(model, feat_fn, opt, den, "mmi", mesh, donate=False, **kwargs)
+    key = jax.random.PRNGKey(3)
+    p1, _, m1 = single(params, opt_state, batch, key)
+    sharded = {k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in batch.items()}
+    p2, _, m2 = dp(params, opt_state, sharded, key)
+    assert abs(float(m1["objective"]) - float(m2["objective"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6)
