@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("-beam", type=float, default=16.0)
     p.add_argument("-word_penalty", type=float, default=0.0)
     p.add_argument("-max_active", type=int, default=7000)
+    p.add_argument("-num_threads", type=int, default=4,
+                   help="parallel host decoding threads (ctypes releases the "
+                        "GIL during the C++ search)")
     p.add_argument("-dump_ark", default=None,
                    help="also dump scaled pseudo-log-likelihood matrices to this "
                         "ark (+.scp) for external/Kaldi decoders")
@@ -70,8 +73,11 @@ def main(argv=None):
     log_prior = np.load(args.prior) if args.prior else None
 
     graph = Fst.read_text(args.graph)
-    decoder = LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
-                             word_penalty=args.word_penalty)
+    n_threads = max(args.num_threads, 1)
+    # decoder handles are stateful — one per thread
+    decoders = [LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
+                               word_penalty=args.word_penalty)
+                for _ in range(n_threads)]
     id2w = read_symtab(args.words)
 
     @jax.jit
@@ -98,12 +104,28 @@ def main(argv=None):
         if dump is not None:
             for i, uid in enumerate(utt_ids):
                 dump.write(uid, obs[i, : nf[i]])
-        for i, uid in enumerate(utt_ids):
+
+        def _decode_one(i_uid_dec):
+            i, uid, dec = i_uid_dec
             try:
-                words, _pdfs, _score = decoder.decode(obs[i, : nf[i]])
-                hyps[uid] = [id2w.get(w, f"<{w}>") for w in words]
+                words, _pdfs, _score = dec.decode(obs[i, : nf[i]])
+                return uid, [id2w.get(w, f"<{w}>") for w in words]
             except RuntimeError as e:
                 log.warning("decode failed for %s: %s", uid, e)
+                return uid, None
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [(i, uid, decoders[i % n_threads]) for i, uid in enumerate(utt_ids)]
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            # shard jobs so each decoder handle is used by exactly one thread
+            def run_shard(t):
+                return [_decode_one(j) for j in jobs[t::n_threads]]
+
+            for shard in pool.map(run_shard, range(n_threads)):
+                for uid, words in shard:
+                    if words is not None:
+                        hyps[uid] = words
     if dump is not None:
         dump.close()
     if args.hyp_out:
