@@ -67,14 +67,61 @@ def read_matrix(f) -> np.ndarray:
         dt, isz = "<f4", 4
     elif tok == "DM":
         dt, isz = "<f8", 8
-    elif tok == "CM":
-        raise NotImplementedError("compressed matrices (CM) not supported; run copy-feats")
+    elif tok in ("CM", "CM2", "CM3"):
+        return _read_compressed_matrix(f, tok)
     else:
         raise ValueError(f"unknown matrix token {tok!r}")
     rows = _expect_int32(f)
     cols = _expect_int32(f)
     data = f.read(rows * cols * isz)
     return np.frombuffer(data, dtype=dt).reshape(rows, cols).copy()
+
+
+def _read_compressed_matrix(f, tok: str) -> np.ndarray:
+    """Kaldi CompressedMatrix (kaldi/src/matrix/compressed-matrix.cc).
+
+    GlobalHeader = {f32 min_value, f32 range, i32 rows, i32 cols} (raw, no
+    size markers). CM: per-column {4x u16 percentile codes} headers + u8
+    data column-major with piecewise-linear decode; CM2: u16 per element;
+    CM3: u8 per element.
+    """
+    min_v, rng = struct.unpack("<ff", f.read(8))
+    rows, cols = struct.unpack("<ii", f.read(8))
+    if tok == "CM2":
+        u = np.frombuffer(f.read(2 * rows * cols), dtype="<u2").astype(np.float64)
+        return (min_v + u * (rng / 65535.0)).reshape(rows, cols).astype(np.float32)
+    if tok == "CM3":
+        u = np.frombuffer(f.read(rows * cols), dtype=np.uint8).astype(np.float64)
+        return (min_v + u * (rng / 255.0)).reshape(rows, cols).astype(np.float32)
+    # CM: percentile-coded columns
+    heads = np.frombuffer(f.read(8 * cols), dtype="<u2").reshape(cols, 4).astype(np.float64)
+    pct = min_v + heads * (rng / 65535.0)                    # [cols, 4] p0,p25,p75,p100
+    data = np.frombuffer(f.read(rows * cols), dtype=np.uint8).reshape(cols, rows)
+    b = data.astype(np.float64)
+    p0, p25, p75, p100 = pct[:, 0:1], pct[:, 1:2], pct[:, 2:3], pct[:, 3:4]
+    lo = p0 + (p25 - p0) * (b / 64.0)
+    mid = p25 + (p75 - p25) * ((b - 64.0) / 128.0)
+    hi = p75 + (p100 - p75) * ((b - 192.0) / 63.0)
+    out = np.where(b <= 64, lo, np.where(b <= 192, mid, hi))
+    return out.T.astype(np.float32)
+
+
+def write_compressed_matrix(f, mat: np.ndarray, fmt: str = "CM2"):
+    """Write CM2/CM3 (uniform quantization) — round-trips with read_matrix."""
+    mat = np.asarray(mat, np.float64)
+    rows, cols = mat.shape
+    min_v = float(mat.min())
+    rng = float(max(mat.max() - min_v, 1e-10))
+    f.write(fmt.encode() + b" ")
+    f.write(struct.pack("<ffii", min_v, rng, rows, cols))
+    if fmt == "CM2":
+        u = np.clip(np.rint((mat - min_v) * (65535.0 / rng)), 0, 65535).astype("<u2")
+        f.write(u.tobytes())
+    elif fmt == "CM3":
+        u = np.clip(np.rint((mat - min_v) * (255.0 / rng)), 0, 255).astype(np.uint8)
+        f.write(u.tobytes())
+    else:
+        raise ValueError("write supports CM2/CM3 (CM percentile coding is read-only)")
 
 
 def write_vector(f, vec: np.ndarray):

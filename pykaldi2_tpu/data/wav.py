@@ -23,6 +23,13 @@ def read_wav(path_or_bytes, normalize: bool = False):
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         f = io.BytesIO(path_or_bytes)
+    elif isinstance(path_or_bytes, str) and path_or_bytes.rstrip().endswith("|"):
+        # Kaldi piped rxfilename: "flac -dcs utt.flac |" — run it, read stdout
+        import subprocess
+
+        out = subprocess.run(path_or_bytes.rstrip()[:-1], shell=True,
+                             capture_output=True, check=True)
+        f = io.BytesIO(out.stdout)
     elif isinstance(path_or_bytes, str) and ".zip:" in path_or_bytes:
         import zipfile
 

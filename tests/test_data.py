@@ -192,3 +192,48 @@ def test_tid_to_pdf_mapping(tmp_path):
                        frame_opts=FrameOpts(dither=0.0), tid_to_pdf=tid_to_pdf)
     for uid in ds.utt_ids:
         np.testing.assert_array_equal(ds.labels[uid], alis[uid])
+
+
+def test_compressed_matrix_roundtrip(tmp_path):
+    from pykaldi2_tpu.data.kaldi_io import read_matrix, write_compressed_matrix
+    import io
+    rng = np.random.RandomState(20)
+    mat = (rng.randn(30, 13) * 5 + 2).astype(np.float32)
+    for fmt, tol in [("CM2", 1e-3), ("CM3", 0.15)]:
+        buf = io.BytesIO()
+        write_compressed_matrix(buf, mat, fmt)
+        buf.seek(0)
+        got = read_matrix(buf)
+        assert got.shape == mat.shape
+        np.testing.assert_allclose(got, mat, atol=tol * (mat.max() - mat.min()))
+
+
+def test_compressed_matrix_cm1_decode():
+    """Hand-built percentile-coded CM record decodes with the Kaldi formulas."""
+    import io
+    import struct
+    from pykaldi2_tpu.data.kaldi_io import read_matrix
+    rows, cols = 4, 2
+    min_v, rng_v = -1.0, 2.0
+    buf = io.BytesIO()
+    buf.write(b"CM ")
+    buf.write(struct.pack("<ffii", min_v, rng_v, rows, cols))
+    # per-column percentiles at codes 0, 16384, 49152, 65535
+    for _ in range(cols):
+        buf.write(struct.pack("<4H", 0, 16384, 49152, 65535))
+    # bytes: 0 → p0; 64 → p25; 192 → p75; 255 → p100
+    buf.write(bytes([0, 64, 192, 255] * cols))
+    buf.seek(0)
+    got = read_matrix(buf)
+    p = min_v + np.array([0, 16384, 49152, 65535]) * (rng_v / 65535.0)
+    np.testing.assert_allclose(got[:, 0], p, atol=1e-4)
+
+
+def test_piped_wav_rxfilename(tmp_path):
+    rng = np.random.RandomState(21)
+    wave = (rng.randn(2000) * 3000).astype(np.float32)
+    p = str(tmp_path / "x.wav")
+    write_wav(p, wave, 16000)
+    got, rate = read_wav(f"cat {p} |")
+    assert rate == 16000
+    np.testing.assert_allclose(got, np.rint(np.clip(wave, -32768, 32767)), atol=0.501)
