@@ -82,7 +82,11 @@ class ChunkDataloader:
         seed: int = 0,
         drop_last: bool = False,
         num_workers: int = 0,
+        chunk_shuffle_buffer: int = 1024,
     ):
+        """``chunk_shuffle_buffer``: when shuffling, chunks pass through a
+        reservoir of this size so chunks of one utterance spread across
+        batches (the reference shuffles at chunk granularity); 0 disables."""
         self.ds = dataset
         self.batch_size = batch_size
         self.chunk_len = chunk_len
@@ -91,6 +95,7 @@ class ChunkDataloader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.chunk_shuffle_buffer = chunk_shuffle_buffer
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -108,24 +113,39 @@ class ChunkDataloader:
         buf: List[tuple] = []
 
         def emit():
-            b = len(buf)
+            items = buf[: self.batch_size]
+            del buf[: self.batch_size]
+            b = len(items)
             labels = np.full((b, T), -1, np.int32)
             mask = np.zeros((b, T), np.float32)
             if feats_mode:
-                dim = buf[0][0].shape[1]
+                dim = items[0][0].shape[1]
                 xs = np.zeros((b, T, dim), np.float32)
             else:
                 xs = np.zeros((b, S), np.float32)
-            for i, (x, lab) in enumerate(buf):
+            for i, (x, lab) in enumerate(items):
                 xs[i, : x.shape[0]] = x
                 if lab is not None:
                     labels[i, : len(lab)] = lab
                     mask[i, : len(lab)] = 1.0
-            buf.clear()
             key = "feats" if feats_mode else "wave"
             return {key: xs, "labels": labels, "mask": mask}
 
         ordered_ids = [self.ds.utt_ids[i] for i in order]
+        pool: List[tuple] = []
+        pool_cap = self.chunk_shuffle_buffer if self.shuffle else 0
+
+        def push(item):
+            """Route a chunk through the shuffle reservoir into the batch buf."""
+            if pool_cap:
+                pool.append(item)
+                if len(pool) <= pool_cap:
+                    return
+                i = rng.randint(len(pool))
+                pool[i], item = pool[-1], pool[i]
+                pool.pop()
+            buf.append(item)
+
         for utt in _iter_utts(self.ds, ordered_ids, self.seed, self.epoch, self.num_workers):
             x = utt.feats if feats_mode else utt.wave
             nf = utt.num_frames
@@ -137,9 +157,15 @@ class ChunkDataloader:
                     s0 = c0 * fo.window_shift
                     xc = x[s0 : s0 + chunk_samples(clen, fo)]
                 lab = utt.labels[c0 : c0 + clen] if utt.labels is not None else None
-                buf.append((xc, lab))
-                if len(buf) == self.batch_size:
+                push((xc, lab))
+                while len(buf) >= self.batch_size:
                     yield emit()
+        if pool:
+            rng.shuffle(pool)
+            buf.extend(pool)
+            pool.clear()
+            while len(buf) >= self.batch_size:
+                yield emit()
         if buf and not self.drop_last:
             # pad the tail batch to full batch_size with empty (masked) rows
             while len(buf) < self.batch_size:

@@ -237,3 +237,23 @@ def test_piped_wav_rxfilename(tmp_path):
     got, rate = read_wav(f"cat {p} |")
     assert rate == 16000
     np.testing.assert_allclose(got, np.rint(np.clip(wave, -32768, 32767)), atol=0.501)
+
+
+def test_chunk_shuffle_buffer_spreads_and_preserves_frames(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=6, seed=25)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
+    expect = sum(ds.utt_num_frames(u) for u in ds.utt_ids)
+    loader = ChunkDataloader(ds, batch_size=4, chunk_len=30, shuffle=True, seed=6,
+                             chunk_shuffle_buffer=16)
+    total = 0
+    for b in loader:
+        assert b["labels"].shape == (4, 30)
+        total += int(b["mask"].sum())
+    assert total == expect  # reservoir loses nothing
+    # reproducible across runs
+    a = [b["labels"].copy() for b in ChunkDataloader(ds, batch_size=4, chunk_len=30,
+                                                     shuffle=True, seed=6, chunk_shuffle_buffer=16)]
+    c = [b["labels"].copy() for b in ChunkDataloader(ds, batch_size=4, chunk_len=30,
+                                                     shuffle=True, seed=6, chunk_shuffle_buffer=16)]
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x, y)
