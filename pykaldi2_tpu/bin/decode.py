@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("-beam", type=float, default=16.0)
     p.add_argument("-word_penalty", type=float, default=0.0)
     p.add_argument("-max_active", type=int, default=7000)
+    p.add_argument("-on_device", action="store_true",
+                   help="exact batched Viterbi decoding on the accelerator "
+                        "(no host beam search); best for small/medium graphs")
     p.add_argument("-num_threads", type=int, default=4,
                    help="parallel host decoding threads (ctypes releases the "
                         "GIL during the C++ search)")
@@ -73,6 +76,14 @@ def main(argv=None):
     log_prior = np.load(args.prior) if args.prior else None
 
     graph = Fst.read_text(args.graph)
+    dense_packed = None
+    if args.on_device:
+        from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst
+        from pykaldi2_tpu.ops.fb import pack_graph
+
+        dense_packed = pack_graph(dense_from_pdf_fst(graph))
+        log.info("on-device decoding: %d states, %d arcs",
+                 dense_packed.num_states, int(dense_packed.src.shape[0]))
     n_threads = max(args.num_threads, 1)
     # decoder handles are stateful — one per thread
     decoders = [LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
@@ -104,6 +115,15 @@ def main(argv=None):
         if dump is not None:
             for i, uid in enumerate(utt_ids):
                 dump.write(uid, obs[i, : nf[i]])
+
+        if dense_packed is not None:
+            from pykaldi2_tpu.decode.on_device import viterbi_decode_words
+
+            words_b, _pdfs, _scores = viterbi_decode_words(
+                jnp.asarray(obs), dense_packed, jnp.asarray(np.asarray(nf)))
+            for uid, ws in zip(utt_ids, words_b):
+                hyps[uid] = [id2w.get(w, f"<{w}>") for w in ws]
+            continue
 
         def _decode_one(i_uid_dec):
             i, uid, dec = i_uid_dec

@@ -108,14 +108,15 @@ def _to_dense(num_states, arcs, finals) -> DenseFsa:
     pdf = np.array([a[2] for a in arcs], np.int32)
     w = np.array([a[3] for a in arcs], np.float32)
     phone = np.array([a[4] for a in arcs], np.int32)
+    olabel = np.array([a[5] for a in arcs], np.int32)
     final = np.full(num_states, -np.inf, np.float32)
     for s, fw in finals.items():
         final[s] = fw
-    return DenseFsa(num_states, src, dst, pdf, w, final, 0, phone).validate()
+    return DenseFsa(num_states, src, dst, pdf, w, final, 0, phone, olabel).validate()
 
 
-def expand_to_dense(phone_fst: Fst, tm: TransitionModel) -> DenseFsa:
-    n, arcs, finals = _expand(phone_fst, tm, want_olabels=False)
+def expand_to_dense(phone_fst: Fst, tm: TransitionModel, want_olabels: bool = False) -> DenseFsa:
+    n, arcs, finals = _expand(phone_fst, tm, want_olabels=want_olabels)
     return _to_dense(n, arcs, finals)
 
 

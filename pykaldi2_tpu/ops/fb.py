@@ -44,6 +44,7 @@ class GraphArrays(NamedTuple):
     start: int
     num_states: int
     phone: jax.Array | None = None
+    olabel: jax.Array | None = None
 
 
 def pack_graph(fsa: DenseFsa) -> GraphArrays:
@@ -54,6 +55,7 @@ def pack_graph(fsa: DenseFsa) -> GraphArrays:
         weight=clean(fsa.weight), final=clean(fsa.final),
         start=int(fsa.start), num_states=int(fsa.num_states),
         phone=None if fsa.phone is None else jnp.asarray(fsa.phone),
+        olabel=None if fsa.olabel is None else jnp.asarray(fsa.olabel),
     )
 
 

@@ -40,6 +40,8 @@ class DenseFsa:
     start: int = 0
     # optional per-arc phone id (for MPE phone-level accuracy); -1 = unknown
     phone: np.ndarray | None = None
+    # optional per-arc output label (word id; 0 = epsilon) for decoding graphs
+    olabel: np.ndarray | None = None
 
     @property
     def num_arcs(self) -> int:
@@ -78,8 +80,12 @@ class DenseFsa:
         phone = None
         if self.phone is not None:
             phone = np.concatenate([self.phone, np.full(pad_e, -1, np.int32)])
+        olabel = None
+        if self.olabel is not None:
+            olabel = np.concatenate([self.olabel, np.zeros(pad_e, np.int32)])
         return DenseFsa(s, src.astype(np.int32), dst.astype(np.int32), pdf.astype(np.int32),
-                        weight.astype(np.float32), final.astype(np.float32), self.start, phone)
+                        weight.astype(np.float32), final.astype(np.float32), self.start,
+                        phone, olabel)
 
     def scale_weights(self, scale: float) -> "DenseFsa":
         return dataclasses.replace(
@@ -90,14 +96,16 @@ class DenseFsa:
 def save_fsa(path: str, fsa: DenseFsa):
     np.savez(path, num_states=fsa.num_states, src=fsa.src, dst=fsa.dst,
              pdf=fsa.pdf, weight=fsa.weight, final=fsa.final, start=fsa.start,
-             phone=fsa.phone if fsa.phone is not None else np.zeros(0, np.int32))
+             phone=fsa.phone if fsa.phone is not None else np.zeros(0, np.int32),
+             olabel=fsa.olabel if fsa.olabel is not None else np.zeros(0, np.int32))
 
 
 def load_fsa(path: str) -> DenseFsa:
     z = np.load(path)
     phone = z["phone"] if z["phone"].size else None
+    olabel = z["olabel"] if "olabel" in z.files and z["olabel"].size else None
     return DenseFsa(int(z["num_states"]), z["src"], z["dst"], z["pdf"],
-                    z["weight"], z["final"], int(z["start"]), phone).validate()
+                    z["weight"], z["final"], int(z["start"]), phone, olabel).validate()
 
 
 def linear_chain_fsa(pdf_seq: np.ndarray, weight: float = 0.0) -> DenseFsa:

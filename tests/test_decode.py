@@ -137,3 +137,23 @@ def test_e2e_train_decode_wer(tmp_path):
     result = score_corpus(refs, hyps)
     # toy task: most words should be recognized
     assert result["wer"] < 40.0, result
+
+
+def test_on_device_decoding_matches_host():
+    from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst, viterbi_decode_words
+    from pykaldi2_tpu.ops.fb import pack_graph
+
+    tm, g, word_ids = _graph_and_words()
+    dense = pack_graph(dense_from_pdf_fst(g))
+    host = LatticeDecoder(g, beam=32.0)
+    rng = np.random.RandomState(9)
+    B, T = 3, 7
+    obs = (rng.randn(B, T, tm.num_pdfs) * 2).astype(np.float32)
+    nf = np.array([7, 5, 7], np.int32)
+    words_b, pdfs_b, scores = viterbi_decode_words(jnp.asarray(obs), dense, jnp.asarray(nf))
+    for b in range(B):
+        w_host, p_host, s_host = host.decode(obs[b, : nf[b]])
+        assert words_b[b] == w_host, (b, words_b[b], w_host)
+        np.testing.assert_array_equal(pdfs_b[b, : nf[b]], p_host)
+        np.testing.assert_allclose(scores[b], s_host, rtol=1e-4, atol=1e-4)
+    assert (pdfs_b[1, 5:] == -1).all()
