@@ -33,6 +33,22 @@ MEASURE_STEPS = 30
 
 
 def main():
+    try:
+        _run()
+    except Exception:
+        # safety net: if a Pallas kernel fails to compile in this environment,
+        # fall back to the pure-XLA paths rather than losing the benchmark
+        import os
+        import traceback
+
+        traceback.print_exc()
+        os.environ["PK2_PALLAS_LSTM"] = "0"
+        os.environ["PK2_PALLAS_FBANK"] = "0"
+        print("retrying with Pallas kernels disabled", flush=True)
+        _run()
+
+
+def _run():
     import jax
     import jax.numpy as jnp
 
