@@ -28,8 +28,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_VMEM_BUDGET = 15 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _vmem_bytes(b: int, h: int) -> int:
+    """Worst-case (backward) VMEM estimate: resident Whᵀ + double-buffered
+    per-step blocks + fp32 scratch carries."""
+    wh = 2 * h * 4 * h                       # bf16 weights, resident
+    per_step = (4 * b * 4 * h                # dys/dgates-class fp32 [B,4H]
+                + 2 * b * 4 * h              # gates bf16 [B,4H]
+                + 3 * 4 * b * h)             # cs/cs_prev/dys fp32 [B,H]
+    scratch = 2 * 4 * b * h
+    return wh + 2 * per_step + scratch
+
+
 def _supported(b: int, h: int) -> bool:
-    return b % 8 == 0 and h % 128 == 0
+    return b % 8 == 0 and h % 128 == 0 and _vmem_bytes(b, h) <= _VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
