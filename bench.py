@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 128  # bf16-streamed Pallas LSTM mode; B=64 (fp32 mode) gives 325 utt/s
 CHUNK_FRAMES = 80
 NUM_PDFS = 8952          # LibriSpeech-ish senone count
 FRAMES_PER_UTT = 1230.0  # LibriSpeech-960 mean utterance length in frames

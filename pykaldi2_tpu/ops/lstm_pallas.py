@@ -28,22 +28,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_VMEM_BUDGET = 15 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+_VMEM_BUDGET = int(15.8 * 1024 * 1024)  # headroom under the 16 MB scoped limit
 
 
-def _vmem_bytes(b: int, h: int) -> int:
+def _vmem_bytes(b: int, h: int, stream_bytes: int) -> int:
     """Worst-case (backward) VMEM estimate: resident Whᵀ + double-buffered
-    per-step blocks + fp32 scratch carries."""
-    wh = 2 * h * 4 * h                       # bf16 weights, resident
-    per_step = (4 * b * 4 * h                # dys/dgates-class fp32 [B,4H]
-                + 2 * b * 4 * h              # gates bf16 [B,4H]
-                + 3 * 4 * b * h)             # cs/cs_prev/dys fp32 [B,H]
+    per-step blocks + fp32 scratch carries. ``stream_bytes`` is the element
+    size of the streamed gate-width tensors (4 = fp32 mode, 2 = bf16 mode)."""
+    wh = 2 * h * 4 * h                            # bf16 weights, resident
+    per_step = (stream_bytes * b * 4 * h          # dgates out [B,4H]
+                + 2 * b * 4 * h                   # gates bf16 [B,4H]
+                + 2 * 4 * b * h                   # cs/cs_prev fp32 [B,H]
+                + stream_bytes * b * h)           # dys [B,H]
     scratch = 2 * 4 * b * h
     return wh + 2 * per_step + scratch
 
 
+def _fp32_mode(b: int, h: int) -> bool:
+    return _vmem_bytes(b, h, 4) <= _VMEM_BUDGET
+
+
 def _supported(b: int, h: int) -> bool:
-    return b % 8 == 0 and h % 128 == 0 and _vmem_bytes(b, h) <= _VMEM_BUDGET
+    # bf16-streamed mode is the fallback for larger batches; beyond that, scan
+    return b % 8 == 0 and h % 128 == 0 and _vmem_bytes(b, h, 2) <= _VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
@@ -143,14 +150,14 @@ def _bwd_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref, whT_ref,
         [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g), do * o * (1.0 - o)],
         axis=-1,
     )
-    dgates_ref[0] = dgates
+    dgates_ref[0] = dgates.astype(dgates_ref.dtype)
     dh_rec = jnp.dot(dgates.astype(whT_ref.dtype), whT_ref[:],
                      preferred_element_type=jnp.float32)
     dh_s[:] = dh_rec + (1.0 - m) * dh_total
     dc_s[:] = dc * f + (1.0 - m) * dc_in
 
 
-def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT):
+def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT, dgates_dtype):
     t_len, b, h = dys.shape
     h4 = 4 * h
     rev = lambda t: (t_len - 1 - t, 0, 0)
@@ -168,7 +175,7 @@ def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT):
         out_specs=[
             pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((t_len, b, h4), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_len, b, h4), dgates_dtype)],
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),
@@ -182,25 +189,39 @@ def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT):
 # ---------------------------------------------------------------------------
 
 
+def _stream_dtype(xp):
+    """fp32 streaming when the VMEM budget allows, bf16 otherwise (large B).
+
+    The bf16 mode stores gate inputs / output cotangents / gate gradients in
+    bf16 (standard mixed-precision; fp32 cell state and fp32 gate math are
+    unchanged) to fit batches the fp32 mode cannot.
+    """
+    _t, b, h4 = xp.shape
+    return jnp.float32 if _fp32_mode(b, h4 // 4) else jnp.bfloat16
+
+
 @jax.custom_vjp
 def lstm_seq_pallas(xp, wh, mask):
     """xp [T,B,4H] (input projections + bias), wh [H,4H], mask [T,B,1] → ys [T,B,H]."""
-    ys, _, _ = _lstm_fwd_pallas(xp, wh.astype(jnp.bfloat16), mask)
+    sd = _stream_dtype(xp)
+    ys, _, _ = _lstm_fwd_pallas(xp.astype(sd), wh.astype(jnp.bfloat16), mask)
     return ys
 
 
 def _seq_fwd(xp, wh, mask):
+    sd = _stream_dtype(xp)
     wh_b = wh.astype(jnp.bfloat16)
-    ys, cs, gates = _lstm_fwd_pallas(xp, wh_b, mask)
+    ys, cs, gates = _lstm_fwd_pallas(xp.astype(sd), wh_b, mask)
     return ys, (wh_b, mask, ys, cs, gates)
 
 
 def _seq_bwd(res, dys):
     wh_b, mask, ys, cs, gates = res
     t_len, b, h = ys.shape
+    sd = jnp.float32 if _fp32_mode(b, h) else jnp.bfloat16
     cs_prev = jnp.concatenate([jnp.zeros((1, b, h), jnp.float32), cs[:-1]], axis=0)
     whT = jnp.swapaxes(wh_b, 0, 1)
-    dgates = _lstm_bwd_pallas(dys.astype(jnp.float32), gates, cs, cs_prev, mask, whT)
+    dgates = _lstm_bwd_pallas(dys.astype(sd), gates, cs, cs_prev, mask, whT, sd)
     # dWh = sum_t h_{t-1}^T dgates_t — one big MXU GEMM
     h_prev = jnp.concatenate([jnp.zeros((1, b, h), jnp.float32), ys[:-1]], axis=0)
     dwh = jax.lax.dot_general(
@@ -209,7 +230,7 @@ def _seq_bwd(res, dys):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return dgates, dwh, None
+    return dgates.astype(jnp.float32), dwh, None
 
 
 lstm_seq_pallas.defvjp(_seq_fwd, _seq_bwd)

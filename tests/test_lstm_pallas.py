@@ -73,3 +73,24 @@ def test_unsupported_shapes_fall_back():
     params = lstm_layer_init(jax.random.PRNGKey(3), 8, 24)
     out = lstm_layer_apply(params, jnp.asarray(x), compute_dtype=jnp.float32, use_pallas=True)
     assert out.shape == (3, 4, 24)
+
+
+def test_pallas_bf16_stream_mode(monkeypatch):
+    """Large-batch mode (bf16-streamed xp/dys/dgates) stays close to scan."""
+    import pykaldi2_tpu.ops.lstm_pallas as LP2
+
+    monkeypatch.setattr(LP2, "_fp32_mode", lambda b, h: False)
+    x, mask, params = _data(seed=4, t=5)
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+    ref = lstm_layer_apply(params, xj, mj, compute_dtype=jnp.float32, use_pallas=False)
+    got = lstm_layer_apply(params, xj, mj, compute_dtype=jnp.float32, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2, rtol=5e-2)
+
+    def loss(p, use_pallas):
+        ys = lstm_layer_apply(p, xj, mj, compute_dtype=jnp.float32, use_pallas=use_pallas)
+        return jnp.sum(ys * jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) * 1e-3)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-1, rtol=1e-1)
