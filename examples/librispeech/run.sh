@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# LibriSpeech recipe runner (PyKaldi2-style stages). Assumes data prep done:
+#   data/train_960/{wav.scp,text}, data/dev_clean/{wav.scp,text},
+#   lexicon.txt (word phone1 phone2 ...), and either imported pdf alignments
+#   at exp/ali/ali.ark or a seed model to bootstrap them (stage 0).
+set -euo pipefail
+
+stage=${1:-1}
+cd "$(dirname "$0")"
+
+if [ "$stage" -le 0 ]; then
+  echo "=== stage 0: bootstrap alignments with a seed model ==="
+  python -m pykaldi2_tpu.bin.align -config ce.yaml -data data.yaml \
+    -model exp/seed/model.latest.npz -text data/train_960/text \
+    -lexicon lexicon.txt -out exp/ali/ali.ark
+fi
+
+if [ "$stage" -le 1 ]; then
+  echo "=== stage 1: global CMVN stats ==="
+  python -m pykaldi2_tpu.bin.compute_cmvn_stats -data data.yaml -output exp/cmvn.stats
+fi
+
+if [ "$stage" -le 2 ]; then
+  echo "=== stage 2: CE training ==="
+  python -m pykaldi2_tpu.bin.train_ce -config ce.yaml -data data.yaml \
+    -cv_data data_dev.yaml -exp_dir exp/ce
+fi
+
+if [ "$stage" -le 3 ]; then
+  echo "=== stage 3: sequence training (MMI, fixed den graph) ==="
+  ce_final=$(ls -v exp/ce/model.*.npz | tail -1)
+  python -m pykaldi2_tpu.bin.train_se -config se.yaml -data data.yaml \
+    -exp_dir exp/se_mmi -seed_model "$ce_final" -criterion mmi
+  # reference-style on-the-fly denominator lattices instead:
+  #   ... -on_the_fly -beam 16 -lattice_beam 8
+  # sMBR: ... -criterion smbr ; MPE: ... -criterion mpfe
+fi
+
+if [ "$stage" -le 4 ]; then
+  echo "=== stage 4: build decode graph ==="
+  python -m pykaldi2_tpu.bin.build_graph decode -lexicon lexicon.txt \
+    -out exp/graph.fst.txt -words_out exp/words.txt -sil_phone 1 -sil_prob 0.5
+fi
+
+if [ "$stage" -le 5 ]; then
+  echo "=== stage 5: decode + WER ==="
+  se_final=$(ls -v exp/se_mmi/model.*.npz | tail -1)
+  python -m pykaldi2_tpu.bin.decode -config ce.yaml -data data_dev.yaml \
+    -model "$se_final" -graph exp/graph.fst.txt -words exp/words.txt \
+    -ref data/dev_clean/text -acoustic_scale 0.1 \
+    -hyp_out exp/dev_clean.hyp -dump_ark exp/dev_clean.post.ark
+fi

@@ -120,3 +120,16 @@ def test_tdnn_and_transformer_training(tmp_path):
                 params, opt_state, m = step(params, opt_state, batch, sk)
                 losses.append(float(m["loss"]))
         assert losses[-1] < losses[0], (mtype, losses[0], losses[-1])
+
+
+def test_compare_posteriors_cli(tmp_path):
+    from pykaldi2_tpu.bin.compare_posteriors import main as cmp_main
+    rng = np.random.RandomState(30)
+    mats = {f"u{i}": rng.randn(20 + i, 6).astype(np.float32) for i in range(3)}
+    a, b, c = (str(tmp_path / n) for n in ("a.ark", "b.ark", "c.ark"))
+    for path, noise in [(a, 0.0), (b, 1e-5), (c, 0.5)]:
+        with kaldi_io.ArkWriter(path, kind="mat") as w:
+            for k, m in mats.items():
+                w.write(k, m + rng.randn(*m.shape).astype(np.float32) * noise)
+    assert cmp_main([a, b, "-atol", "1e-3"]) == 0       # within tolerance
+    assert cmp_main([a, c, "-atol", "1e-3"]) == 1       # grossly different
