@@ -129,3 +129,23 @@ def test_bigram_expected_accuracy_gradient_matches_generic():
     g_g = jax.grad(lambda o: jnp.sum(fsa_expected_accuracy(o, generic, jnp.asarray(ref), lens, "pdf")))(jnp.asarray(obs))
     g_s = jax.grad(lambda o: jnp.sum(bigram_expected_accuracy(o, structured, jnp.asarray(ref), lens, "pdf")))(jnp.asarray(obs))
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g), rtol=1e-3, atol=1e-4)
+
+
+def test_bigram_long_sequence_stability():
+    """Per-step renormalization keeps fp32 finite and consistent at T=2000."""
+    tm, generic, structured = _setup(3)
+    rng = np.random.RandomState(5)
+    T = 2000
+    obs = (rng.randn(1, T, tm.num_pdfs) * 3).astype(np.float32)
+    lens = jnp.asarray([T])
+    lz_s = float(bigram_logz(jnp.asarray(obs), structured, lens)[0])
+    lz_g = float(fsa_logz(jnp.asarray(obs), pack_graph(make_den_graph(tm,
+        estimate_phone_bigram([[1, 2, 3, 4], [2, 1], [3, 3, 2, 4]], PHONES, smoothing=0.7))),
+        lens)[0])
+    assert np.isfinite(lz_s)
+    np.testing.assert_allclose(lz_s, lz_g, rtol=1e-5)
+    _, gam = bigram_occupancies(jnp.asarray(obs), structured, lens)
+    gam = np.asarray(gam)
+    assert np.isfinite(gam).all()
+    # fp32 running-normalizer rounding accumulates ~0.4% over 2000 steps
+    np.testing.assert_allclose(gam[0].sum(-1), 1.0, atol=1e-2)
