@@ -65,7 +65,7 @@ def main(argv=None):
     cfg.data = load_data_config(args.data)
     cfg.data.label_ark = None  # aligning: no labels yet
     dataset = SpeechDataset.from_config(cfg.data)
-    feat_fn = FeaturePipeline(cfg.data.feat)
+    feat_fn = FeaturePipeline(cfg.data.feat).for_eval()
     cfg.model.input_size = feat_fn.dim
     model = build_model(cfg.model)
     params, _, _ = load_checkpoint(args.model, model.init(jax.random.PRNGKey(0)))
@@ -115,7 +115,8 @@ def main(argv=None):
             obs = forward(jnp.asarray(wave_pad), jnp.asarray(mask))
             packed = pack_graph(graph)
             score, arcs = fsa_viterbi(obs, packed, jnp.asarray([utt.num_frames]))
-            if not np.isfinite(float(score[0])):
+            # dead paths score ~NEG_INF (=-1e30), which IS finite — threshold it
+            if float(score[0]) < -1e29:
                 log.warning("alignment failed for %s (transcript too long for audio?)", uid)
                 n_fail += 1
                 continue

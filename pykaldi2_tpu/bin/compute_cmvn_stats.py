@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("-output", required=True, help="output stats file (Kaldi binary matrix)")
     args = p.parse_args(argv)
     cfg = load_data_config(args.data)
+    # stats are computed deterministically (dither off)
+    cfg.feat.fbank.frame_opts.dither = 0.0
+    cfg.feat.mfcc.frame_opts.dither = 0.0
     ds = SpeechDataset.from_config(cfg)
     stats = None
     if ds.mode == "wave":

@@ -69,7 +69,7 @@ def main(argv=None):
     cfg = load_config(args.config)
     cfg.data = load_data_config(args.data)
     dataset = SpeechDataset.from_config(cfg.data)
-    feat_fn = FeaturePipeline(cfg.data.feat)
+    feat_fn = FeaturePipeline(cfg.data.feat).for_eval()
     cfg.model.input_size = feat_fn.dim
     model = build_model(cfg.model)
     params, _, _ = load_checkpoint(args.model, model.init(jax.random.PRNGKey(0)))

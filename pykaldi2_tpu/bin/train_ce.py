@@ -146,9 +146,18 @@ def main(argv=None):
             num_workers=cfg.data.num_workers,
         )
         loader.set_epoch(epoch)
+        batch_iter = iter(loader)
+        if jax.process_count() > 1:
+            # equalize steps across hosts or the final psum deadlocks
+            import itertools
+            from jax.experimental import multihost_utils
+
+            local = np.asarray([loader.num_batches(conservative=True)])
+            steps = int(multihost_utils.process_allgather(local).min())
+            batch_iter = itertools.islice(batch_iter, steps)
         tp = Throughput()
         ep_nll = ep_frames = 0.0
-        for batch in device_prefetch(iter(loader), sharding=sharding):
+        for batch in device_prefetch(batch_iter, sharding=sharding):
             key, step_key = jax.random.split(key)
             if step_no == 2 and profile_steps:  # skip compile steps
                 profiler_ctx = maybe_trace(args.profile)

@@ -208,9 +208,17 @@ def main(argv=None):
                                shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
                                num_workers=cfg.data.num_workers)
         loader.set_epoch(epoch)
+        batch_iter = iter(loader)
+        if jax.process_count() > 1:
+            import itertools
+            from jax.experimental import multihost_utils
+
+            local = np.asarray([loader.num_batches(conservative=True)])
+            steps = int(multihost_utils.process_allgather(local).min())
+            batch_iter = itertools.islice(batch_iter, steps)
         tp = Throughput()
         ep_obj = ep_frames = 0.0
-        for batch in device_prefetch(iter(loader), sharding=sharding, device_keys={"wave", "feats", "labels", "mask", "num_frames"}):
+        for batch in device_prefetch(batch_iter, sharding=sharding, device_keys={"wave", "feats", "labels", "mask", "num_frames"}):
             utt_ids = batch.pop("utt_ids")
             key, sk = jax.random.split(key)
             params, opt_state, m = step(params, opt_state, batch, sk)

@@ -33,9 +33,12 @@ def chunk_samples(chunk_len: int, fo: FrameOpts) -> int:
 
 
 def _utt_rng(seed: int, epoch: int, utt_id: str) -> np.random.RandomState:
-    """Deterministic per-utterance RNG (stable under worker parallelism)."""
-    h = (hash((seed, epoch, utt_id)) & 0x7FFFFFFF) or 1
-    return np.random.RandomState(h)
+    """Deterministic per-utterance RNG (stable under worker parallelism AND
+    across processes — Python's salted str hash is not)."""
+    import zlib
+
+    h = zlib.crc32(f"{seed}|{epoch}|{utt_id}".encode()) & 0x7FFFFFFF
+    return np.random.RandomState(h or 1)
 
 
 def _iter_utts(ds: SpeechDataset, utt_ids, seed: int, epoch: int, num_workers: int):
@@ -101,6 +104,27 @@ class ChunkDataloader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def num_batches(self, conservative: bool = False) -> int:
+        """Metadata-only batch count for this rank (no audio is read).
+
+        ``conservative=True`` undercounts when duration-changing simulation
+        (speed perturbation) is active, so multihost ranks can truncate to a
+        global minimum without deadlocking (see trainers' -multihost)."""
+        ids = list(self.ds.utt_ids)[self.rank :: self.world_size]
+        shrink = 1.0
+        sim = self.ds.simulate_fn
+        if conservative and sim is not None and getattr(sim, "cfg", None) is not None:
+            pc = sim.cfg.perturb
+            if pc.use_speed:
+                shrink = 1.0 / max(pc.speed_choices)
+        chunks = 0
+        for uid in ids:
+            nf = int(self.ds.utt_num_frames(uid) * shrink)
+            chunks += -(-nf // self.chunk_len) if nf > 0 else 0
+        if self.drop_last or conservative:
+            return chunks // self.batch_size
+        return -(-chunks // self.batch_size)
+
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.ds))
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -123,11 +147,13 @@ class ChunkDataloader:
                 xs = np.zeros((b, T, dim), np.float32)
             else:
                 xs = np.zeros((b, S), np.float32)
-            for i, (x, lab) in enumerate(items):
+            for i, (x, lab, clen) in enumerate(items):
                 xs[i, : x.shape[0]] = x
+                # mask marks VALID FRAMES (model mask); supervision is
+                # labels >= 0 (loss mask) — they differ for unlabeled data
+                mask[i, :clen] = 1.0
                 if lab is not None:
                     labels[i, : len(lab)] = lab
-                    mask[i, : len(lab)] = 1.0
             key = "feats" if feats_mode else "wave"
             return {key: xs, "labels": labels, "mask": mask}
 
@@ -157,7 +183,7 @@ class ChunkDataloader:
                     s0 = c0 * fo.window_shift
                     xc = x[s0 : s0 + chunk_samples(clen, fo)]
                 lab = utt.labels[c0 : c0 + clen] if utt.labels is not None else None
-                push((xc, lab))
+                push((xc, lab, clen))
                 while len(buf) >= self.batch_size:
                     yield emit()
         if pool:
@@ -169,7 +195,7 @@ class ChunkDataloader:
         if buf and not self.drop_last:
             # pad the tail batch to full batch_size with empty (masked) rows
             while len(buf) < self.batch_size:
-                buf.append((np.zeros((0,) if not feats_mode else (0, buf[0][0].shape[1]), np.float32), None))
+                buf.append((np.zeros((0,) if not feats_mode else (0, buf[0][0].shape[1]), np.float32), None, 0))
             yield emit()
 
 
@@ -221,6 +247,20 @@ class SeqDataloader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def num_batches(self, conservative: bool = False) -> int:
+        """Metadata-only batch count (full batches only when conservative)."""
+        ids = list(self.ds.utt_ids)[self.rank :: self.world_size]
+        counts = [0] * len(self.spec.boundaries)
+        for uid in ids:
+            nf = self.ds.utt_num_frames(uid)
+            b = next((i for i, bound in enumerate(self.spec.boundaries) if nf <= bound), None)
+            if b is not None:
+                counts[b] += 1
+        full = sum(c // self.spec.batch_size(i) for i, c in enumerate(counts))
+        if conservative:
+            return full
+        return sum(-(-c // self.spec.batch_size(i)) for i, c in enumerate(counts) if c)
+
     def __iter__(self) -> Iterator[dict]:
         rng = np.random.RandomState(self.seed + self.epoch)
         ids = list(self.ds.utt_ids)[self.rank :: self.world_size]
@@ -257,9 +297,9 @@ class SeqDataloader:
                 else:
                     ns = min(u.wave.shape[0], S)
                     xs[i, :ns] = u.wave[:ns]
+                mask[i, :nf] = 1.0  # frame validity; supervision = labels >= 0
                 if u.labels is not None:
                     labels[i, :nf] = u.labels[:nf]
-                    mask[i, :nf] = 1.0
             buckets[b] = []
             key = "feats" if feats_mode else "wave"
             return {key: xs, "labels": labels, "mask": mask, "num_frames": nfs, "utt_ids": utt_ids}

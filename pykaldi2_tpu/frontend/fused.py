@@ -216,7 +216,8 @@ class _HashableOpts:
         self._key = (fo.samp_freq, fo.frame_shift_ms, fo.frame_length_ms,
                      fo.preemph_coeff, fo.remove_dc_offset, fo.window_type,
                      fo.round_to_power_of_two, fo.blackman_coeff,
-                     mo.num_bins, mo.low_freq, mo.high_freq, mo.vtln_warp)
+                     mo.num_bins, mo.low_freq, mo.high_freq,
+                     mo.vtln_warp, mo.vtln_low, mo.vtln_high)
 
     def __hash__(self):
         return hash(self._key)

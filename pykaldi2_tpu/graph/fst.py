@@ -255,30 +255,35 @@ def make_lexicon_fst(
     after each word, like Kaldi's L_disambig-less lexicon.
     """
     fst = Fst()
-    loop = fst.add_state()
-    fst.set_start(loop)
-    fst.set_final(loop, 0.0)
     use_sil = sil_phone > 0 and sil_prob > 0.0
+    # Kaldi L structure: after each word (and at sentence start), either take
+    # optional silence with prob sil_prob or proceed directly with 1−sil_prob.
+    wend = fst.add_state()        # start: "word boundary" state
+    fst.set_start(wend)
     if use_sil:
         log_sil = float(np.log(sil_prob))
         log_nosil = float(np.log(1.0 - sil_prob))
+        loop = fst.add_state()    # words begin here
         sil_state = fst.add_state()
-        fst.add_arc(loop, sil_phone, EPS, log_sil, sil_state)
-        fst.add_arc(sil_state, sil_phone, EPS, 0.0, sil_state)  # silence self-loop
+        fst.add_arc(wend, EPS, EPS, log_nosil, loop)          # skip silence
+        fst.add_arc(wend, sil_phone, EPS, log_sil, sil_state) # take silence
+        fst.add_arc(sil_state, sil_phone, EPS, 0.0, sil_state)
         fst.add_arc(sil_state, EPS, EPS, 0.0, loop)
+        fst.set_final(wend, 0.0)  # may end at a word boundary (opt. final sil)
+        fst.set_final(sil_state, 0.0)
+    else:
+        loop = wend
+        fst.set_final(loop, 0.0)
     for word, prons in lexicon.items():
         wid = word_ids[word]
         pron_w = float(np.log(1.0 / max(len(prons), 1)))
         for pron in prons:
             s = loop
             for i, ph in enumerate(pron):
-                n = fst.add_state() if i < len(pron) - 1 else loop
+                n = fst.add_state() if i < len(pron) - 1 else wend
                 fst.add_arc(s, ph, wid if i == 0 else EPS,
                             pron_w if i == 0 else 0.0, n)
                 s = n
             if not pron:  # empty pronunciation: eps arc
-                fst.add_arc(loop, EPS, wid, pron_w, loop)
-    if use_sil:
-        # bias: starting a word directly (no silence) costs log_nosil
-        pass
+                fst.add_arc(loop, EPS, wid, pron_w, wend)
     return fst

@@ -85,6 +85,18 @@ class TransformerStack:
         B, T, _ = x.shape
         h = _dense(params["in_proj"], x, cd) + jnp.asarray(sinusoidal_positions(T, self.hidden_size))
         nh, hd = self.num_heads, self.hidden_size // self.num_heads
+        use_dropout = train and self.dropout > 0.0
+        if use_dropout and dropout_key is None:
+            raise ValueError("dropout enabled but no dropout_key supplied")
+
+        def drop(v):
+            nonlocal dropout_key
+            if not use_dropout:
+                return v
+            dropout_key, sub = jax.random.split(dropout_key)
+            keep = 1.0 - self.dropout
+            return v * jax.random.bernoulli(sub, keep, v.shape) / keep
+
         if mask is not None:
             attn_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
         else:
@@ -100,7 +112,7 @@ class TransformerStack:
             w = jax.nn.softmax(logits, axis=-1)
             ctx = jnp.einsum("bhts,bshd->bthd", w.astype(cd), v.astype(cd),
                              preferred_element_type=jnp.float32).reshape(B, T, self.hidden_size)
-            h = h + _dense(lp["out"], ctx, cd)
+            h = h + drop(_dense(lp["out"], ctx, cd))
             hn = _ln(h, lp["ln2_scale"], lp["ln2_bias"])
-            h = h + _dense(lp["ffn2"], jax.nn.relu(_dense(lp["ffn1"], hn, cd)), cd)
+            h = h + drop(_dense(lp["ffn2"], jax.nn.relu(_dense(lp["ffn1"], hn, cd)), cd))
         return h

@@ -73,6 +73,22 @@ class FeaturePipeline:
             self.mean, self.scale = cmvn_mean_std(cmvn_stats, cfg.cmvn.norm_vars)
         self.dim = feature_dim(cfg)
 
+    def for_eval(self) -> "FeaturePipeline":
+        """Deterministic copy for eval/alignment/stats paths: dither off.
+
+        (The reference dithers at eval too via Kaldi defaults; here eval is
+        deterministic by design — dither only runs in training steps, which
+        pass a PRNG key.)"""
+        import copy
+
+        cfg = copy.deepcopy(self.cfg)
+        cfg.fbank.frame_opts.dither = 0.0
+        cfg.mfcc.frame_opts.dither = 0.0
+        out = FeaturePipeline.__new__(FeaturePipeline)
+        out.cfg = cfg
+        out.mean, out.scale, out.dim = self.mean, self.scale, self.dim
+        return out
+
     def _use_fused(self, dither_key) -> bool:
         """Pallas fused fbank kernel: default on TPU for the standard
         log-power fbank path (PK2_PALLAS_FBANK overrides); dithered batches
@@ -94,7 +110,8 @@ class FeaturePipeline:
     def _use_fused_mfcc(self) -> bool:
         import os
 
-        if self.cfg.mfcc.frame_opts.dither != 0.0:
+        mf = self.cfg.mfcc
+        if mf.frame_opts.dither != 0.0 or (mf.use_energy and not mf.raw_energy):
             return False
         env = os.environ.get("PK2_PALLAS_FBANK")
         if env is not None:

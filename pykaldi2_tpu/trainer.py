@@ -27,7 +27,11 @@ from pykaldi2_tpu.pipeline import FeaturePipeline
 
 
 def _ce_forward(model: NnetAM, feat_fn: FeaturePipeline, params, batch, key, train: bool):
-    """Returns (sum_nll, count, correct) over the local shard."""
+    """Returns (sum_nll, count, correct) over the local shard.
+
+    ``mask`` is frame validity (feeds the model); supervision is
+    mask AND labels >= 0 — they differ when labels are absent.
+    """
     dither_key = dropout_key = None
     if key is not None:
         dither_key, dropout_key = jax.random.split(key)
@@ -35,11 +39,12 @@ def _ce_forward(model: NnetAM, feat_fn: FeaturePipeline, params, batch, key, tra
     mask = batch["mask"].astype(jnp.float32)
     logits = model.apply(params, feats, mask, train=train, dropout_key=dropout_key)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    sup = mask * (batch["labels"] >= 0)
     labels = jnp.maximum(batch["labels"], 0)
     ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    sum_nll = -jnp.sum(ll * mask)
-    count = jnp.sum(mask)
-    correct = jnp.sum((jnp.argmax(logits, -1) == batch["labels"]) * mask)
+    sum_nll = -jnp.sum(ll * sup)
+    count = jnp.sum(sup)
+    correct = jnp.sum((jnp.argmax(logits, -1) == batch["labels"]) * sup)
     return sum_nll, count, correct
 
 
@@ -152,9 +157,10 @@ def make_se_train_step(
             feats = feat_fn(batch, dither_key=dither_key)
             logits = model.apply(p, feats, mask, train=True, dropout_key=dropout_key)
             obs = acoustic_scores(logits, lp, acoustic_scale)
+            sup = mask * (batch["labels"] >= 0)
             if crit == "mmi":
-                obj = jnp.sum(mmi_objective(obs, batch["labels"], den_graph, nf, mask,
-                                            drop_frames, den_scale))
+                obj_rows = mmi_objective(obs, batch["labels"], den_graph, nf, sup,
+                                         drop_frames, den_scale)
             else:
                 ref = batch["labels"]
                 level = "pdf"
@@ -162,8 +168,10 @@ def make_se_train_step(
                     ref = jnp.asarray(pdf_to_phone)[jnp.maximum(ref, 0)]
                     level = "phone"
                 acc_fn = bigram_expected_accuracy if structured else fsa_expected_accuracy
-                obj = jnp.sum(acc_fn(obs, den_graph, jnp.maximum(ref, 0), nf, level))
-            count = jnp.sum(mask)
+                obj_rows = acc_fn(obs, den_graph, jnp.maximum(ref, 0), nf, level)
+            # zero-length padded rows would contribute num − logZ(dead) ≈ +1e30
+            obj = jnp.sum(jnp.where(nf > 0, obj_rows, 0.0))
+            count = jnp.sum(sup)
             gcount = jax.lax.psum(count, axis) if axis else count
             loss = -obj / jnp.maximum(gcount, 1.0)
             sum_nll = jnp.array(0.0)
@@ -171,10 +179,10 @@ def make_se_train_step(
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 ll = jnp.take_along_axis(logp, jnp.maximum(batch["labels"], 0)[..., None],
                                          axis=-1)[..., 0]
-                sum_nll = -jnp.sum(ll * mask)
+                sum_nll = -jnp.sum(ll * sup)
                 loss = loss + ce_ratio * sum_nll / jnp.maximum(gcount, 1.0)
             correct = jnp.sum(
-                (jnp.argmax(jax.lax.stop_gradient(logits), -1) == batch["labels"]) * mask)
+                (jnp.argmax(jax.lax.stop_gradient(logits), -1) == batch["labels"]) * sup)
             return loss, (obj, count, correct, sum_nll)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -229,10 +237,11 @@ def make_se_lattice_steps(
     from pykaldi2_tpu.ops.se_losses import acoustic_scores
 
     lp = None if log_prior is None else jnp.asarray(log_prior)
+    eval_feat_fn = feat_fn.for_eval()
 
     @jax.jit
     def forward_fn(params, batch):
-        feats = feat_fn(batch)
+        feats = eval_feat_fn(batch)
         logits = model.apply(params, feats, batch["mask"])
         return acoustic_scores(logits, lp, acoustic_scale)
 
@@ -245,17 +254,19 @@ def make_se_lattice_steps(
             feats = feat_fn(batch, dither_key=dither_key)
             logits = model.apply(p, feats, mask, train=True, dropout_key=dropout_key)
             obs = acoustic_scores(logits, lp, acoustic_scale)
-            obj = jnp.sum(mmi_objective_lattice(obs, batch["labels"], den_graphs, nf,
-                                                mask, drop_frames, den_scale))
-            count = jnp.sum(mask)
+            sup = mask * (batch["labels"] >= 0)
+            obj_rows = mmi_objective_lattice(obs, batch["labels"], den_graphs, nf,
+                                             sup, drop_frames, den_scale)
+            obj = jnp.sum(jnp.where(nf > 0, obj_rows, 0.0))
+            count = jnp.sum(sup)
             loss = -obj / jnp.maximum(count, 1.0)
             if ce_ratio > 0.0:
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 ll = jnp.take_along_axis(logp, jnp.maximum(batch["labels"], 0)[..., None],
                                          axis=-1)[..., 0]
-                loss = loss - ce_ratio * jnp.sum(ll * mask) / jnp.maximum(count, 1.0)
+                loss = loss - ce_ratio * jnp.sum(ll * sup) / jnp.maximum(count, 1.0)
             correct = jnp.sum(
-                (jnp.argmax(jax.lax.stop_gradient(logits), -1) == batch["labels"]) * mask)
+                (jnp.argmax(jax.lax.stop_gradient(logits), -1) == batch["labels"]) * sup)
             return loss, (obj, count, correct)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -257,3 +257,24 @@ def test_chunk_shuffle_buffer_spreads_and_preserves_frames(tmp_path):
                                                      shuffle=True, seed=6, chunk_shuffle_buffer=16)]
     for x, y in zip(a, c):
         np.testing.assert_array_equal(x, y)
+
+
+def test_unlabeled_data_gets_valid_frame_mask(tmp_path):
+    """Decode-time regression: mask must mark valid FRAMES even with no labels,
+    or the model sees an all-zero mask and outputs constant garbage."""
+    from pykaldi2_tpu.data.dataloader import BucketSpec, SeqDataloader
+
+    paths = make_toy_corpus(str(tmp_path), num_utts=3, seed=31)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], frame_opts=FrameOpts(dither=0.0))  # no ali
+    assert ds.labels is None
+    for b in SeqDataloader(ds, BucketSpec(boundaries=(400,), batch_sizes=3), shuffle=False):
+        for i, uid in enumerate(b["utt_ids"]):
+            nf = b["num_frames"][i]
+            assert b["mask"][i, :nf].all() and not b["mask"][i, nf:].any()
+            assert (b["labels"][i] == -1).all()
+    loader = ChunkDataloader(ds, batch_size=2, chunk_len=30, shuffle=False)
+    got_any = False
+    for b in loader:
+        got_any = True
+        assert b["mask"].sum() > 0
+    assert got_any
