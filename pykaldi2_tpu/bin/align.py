@@ -46,7 +46,21 @@ def read_lexicon(path: str):
     return lexicon, word_ids
 
 
+
+
+def _apply_platform_env():
+    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
+    the standard JAX_PLATFORMS env var)."""
+    import os
+
+    plat = os.environ.get("PK2_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
 def main(argv=None):
+    _apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("-config", required=True)
     p.add_argument("-data", required=True)

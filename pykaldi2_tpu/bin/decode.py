@@ -40,7 +40,21 @@ def read_symtab(path: str):
     return id2w
 
 
+
+
+def _apply_platform_env():
+    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
+    the standard JAX_PLATFORMS env var)."""
+    import os
+
+    plat = os.environ.get("PK2_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
 def main(argv=None):
+    _apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("-config", required=True)
     p.add_argument("-data", required=True)

@@ -61,7 +61,21 @@ def build_argparser():
     return p
 
 
+
+
+def _apply_platform_env():
+    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
+    the standard JAX_PLATFORMS env var)."""
+    import os
+
+    plat = os.environ.get("PK2_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
 def main(argv=None):
+    _apply_platform_env()
     args = build_argparser().parse_args(argv)
     cfg = load_config(args.config)
     if args.data:

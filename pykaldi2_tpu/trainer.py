@@ -283,9 +283,10 @@ def make_se_lattice_steps(
 
 def make_eval_step(model: NnetAM, feat_fn: FeaturePipeline, mesh: Optional[Mesh] = None):
     """step(params, batch) → (sum_nll, frames, correct) — for dev-loss tracking."""
+    eval_fn = feat_fn.for_eval()  # deterministic: no dither at eval
 
     def local_eval(params, batch):
-        sum_nll, count, correct = _ce_forward(model, feat_fn, params, batch, None, False)
+        sum_nll, count, correct = _ce_forward(model, eval_fn, params, batch, None, False)
         if mesh is not None:
             sum_nll = jax.lax.psum(sum_nll, "data")
             count = jax.lax.psum(count, "data")
