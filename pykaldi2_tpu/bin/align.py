@@ -46,21 +46,10 @@ def read_lexicon(path: str):
     return lexicon, word_ids
 
 
-
-
-def _apply_platform_env():
-    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
-    the standard JAX_PLATFORMS env var)."""
-    import os
-
-    plat = os.environ.get("PK2_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
-
 def main(argv=None):
-    _apply_platform_env()
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("-config", required=True)
     p.add_argument("-data", required=True)
@@ -129,8 +118,9 @@ def main(argv=None):
             obs = forward(jnp.asarray(wave_pad), jnp.asarray(mask))
             packed = pack_graph(graph)
             score, arcs = fsa_viterbi(obs, packed, jnp.asarray([utt.num_frames]))
-            # dead paths score ~NEG_INF (=-1e30), which IS finite — threshold it
-            if float(score[0]) < -1e29:
+            # dead paths score ~NEG_INF (=-1e30, finite) and NaNs fail any
+            # comparison — accept only clearly-live scores
+            if not (float(score[0]) > -1e29):
                 log.warning("alignment failed for %s (transcript too long for audio?)", uid)
                 n_fail += 1
                 continue

@@ -26,21 +26,10 @@ from pykaldi2_tpu.ops.fsa import save_fsa
 from pykaldi2_tpu.bin.align import read_lexicon
 
 
-
-
-def _apply_platform_env():
-    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
-    the standard JAX_PLATFORMS env var)."""
-    import os
-
-    plat = os.environ.get("PK2_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
-
 def main(argv=None):
-    _apply_platform_env()
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="mode", required=True)
     pd = sub.add_parser("decode")

@@ -7,7 +7,7 @@ reference), it reports per-utterance and corpus max/mean absolute error and
 correlation, and exits nonzero if tolerances are exceeded.
 
 CLI: python -m pykaldi2_tpu.bin.compare_posteriors a.ark b.ark \
-       [-atol 1e-3] [-rtol 1e-3] [-min_corr 0.999]
+       [-atol 1e-3] [-min_corr 0.999]
 """
 
 from __future__ import annotations
@@ -21,6 +21,9 @@ from pykaldi2_tpu.data import kaldi_io
 
 
 def main(argv=None):
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("ark_a")
     p.add_argument("ark_b")

@@ -20,21 +20,10 @@ from pykaldi2_tpu.frontend.cmvn import acc_cmvn_stats
 from pykaldi2_tpu.pipeline import save_cmvn_stats
 
 
-
-
-def _apply_platform_env():
-    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
-    the standard JAX_PLATFORMS env var)."""
-    import os
-
-    plat = os.environ.get("PK2_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
-
 def main(argv=None):
-    _apply_platform_env()
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("-data", required=True, help="corpus YAML (wav_scp/feats + feat config)")
     p.add_argument("-output", required=True, help="output stats file (Kaldi binary matrix)")

@@ -40,21 +40,10 @@ def read_symtab(path: str):
     return id2w
 
 
-
-
-def _apply_platform_env():
-    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
-    the standard JAX_PLATFORMS env var)."""
-    import os
-
-    plat = os.environ.get("PK2_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
-
 def main(argv=None):
-    _apply_platform_env()
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("-config", required=True)
     p.add_argument("-data", required=True)
@@ -91,18 +80,21 @@ def main(argv=None):
 
     graph = Fst.read_text(args.graph)
     dense_packed = None
+    decoders = []
+    n_threads = max(args.num_threads, 1)
     if args.on_device:
         from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst
         from pykaldi2_tpu.ops.fb import pack_graph
 
-        dense_packed = pack_graph(dense_from_pdf_fst(graph))
+        dense_packed = pack_graph(
+            dense_from_pdf_fst(graph, word_penalty=args.word_penalty))
         log.info("on-device decoding: %d states, %d arcs",
                  dense_packed.num_states, int(dense_packed.src.shape[0]))
-    n_threads = max(args.num_threads, 1)
-    # decoder handles are stateful — one per thread
-    decoders = [LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
-                               word_penalty=args.word_penalty)
-                for _ in range(n_threads)]
+    else:
+        # decoder handles are stateful — one per thread
+        decoders = [LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
+                                   word_penalty=args.word_penalty)
+                    for _ in range(n_threads)]
     id2w = read_symtab(args.words)
 
     @jax.jit

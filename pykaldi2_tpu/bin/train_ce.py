@@ -61,21 +61,10 @@ def build_argparser():
     return p
 
 
-
-
-def _apply_platform_env():
-    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
-    the standard JAX_PLATFORMS env var)."""
-    import os
-
-    plat = os.environ.get("PK2_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
-
 def main(argv=None):
-    _apply_platform_env()
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     args = build_argparser().parse_args(argv)
     cfg = load_config(args.config)
     if args.data:
@@ -197,8 +186,11 @@ def main(argv=None):
         anneal_loss = ep_loss
         if eval_step is not None:
             cv_nll = cv_frames = 0.0
-            cv_loader = ChunkDataloader(cv_dataset, cfg.trainer.batch_size,
-                                        cfg.trainer.chunk_len, shuffle=False)
+            cv_loader = ChunkDataloader(cv_dataset,
+                                        cfg.trainer.batch_size // jax.process_count(),
+                                        cfg.trainer.chunk_len,
+                                        rank=jax.process_index(),
+                                        world_size=jax.process_count(), shuffle=False)
             for cb in device_prefetch(iter(cv_loader), sharding=sharding):
                 nll, cnt, _cor = eval_step(params, cb)
                 cv_nll += float(nll)

@@ -104,21 +104,10 @@ def _build_tm_and_den(cfg, args, dataset, log):
     return tm, den, pdf_to_phone
 
 
-
-
-def _apply_platform_env():
-    """PK2_PLATFORM=cpu|tpu pins the jax backend (the axon TPU plugin ignores
-    the standard JAX_PLATFORMS env var)."""
-    import os
-
-    plat = os.environ.get("PK2_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
-
 def main(argv=None):
-    _apply_platform_env()
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     args = build_argparser().parse_args(argv)
     cfg = load_config(args.config)
     if args.data:

@@ -110,7 +110,7 @@ class ChunkDataloader:
         ``conservative=True`` undercounts when duration-changing simulation
         (speed perturbation) is active, so multihost ranks can truncate to a
         global minimum without deadlocking (see trainers' -multihost)."""
-        ids = list(self.ds.utt_ids)[self.rank :: self.world_size]
+        ids, _ = self._rank_ids()
         shrink = 1.0
         sim = self.ds.simulate_fn
         if conservative and sim is not None and getattr(sim, "cfg", None) is not None:
@@ -125,12 +125,17 @@ class ChunkDataloader:
             return chunks // self.batch_size
         return -(-chunks // self.batch_size)
 
-    def __iter__(self) -> Iterator[dict]:
+    def _rank_ids(self):
+        """This rank's utterances for the CURRENT epoch — must match __iter__
+        exactly (shuffle before slicing), or multihost step counts lie."""
         order = np.arange(len(self.ds))
         rng = np.random.RandomState(self.seed + self.epoch)
         if self.shuffle:
             rng.shuffle(order)
-        order = order[self.rank :: self.world_size]
+        return [self.ds.utt_ids[i] for i in order[self.rank :: self.world_size]], rng
+
+    def __iter__(self) -> Iterator[dict]:
+        ordered_ids, rng = self._rank_ids()
         fo = self.ds.frame_opts
         T, S = self.chunk_len, chunk_samples(self.chunk_len, fo)
         feats_mode = self.ds.mode == "feats"
@@ -157,7 +162,6 @@ class ChunkDataloader:
             key = "feats" if feats_mode else "wave"
             return {key: xs, "labels": labels, "mask": mask}
 
-        ordered_ids = [self.ds.utt_ids[i] for i in order]
         pool: List[tuple] = []
         pool_cap = self.chunk_shuffle_buffer if self.shuffle else 0
 

@@ -21,8 +21,11 @@ from pykaldi2_tpu.ops.fb import GraphArrays, fsa_viterbi, pack_graph
 from pykaldi2_tpu.ops.fsa import DenseFsa
 
 
-def dense_from_pdf_fst(fst: Fst) -> DenseFsa:
-    """pdf-level decode FST (ilabel = pdf+1, olabel = word) → DenseFsa."""
+def dense_from_pdf_fst(fst: Fst, word_penalty: float = 0.0) -> DenseFsa:
+    """pdf-level decode FST (ilabel = pdf+1, olabel = word) → DenseFsa.
+
+    ``word_penalty`` subtracts a log-score on word-emitting arcs (same
+    insertion penalty the host LatticeDecoder applies)."""
     src, dst, pdf, w, ol = [], [], [], [], []
     for s in range(fst.num_states):
         for a in fst.arcs[s]:
@@ -31,7 +34,7 @@ def dense_from_pdf_fst(fst: Fst) -> DenseFsa:
             src.append(s)
             dst.append(a.nextstate)
             pdf.append(a.ilabel - 1)
-            w.append(a.weight)
+            w.append(a.weight - (word_penalty if a.olabel != 0 else 0.0))
             ol.append(a.olabel)
     final = np.full(fst.num_states, -np.inf, np.float32)
     for s, fw in fst.finals.items():

@@ -81,45 +81,39 @@ class FeaturePipeline:
         pass a PRNG key.)"""
         import copy
 
-        cfg = copy.deepcopy(self.cfg)
-        cfg.fbank.frame_opts.dither = 0.0
-        cfg.mfcc.frame_opts.dither = 0.0
-        out = FeaturePipeline.__new__(FeaturePipeline)
-        out.cfg = cfg
-        out.mean, out.scale, out.dim = self.mean, self.scale, self.dim
+        out = copy.copy(self)  # shallow: shares stats, swaps config
+        out.cfg = copy.deepcopy(self.cfg)
+        out.cfg.fbank.frame_opts.dither = 0.0
+        out.cfg.mfcc.frame_opts.dither = 0.0
         return out
 
-    def _use_fused(self, dither_key) -> bool:
-        """Pallas fused fbank kernel: default on TPU for the standard
-        log-power fbank path (PK2_PALLAS_FBANK overrides); dithered batches
-        fall back to the XLA path (the kernel has no PRNG)."""
+    @staticmethod
+    def _pallas_enabled(env_var: str = "PK2_PALLAS_FBANK") -> bool:
+        """Env override wins; otherwise fused kernels default to TPU only."""
         import os
 
+        env = os.environ.get(env_var)
+        if env is not None:
+            return env not in ("0", "false", "")
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
+    def _use_fused(self, dither_key) -> bool:
+        """Pallas fused fbank kernel for the standard log-power fbank path;
+        dithered batches fall back to the XLA path (the kernel has no PRNG)."""
         fb = self.cfg.fbank
         if fb.frame_opts.dither != 0.0 or fb.use_energy \
                 or not fb.use_log_fbank or not fb.use_power:
             return False
-        env = os.environ.get("PK2_PALLAS_FBANK")
-        if env is not None:
-            return env not in ("0", "false", "")
-        try:
-            return jax.default_backend() == "tpu"
-        except Exception:
-            return False
+        return self._pallas_enabled()
 
     def _use_fused_mfcc(self) -> bool:
-        import os
-
         mf = self.cfg.mfcc
         if mf.frame_opts.dither != 0.0 or (mf.use_energy and not mf.raw_energy):
             return False
-        env = os.environ.get("PK2_PALLAS_FBANK")
-        if env is not None:
-            return env not in ("0", "false", "")
-        try:
-            return jax.default_backend() == "tpu"
-        except Exception:
-            return False
+        return self._pallas_enabled()
 
     def __call__(self, batch: dict, dither_key=None) -> jax.Array:
         cfg = self.cfg
