@@ -109,13 +109,14 @@ def main(argv=None):
     params = model.init(init_key)
     opt_state = optimizer.init(params)
     start_epoch = 0
+    resume_meta = {}
 
     resume = args.resume_from_model or latest_checkpoint(args.exp_dir)
     if resume:
-        params, opt_state2, meta = load_checkpoint(resume, params, opt_state)
+        params, opt_state2, resume_meta = load_checkpoint(resume, params, opt_state)
         if opt_state2 is not None:
             opt_state = opt_state2
-        start_epoch = int(meta.get("epoch", -1)) + 1
+        start_epoch = int(resume_meta.get("epoch", -1)) + 1
         log.info("resumed from %s (epoch %d)", resume, start_epoch)
     elif args.seed_model:
         params, _, _ = load_checkpoint(args.seed_model, params)
@@ -128,6 +129,13 @@ def main(argv=None):
         eval_step = make_eval_step(model, feat_fn, mesh)
     sharding = None if mesh is None else local_batch_sharding(mesh)
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
+    if resume_meta:
+        # restore plateau state or the first post-resume epoch would silently
+        # reset lr_scale to 1.0, undoing prior annealing (ADVICE round 1);
+        # old checkpoints without "anneal" still carry lr_scale
+        annealer.restore(resume_meta.get("anneal")
+                         or {"scale": resume_meta.get("lr_scale", 1.0)})
+        opt_state = set_lr_scale(opt_state, annealer.scale)
 
     num_params = sum(np.prod(np.shape(x)) for x in jax.tree.leaves(params))
     log.info("model: %s input=%d params=%.2fM output=%d",
@@ -137,6 +145,7 @@ def main(argv=None):
 
     profile_steps = 20 if args.profile else 0
     step_no = 0
+    procs = jax.process_count()
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
         sweep_world = max(int(round(1.0 / max(cfg.trainer.sweep_size, 1e-6))), 1)
         loader = ChunkDataloader(
@@ -172,10 +181,12 @@ def main(argv=None):
                 profiler_ctx.__exit__(None, None, None)
                 log.info("profiler trace written to %s", args.profile)
                 profile_steps = 0
-            frames = float(m["frames"])
+            frames = float(m["frames"])  # psum'd over the mesh → global
             ep_nll += float(m["loss"]) * frames
             ep_frames += frames
-            tp.update(cfg.trainer.batch_size, frames)
+            # per-process rates (the reference logs per-rank throughput):
+            # local batch rows and the global frame count / process_count
+            tp.update(cfg.trainer.batch_size // procs, frames / procs)
             if step_no % cfg.trainer.log_interval == 0:
                 u_s, f_s = tp.rates()
                 log.info("epoch %d step %d loss %.4f acc %.4f | %.1f utt/s %.0f frames/s",
@@ -191,7 +202,18 @@ def main(argv=None):
                                         cfg.trainer.chunk_len,
                                         rank=jax.process_index(),
                                         world_size=jax.process_count(), shuffle=False)
-            for cb in device_prefetch(iter(cv_loader), sharding=sharding):
+            cv_iter = iter(cv_loader)
+            if jax.process_count() > 1:
+                # eval_step psums over the global mesh: equalize CV step counts
+                # across hosts or a host with one extra batch deadlocks all
+                # (ADVICE round 1) — same recipe as the training loop above
+                import itertools
+                from jax.experimental import multihost_utils
+
+                local = np.asarray([cv_loader.num_batches(conservative=True)])
+                steps = int(multihost_utils.process_allgather(local).min())
+                cv_iter = itertools.islice(cv_iter, steps)
+            for cb in device_prefetch(cv_iter, sharding=sharding):
                 nll, cnt, _cor = eval_step(params, cb)
                 cv_nll += float(nll)
                 cv_frames += float(cnt)
@@ -201,7 +223,9 @@ def main(argv=None):
         scale = annealer.step(anneal_loss)
         opt_state = set_lr_scale(opt_state, scale)
         ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
-        save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "loss": ep_loss, "lr_scale": scale})
+        save_checkpoint(ckpt, params, opt_state,
+                        {"epoch": epoch, "loss": ep_loss, "lr_scale": scale,
+                         "anneal": annealer.state()})
         log.info("epoch %d done: loss %.4f lr_scale %.3g → %s", epoch, ep_loss, scale, ckpt)
         metrics_log.log(epoch=epoch, epoch_loss=ep_loss, lr_scale=scale)
     metrics_log.close()

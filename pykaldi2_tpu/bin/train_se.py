@@ -174,12 +174,13 @@ def main(argv=None):
     params = model.init(init_key)
     opt_state = optimizer.init(params)
     start_epoch = 0
+    resume_meta = {}
     resume = args.resume_from_model or latest_checkpoint(args.exp_dir)
     if resume:
-        params, opt_state2, meta = load_checkpoint(resume, params, opt_state)
+        params, opt_state2, resume_meta = load_checkpoint(resume, params, opt_state)
         if opt_state2 is not None:
             opt_state = opt_state2
-        start_epoch = int(meta.get("epoch", -1)) + 1
+        start_epoch = int(resume_meta.get("epoch", -1)) + 1
         log.info("resumed from %s (epoch %d)", resume, start_epoch)
     elif args.seed_model or cfg.trainer.seed_model:
         params, _, _ = load_checkpoint(args.seed_model or cfg.trainer.seed_model, params)
@@ -193,7 +194,8 @@ def main(argv=None):
             raise SystemExit("-on_the_fly currently supports criterion=mmi")
         return _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                                optimizer, tm, den, pdf_to_phone, log_prior,
-                               params, opt_state, start_epoch, key)
+                               params, opt_state, start_epoch, key,
+                               resume_meta=resume_meta, crit=crit, mesh=mesh)
     step = make_se_train_step(
         model, feat_fn, optimizer, den_packed, crit, mesh,
         log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
@@ -202,6 +204,11 @@ def main(argv=None):
     )
     sharding = None if mesh is None else local_batch_sharding(mesh)
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
+    if resume_meta:
+        # restore plateau state so resume doesn't reset lr_scale (ADVICE round 1)
+        annealer.restore(resume_meta.get("anneal")
+                         or {"scale": resume_meta.get("lr_scale", 1.0)})
+        opt_state = set_lr_scale(opt_state, annealer.scale)
     bucket = BucketSpec(batch_sizes=cfg.trainer.batch_size)
 
     step_no = 0
@@ -226,10 +233,11 @@ def main(argv=None):
             key, sk = jax.random.split(key)
             params, opt_state, m = step(params, opt_state, batch, sk)
             step_no += 1
-            frames = float(m["frames"])
+            frames = float(m["frames"])  # psum'd over the mesh → global
             ep_obj += float(m["objective"]) * frames
             ep_frames += frames
-            tp.update(len(utt_ids), frames)
+            # per-process rates: local utts, global frames / process_count
+            tp.update(len(utt_ids), frames / jax.process_count())
             if step_no % cfg.trainer.log_interval == 0:
                 u_s, f_s = tp.rates()
                 log.info("epoch %d step %d %s %.4f acc %.4f | %.1f utt/s %.0f frames/s",
@@ -240,7 +248,9 @@ def main(argv=None):
         scale = annealer.step(-ep)  # objective is maximized
         opt_state = set_lr_scale(opt_state, scale)
         ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
-        save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "objective": ep, "lr_scale": scale})
+        save_checkpoint(ckpt, params, opt_state,
+                        {"epoch": epoch, "objective": ep, "lr_scale": scale,
+                         "anneal": annealer.state()})
         log.info("epoch %d done: %s objective %.4f → %s", epoch, crit, ep, ckpt)
         metrics_log.log(epoch=epoch, epoch_objective=ep, lr_scale=scale)
     metrics_log.close()
@@ -249,7 +259,8 @@ def main(argv=None):
 
 def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                     optimizer, tm, den, pdf_to_phone, log_prior,
-                    params, opt_state, start_epoch, key):
+                    params, opt_state, start_epoch, key,
+                    resume_meta=None, crit="mmi", mesh=None):
     """Reference train_se semantics: per-utterance denominator lattices
     decoded on the host per batch, forward-backward on device."""
     import numpy as np
@@ -299,6 +310,10 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
     from pykaldi2_tpu.trainer import Throughput
 
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
+    if resume_meta:
+        annealer.restore(resume_meta.get("anneal")
+                         or {"scale": resume_meta.get("lr_scale", 1.0)})
+        opt_state = set_lr_scale(opt_state, annealer.scale)
     bucket = BucketSpec(batch_sizes=cfg.trainer.batch_size)
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
@@ -336,7 +351,9 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         scale = annealer.step(-ep)
         opt_state = set_lr_scale(opt_state, scale)
         ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
-        save_checkpoint(ckpt, params, opt_state, {"epoch": epoch, "objective": ep, "lr_scale": scale})
+        save_checkpoint(ckpt, params, opt_state,
+                        {"epoch": epoch, "objective": ep, "lr_scale": scale,
+                         "anneal": annealer.state()})
         log.info("epoch %d done: mmi(lat) objective %.4f → %s", epoch, ep, ckpt)
         metrics_log.log(epoch=epoch, epoch_objective=ep, lr_scale=scale)
     metrics_log.close()

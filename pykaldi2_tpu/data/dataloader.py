@@ -19,9 +19,12 @@ In feats mode ``feats [B, T, D]`` replaces ``wave``.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
+
+_log = logging.getLogger("pykaldi2_tpu.data")
 
 from pykaldi2_tpu.config import FrameOpts
 from pykaldi2_tpu.data.dataset import SpeechDataset
@@ -247,6 +250,11 @@ class SeqDataloader:
         self.seed = seed
         self.num_workers = num_workers
         self.epoch = 0
+        # loader hygiene: utterances longer than the largest bucket are
+        # skipped, and speed perturbation can push an utterance past its
+        # bucket (truncated). Both are counted and logged — never silent.
+        self.num_dropped = 0
+        self.num_truncated = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -294,6 +302,10 @@ class SeqDataloader:
             for i, u in enumerate(items):
                 # speed perturbation can push an utterance past its bucket
                 nf = min(u.num_frames, T)
+                if u.num_frames > T:
+                    self.num_truncated += 1
+                    _log.warning("utterance %s truncated %d → %d frames "
+                                 "(bucket boundary %d)", u.utt_id, u.num_frames, T, T)
                 nfs[i] = nf
                 utt_ids.append(u.utt_id)
                 if feats_mode:
@@ -309,12 +321,21 @@ class SeqDataloader:
             return {key: xs, "labels": labels, "mask": mask, "num_frames": nfs, "utt_ids": utt_ids}
 
         eligible = []
+        dropped = []
         for uid in ids:
             nf = self.ds.utt_num_frames(uid)
             b = next((i for i, bound in enumerate(self.spec.boundaries) if nf <= bound), None)
             if b is None:
-                continue  # utterance longer than the largest bucket: skipped (logged upstream)
+                dropped.append((uid, nf))
+                continue
             eligible.append((uid, b))
+        if dropped:
+            self.num_dropped += len(dropped)
+            _log.warning(
+                "SeqDataloader dropped %d utterance(s) longer than the largest "
+                "bucket (%d frames), e.g. %s (%d frames); raise "
+                "BucketSpec.boundaries to include them",
+                len(dropped), self.spec.boundaries[-1], dropped[0][0], dropped[0][1])
         utts = _iter_utts(self.ds, [u for u, _ in eligible], self.seed, self.epoch,
                           self.num_workers)
         for (uid, b), utt in zip(eligible, utts):

@@ -89,6 +89,16 @@ class SpeechDataset:
 
             simulate_fn = Simulator(cfg.simulation, samp_freq=frame_opts.samp_freq,
                                     frame_shift=frame_opts.window_shift)
+        if tid_to_pdf is None and cfg.label_ark and not cfg.ali_are_pdf_ids:
+            # transition-id alignments must be mapped tid→pdf before training
+            # or out-of-range labels clamp silently in jitted gathers
+            if not cfg.trans_model:
+                raise ValueError(
+                    "data.ali_are_pdf_ids is false but data.trans_model is unset; "
+                    "a TransitionModel is required to map transition-ids to pdf-ids")
+            from pykaldi2_tpu.graph.transition_model import TransitionModel
+
+            tid_to_pdf = TransitionModel.read_kaldi(cfg.trans_model).tid_to_pdf_array()
         return cls(
             wav_scp=cfg.wav_scp,
             ali=cfg.label_ark,

@@ -5,12 +5,11 @@ Replaces PyKaldi's ``kaldi.util.table`` readers/writers (SURVEY.md §3.1
 util/kaldi-table}). Supports:
 
   * binary float/double matrices ("FM"/"DM") and vectors ("FV"/"DV")
+  * compressed matrices ("CM"/"CM2"/"CM3") — read side (see
+    ``_read_compressed_matrix``; writing always uses uncompressed "FM")
   * int32 vectors (alignments, WriteIntegerVector layout)
   * text-mode tables
   * ark, scp (with byte offsets), and ark+scp writing
-
-Compressed matrices ("CM") are not yet supported; real Kaldi artifacts using
-compression must be converted with copy-feats first.
 """
 
 from __future__ import annotations

@@ -195,22 +195,36 @@ class TransitionModel:
     def _read_topo(f) -> HmmTopology:
         _expect_token(f, "<Topology>")
         phones = kaldi_io.read_int_vector(f)
-        _phone2idx = kaldi_io.read_int_vector(f)
+        phone2idx = kaldi_io.read_int_vector(f)
         n_entries = _read_int(f)
-        entries = {}
-        # our writer emits one entry per phone in sorted order
-        for i in range(n_entries):
+        entry_list = []
+        for _ in range(n_entries):
             n_states = _read_int(f)
             states = []
             for j in range(n_states):
                 fwd_cls = _read_int(f)
-                _self_cls = _read_int(f)
+                self_cls = _read_int(f)
+                if fwd_cls >= 0 and self_cls != fwd_cls:
+                    raise ValueError(
+                        "topology entry with forward_pdf_class != "
+                        "self_loop_pdf_class (chain-style): not supported")
                 n_trans = _read_int(f)
-                trans = [( _read_int(f), _read_float(f)) for _ in range(n_trans)]
+                trans = [(_read_int(f), _read_float(f)) for _ in range(n_trans)]
                 if fwd_cls >= 0:
                     states.append(HmmState(fwd_cls, trans))
-            entries[int(phones[i])] = states
+            entry_list.append(states)
         _expect_token(f, "</Topology>")
+        # real Kaldi shares one entry across many phones (n_entries can be
+        # < n_phones): map each phone through phone2idx, NOT positionally
+        # (kaldi/src/hmm/hmm-topology.cc layout; ADVICE round 1)
+        entries = {}
+        for p in phones:
+            p = int(p)
+            idx = int(phone2idx[p]) if p < len(phone2idx) else -1
+            if idx < 0 or idx >= n_entries:
+                raise ValueError(f"phone {p} has no topology entry (phone2idx={idx})")
+            # copy so per-phone mutation never aliases a shared entry
+            entries[p] = [HmmState(s.pdf_class, list(s.transitions)) for s in entry_list[idx]]
         return HmmTopology(entries)
 
 

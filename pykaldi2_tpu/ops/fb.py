@@ -210,7 +210,10 @@ def fsa_viterbi(obs, graph: GraphArrays, num_frames):
         best = jnp.maximum(best, NEG_INF)
         # argmax arc per dst state: arc e wins if score[e] == best[dst[e]]
         e_ids = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)        # [B, E]
-        is_best = score >= best[:, g.dst] - 1e-6
+        # exact equality is safe: the segment max selects (not recomputes) one
+        # of these very score values, so at least one arc compares equal and
+        # no arc with a strictly worse score can win (round-1 review note)
+        is_best = score == best[:, g.dst]
         cand = jnp.where(is_best, e_ids, jnp.iinfo(jnp.int32).max)
         bp = -_seg_max((-cand).T, g.dst, g.num_states).T                   # min winning arc id
         m2 = jnp.max(best, axis=1, keepdims=True)

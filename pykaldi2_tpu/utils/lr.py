@@ -8,6 +8,8 @@ PlateauAnnealer can halve the LR between epochs without re-jitting.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import optax
 
 from pykaldi2_tpu.config import OptimizerConfig
@@ -85,3 +87,15 @@ class PlateauAnnealer:
                 self.scale = max(self.scale * self.factor, self.min_scale)
                 self.bad_epochs = 0
         return self.scale
+
+    def state(self) -> dict:
+        """JSON-serializable state for checkpoint meta (resume support)."""
+        return {"best": self.best, "bad_epochs": self.bad_epochs, "scale": self.scale}
+
+    def restore(self, state: Optional[dict]):
+        """Restore from checkpoint meta; tolerates missing/old checkpoints."""
+        if not state:
+            return
+        self.best = float(state.get("best", self.best))
+        self.bad_epochs = int(state.get("bad_epochs", self.bad_epochs))
+        self.scale = float(state.get("scale", self.scale))
