@@ -39,13 +39,40 @@ class TransitionModel:
                     nxt += 1
         self.pdf_map = pdf_map
         # tuples[i] = (phone, hmm_state, pdf) for tuple-index i (0-based)
-        self.tuples: List[Tuple[int, int, int]] = []
-        self._tuple_index: Dict[Tuple[int, int], int] = {}
+        tuples: List[Tuple[int, int, int]] = []
         for p in topo.phones:
             for j, st in enumerate(topo.states_for(p)):
-                self._tuple_index[(p, j)] = len(self.tuples)
-                self.tuples.append((p, j, pdf_map[(p, st.pdf_class)]))
+                tuples.append((p, j, pdf_map[(p, st.pdf_class)]))
+        self._init_from_tuples(tuples)
+
+    @classmethod
+    def from_tuples(cls, topo: HmmTopology,
+                    tuples: Sequence[Tuple[int, int, int]]) -> "TransitionModel":
+        """Build from an explicit (phone, hmm_state, pdf) tuple list.
+
+        Unlike the pdf_map constructor this represents context-DEPENDENT
+        models, where one (phone, hmm_state) appears with several pdfs (one
+        per tree leaf) — the layout of real Kaldi final.mdl files. The
+        tid→pdf/phone lookup arrays are exact; (phone, hmm_state)-keyed
+        helpers (``pdf_for``, graph building) use the first matching tuple
+        and are only meaningful for CI models.
+        """
+        self = cls.__new__(cls)
+        self.topo = topo
+        self.pdf_map = {}
+        for (p, j, pdf) in tuples:
+            self.pdf_map.setdefault((p, topo.states_for(p)[j].pdf_class), pdf)
+        self._init_from_tuples(list(tuples))
+        return self
+
+    def _init_from_tuples(self, tuples: List[Tuple[int, int, int]]):
+        topo = self.topo
+        self.tuples = tuples
+        self._tuple_index: Dict[Tuple[int, int], int] = {}
+        for i, (p, j, _pdf) in enumerate(tuples):
+            self._tuple_index.setdefault((p, j), i)
         # transition-ids: 1-based, ordered by tuple then transition index
+        # (matches kaldi/src/hmm/transition-model.cc ComputeDerived)
         self._tid2tuple: List[int] = [0]        # dummy for tid 0
         self._tid2trans: List[int] = [0]
         self._state2tid_offset: Dict[int, int] = {}
@@ -102,53 +129,67 @@ class TransitionModel:
         nxt = self.topo.states_for(phone)[hmm_state].transitions[k][0]
         return nxt, float(self.log_probs[tid]), tid
 
-    # -- Kaldi final.mdl interchange (best effort) ------------------------
+    # -- Kaldi final.mdl interchange ---------------------------------------
 
     def write_kaldi(self, path: str):
-        """Binary final.mdl-compatible write (modern <Tuples> format)."""
+        """Binary final.mdl-compatible write, real Kaldi HMM layout
+        (kaldi/src/hmm/transition-model.cc Write): since forward and
+        self-loop pdfs coincide in HMM (non-chain) models, Kaldi writes the
+        compact ``<Triples>`` list and one pdf-class per topology state;
+        identical topology entries are shared across phones via phone2idx.
+        """
         with open(path, "wb") as f:
             f.write(kaldi_io.BINARY_MARKER)
             f.write(b"<TransitionModel> ")
             self._write_topo(f)
-            f.write(b"<Tuples> ")
+            f.write(b"<Triples> ")
             f.write(b"\x04" + struct.pack("<i", len(self.tuples)))
             for (p, j, pdf) in self.tuples:
-                st = self.topo.states_for(p)[j]
-                fwd_pdf = self_pdf = pdf
                 f.write(b"\x04" + struct.pack("<i", p))
                 f.write(b"\x04" + struct.pack("<i", j))
-                f.write(b"\x04" + struct.pack("<i", fwd_pdf))
-                f.write(b"\x04" + struct.pack("<i", self_pdf))
-            f.write(b"</Tuples> ")
+                f.write(b"\x04" + struct.pack("<i", pdf))
+            f.write(b"</Triples> ")
             f.write(b"<LogProbs> ")
             kaldi_io.write_vector(f, self.log_probs.astype(np.float32))
             f.write(b"</LogProbs> ")
             f.write(b"</TransitionModel> ")
 
     def _write_topo(self, f):
+        """kaldi/src/hmm/hmm-topology.cc binary Write, HMM (non-extended)
+        format: no -1 sentinel, one pdf-class per state. Entries shared by
+        multiple phones are written once and referenced through phone2idx.
+        """
         f.write(b"<Topology> ")
         phones = self.topo.phones
         kaldi_io.write_int_vector(f, np.asarray(phones, np.int32))
-        # phone2idx: 1-based phone → entry index; entries unique per phone here
-        max_p = max(phones)
-        phone2idx = np.full(max_p + 1, -1, np.int32)
-        for i, p in enumerate(phones):
-            phone2idx[p] = i
-        kaldi_io.write_int_vector(f, phone2idx)
-        f.write(b"\x04" + struct.pack("<i", len(phones)))
+        # deduplicate identical entries (real Kaldi shares e.g. one 3-state
+        # entry across all speech phones)
+        entry_keys: Dict[tuple, int] = {}
+        entry_of_phone = {}
+        entry_list = []
         for p in phones:
             states = self.topo.states_for(p)
-            # +1 for the implicit non-emitting final state
+            key = tuple((s.pdf_class, tuple(s.transitions)) for s in states)
+            if key not in entry_keys:
+                entry_keys[key] = len(entry_list)
+                entry_list.append(states)
+            entry_of_phone[p] = entry_keys[key]
+        max_p = max(phones)
+        phone2idx = np.full(max_p + 1, -1, np.int32)
+        for p in phones:
+            phone2idx[p] = entry_of_phone[p]
+        kaldi_io.write_int_vector(f, phone2idx)
+        f.write(b"\x04" + struct.pack("<i", len(entry_list)))
+        for states in entry_list:
+            # +1 for the explicit non-emitting final state
             f.write(b"\x04" + struct.pack("<i", len(states) + 1))
             for st in states:
-                f.write(b"\x04" + struct.pack("<i", st.pdf_class))  # forward_pdf_class
-                f.write(b"\x04" + struct.pack("<i", st.pdf_class))  # self_loop_pdf_class
+                f.write(b"\x04" + struct.pack("<i", st.pdf_class))
                 f.write(b"\x04" + struct.pack("<i", len(st.transitions)))
                 for (nxt, prob) in st.transitions:
                     f.write(b"\x04" + struct.pack("<i", nxt))
                     f.write(b"\x04" + struct.pack("<f", prob))
-            # final state: no pdf classes, no transitions
-            f.write(b"\x04" + struct.pack("<i", -1))
+            # final state: kNoPdf pdf-class, no transitions
             f.write(b"\x04" + struct.pack("<i", -1))
             f.write(b"\x04" + struct.pack("<i", 0))
         f.write(b"</Topology> ")
@@ -164,12 +205,18 @@ class TransitionModel:
             tok = _read_token(f)
             tuples = []
             if tok == "<Tuples>":
+                # extended (chain-capable) 4-int layout: forward and
+                # self-loop pdfs must coincide for the HMM systems we model
                 n = _read_int(f)
                 for _ in range(n):
                     p = _read_int(f)
                     j = _read_int(f)
                     fwd_pdf = _read_int(f)
-                    _self_pdf = _read_int(f)
+                    self_pdf = _read_int(f)
+                    if self_pdf != fwd_pdf:
+                        raise ValueError(
+                            f"tuple ({p},{j}) has forward_pdf {fwd_pdf} != "
+                            f"self_loop_pdf {self_pdf} (chain model): not supported")
                     tuples.append((p, j, fwd_pdf))
                 _expect_token(f, "</Tuples>")
             elif tok == "<Triples>":
@@ -182,28 +229,36 @@ class TransitionModel:
             _expect_token(f, "<LogProbs>")
             log_probs = kaldi_io.read_vector(f)
             _expect_token(f, "</LogProbs>")
-        pdf_map = {}
-        for (p, j, pdf) in tuples:
-            cls_id = topo.states_for(p)[j].pdf_class
-            pdf_map[(p, cls_id)] = pdf
-        tm = cls(topo, pdf_map)
-        if tm.num_tids == len(log_probs) - 1:
-            tm.log_probs = log_probs.astype(np.float32)
+        # preserve the file's exact tuple list (CD models have several pdfs
+        # per (phone, hmm_state)); transition-id order then matches Kaldi's
+        tm = cls.from_tuples(topo, tuples)
+        if tm.num_tids != len(log_probs) - 1:
+            raise ValueError(
+                f"final.mdl LogProbs dim {len(log_probs)} != num tids+1 "
+                f"{tm.num_tids + 1}: tuple/topology mismatch")
+        tm.log_probs = log_probs.astype(np.float32)
         return tm
 
     @staticmethod
     def _read_topo(f) -> HmmTopology:
+        """kaldi/src/hmm/hmm-topology.cc binary Read: a -1 where the entry
+        count belongs signals the extended (chain) format carrying a separate
+        self-loop pdf-class per state; plain HMM files carry one pdf-class.
+        """
         _expect_token(f, "<Topology>")
         phones = kaldi_io.read_int_vector(f)
         phone2idx = kaldi_io.read_int_vector(f)
         n_entries = _read_int(f)
+        extended = n_entries == -1
+        if extended:
+            n_entries = _read_int(f)
         entry_list = []
         for _ in range(n_entries):
             n_states = _read_int(f)
             states = []
             for j in range(n_states):
                 fwd_cls = _read_int(f)
-                self_cls = _read_int(f)
+                self_cls = _read_int(f) if extended else fwd_cls
                 if fwd_cls >= 0 and self_cls != fwd_cls:
                     raise ValueError(
                         "topology entry with forward_pdf_class != "
