@@ -10,9 +10,16 @@
 // alternative incoming links within the lattice beam, not just the Viterbi
 // backpointer, so the emitted lattice contains competing paths.
 //
-// Graph convention (from pykaldi2_tpu.graph.compile.expand_to_pdf_fst):
-//   - arcs: src, dst, ilabel = pdf+1 (no epsilon input arcs), olabel = word,
+// Graph convention (from pykaldi2_tpu.graph.compile.expand_to_pdf_fst /
+// expand_to_pdf_vfst):
+//   - arcs: src, dst, ilabel = pdf+1 (0 = epsilon), olabel = word,
 //     cost = -log-prob graph weight
+//   - epsilon (ilabel == 0) arcs are traversed within a frame by a
+//     Dijkstra-style closure (Kaldi's ProcessNonemitting) — they carry
+//     word-LM backoff and junction weights in HCLG-scale graphs and MUST
+//     have olabel == 0 (the Python wrapper enforces this): each lattice
+//     link records one emitting arc plus the accumulated epsilon graph
+//     cost, keeping lattices time-synchronous for the on-device FB kernels.
 //   - final_cost[state] = -log-prob final weight (+inf = non-final)
 // Observation matrix: loglikes[t*P + pdf], already acoustic-scaled.
 //
@@ -40,8 +47,9 @@ struct Graph {
 
 struct Link {           // an incoming arc alternative
   int prev;             // token index in previous frame
-  int arc;              // graph arc id
+  int arc;              // EMITTING graph arc id this link entered through
   float cost;           // total path cost via this link
+  float graph_cost;     // emitting arc cost + accumulated epsilon costs
 };
 
 struct Token {
@@ -98,6 +106,65 @@ void latdec_free(void* h) { delete static_cast<Decoder*>(h); }
 
 namespace {
 
+// Within-frame epsilon closure (Kaldi ProcessNonemitting): Dijkstra-style
+// relaxation over ilabel==0 arcs. Each propagated link keeps its original
+// emitting arc and accumulates the epsilon graph cost, so lattices remain
+// time-synchronous. Re-queues only on strict cost improvement, so zero-cost
+// epsilon cycles terminate.
+void EpsClosure(const Graph& g, std::vector<Token>& toks,
+                std::vector<int>& state_tok, std::vector<int>& touched,
+                float cutoff, float lattice_beam) {
+  std::vector<int> queue;
+  queue.reserve(toks.size());
+  for (int i = 0; i < (int)toks.size(); ++i) queue.push_back(i);
+  while (!queue.empty()) {
+    int i = queue.back();
+    queue.pop_back();
+    int s = toks[i].state;
+    float base = toks[i].cost;
+    for (int e = g.row_off[s]; e < g.row_off[s + 1]; ++e) {
+      if (g.ilabel[e] != 0) continue;
+      float w = g.cost[e];
+      float c = base + w;
+      if (c > cutoff) continue;
+      int s2 = g.dst[e];
+      if (s2 == s) continue;  // eps self-loop: never improves
+      int ti = state_tok[s2];
+      if (ti < 0) {
+        Token nt;
+        nt.cost = c;
+        nt.state = s2;
+        nt.alts.reserve(toks[i].alts.size());
+        for (const Link& l : toks[i].alts)
+          if (l.cost + w <= c + lattice_beam)
+            nt.alts.push_back({l.prev, l.arc, l.cost + w, l.graph_cost + w});
+        state_tok[s2] = (int)toks.size();
+        touched.push_back(s2);
+        toks.push_back(std::move(nt));
+        queue.push_back((int)toks.size() - 1);
+      } else if (ti != i) {
+        bool improved = c < toks[ti].cost;
+        size_t n_src = toks[i].alts.size();
+        for (size_t k = 0; k < n_src; ++k) {
+          Link l = toks[i].alts[k];  // copy: push may not alias the source
+          float lc = l.cost + w;
+          if (lc <= std::min(c, toks[ti].cost) + lattice_beam)
+            toks[ti].alts.push_back({l.prev, l.arc, lc, l.graph_cost + w});
+        }
+        if (improved) {
+          Token& tk = toks[ti];
+          tk.cost = c;
+          int best = 0;
+          for (int k = 1; k < (int)tk.alts.size(); ++k)
+            if (tk.alts[k].cost < tk.alts[best].cost) best = k;
+          if (best != 0) std::swap(tk.alts[0], tk.alts[best]);
+          queue.push_back(ti);
+        }
+      }
+    }
+  }
+}
+
 int RunSearch(Decoder* d, const float* loglikes, int T, int P,
               float* best_final_cost_out) {
   Decoder& dec = *d;
@@ -107,6 +174,13 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
 
   std::vector<int> state_tok(g.num_states, -1);
   std::vector<int> touched;
+
+  // initial epsilon closure (graphs may have eps arcs out of the start)
+  state_tok[g.start] = 0;
+  touched.push_back(g.start);
+  EpsClosure(g, dec.frames[0], state_tok, touched, dec.beam, dec.lattice_beam);
+  for (int s : touched) state_tok[s] = -1;
+  touched.clear();
 
   for (int t = 0; t < T; ++t) {
     const std::vector<Token>& cur = dec.frames[t];
@@ -126,10 +200,10 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
         if (ti < 0) {
           state_tok[s2] = (int)nxt.size();
           touched.push_back(s2);
-          nxt.push_back({c, s2, {{i, e, c}}});
+          nxt.push_back({c, s2, {{i, e, c, g.cost[e]}}});
         } else {
           Token& tk = nxt[ti];
-          tk.alts.push_back({i, e, c});
+          tk.alts.push_back({i, e, c, g.cost[e]});
           if (c < tk.cost) {
             tk.cost = c;
             std::swap(tk.alts.front(), tk.alts.back());
@@ -138,6 +212,9 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
         if (c < frame_best) frame_best = c;
       }
     }
+    // epsilon closure before pruning so eps-reachable states compete fairly
+    EpsClosure(g, nxt, state_tok, touched, frame_best + dec.beam,
+               dec.lattice_beam);
     float cutoff = frame_best + dec.beam;
     if ((int)nxt.size() > dec.max_active) {
       std::vector<float> costs;
@@ -150,10 +227,23 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
     kept.reserve(nxt.size());
     for (auto& tk : nxt) {
       if (tk.cost > cutoff) continue;
-      // prune link alternatives to the lattice beam
+      // prune link alternatives to the lattice beam, dedup by (prev, arc)
+      // keeping the cheapest (eps relaxation can produce duplicates)
       std::vector<Link> keep_alts;
       for (auto& l : tk.alts)
         if (l.cost <= tk.cost + dec.lattice_beam) keep_alts.push_back(l);
+      std::sort(keep_alts.begin(), keep_alts.end(),
+                [](const Link& a, const Link& b) {
+                  if (a.prev != b.prev) return a.prev < b.prev;
+                  if (a.arc != b.arc) return a.arc < b.arc;
+                  return a.cost < b.cost;
+                });
+      keep_alts.erase(
+          std::unique(keep_alts.begin(), keep_alts.end(),
+                      [](const Link& a, const Link& b) {
+                        return a.prev == b.prev && a.arc == b.arc;
+                      }),
+          keep_alts.end());
       std::sort(keep_alts.begin(), keep_alts.end(),
                 [](const Link& a, const Link& b) { return a.cost < b.cost; });
       tk.alts.swap(keep_alts);
@@ -250,7 +340,11 @@ int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
         lat_src[n_arcs] = prev;
         lat_dst[n_arcs] = ids[t][i];
         lat_pdf[n_arcs] = d->g.ilabel[l.arc] - 1;
-        lat_weight[n_arcs] = -d->g.cost[l.arc];
+        // graph_cost folds in epsilon arcs taken after the emitting arc;
+        // frame-0 tokens all map to lattice state 0, so initial-epsilon
+        // costs (pure graph, no acoustics yet) move onto the first arc
+        lat_weight[n_arcs] =
+            -(l.graph_cost + (t == 1 ? d->frames[0][l.prev].cost : 0.0f));
         ++n_arcs;
       }
     }

@@ -21,6 +21,7 @@ from pykaldi2_tpu.data import kaldi_io
 from pykaldi2_tpu.graph import (HmmTopology, TransitionModel,
                                 estimate_phone_bigram, make_decode_graph,
                                 make_den_graph)
+from pykaldi2_tpu.graph.fst import Fst
 from pykaldi2_tpu.graph.phone_lm import collapse_to_phones
 from pykaldi2_tpu.ops.fsa import save_fsa
 from pykaldi2_tpu.bin.align import read_lexicon
@@ -34,7 +35,12 @@ def main(argv=None):
     sub = p.add_subparsers(dest="mode", required=True)
     pd = sub.add_parser("decode")
     pd.add_argument("-lexicon", required=True)
-    pd.add_argument("-out", required=True)
+    pd.add_argument("-out", required=True,
+                    help=".npz → VectorFst arc table (word-LM scale); "
+                         "anything else → OpenFst text")
+    pd.add_argument("-arpa", default=None,
+                    help="ARPA word LM → full HCLG via the vectorized "
+                         "trie-free L∘G pipeline (mkgraph.sh equivalent)")
     pd.add_argument("-words_out", default=None)
     pd.add_argument("-trans_model", default=None)
     pd.add_argument("-sil_phone", type=int, default=0)
@@ -57,9 +63,27 @@ def main(argv=None):
                             | ({args.sil_phone} if args.sil_phone else set()))
             topo = HmmTopology.one_state(phones) if args.topo == "one" else HmmTopology.three_state(phones)
             tm = TransitionModel(topo)
-        g = make_decode_graph(tm, lexicon, word_ids, sil_phone=args.sil_phone,
-                              sil_prob=args.sil_prob)
-        g.write_text(args.out)
+        if args.arpa:
+            from pykaldi2_tpu.graph.arpa import read_arpa
+            from pykaldi2_tpu.graph.compile import make_word_decode_graph
+
+            model = read_arpa(args.arpa)
+            g = make_word_decode_graph(tm, lexicon, word_ids, model,
+                                       sil_phone=args.sil_phone,
+                                       sil_prob=args.sil_prob)
+        else:
+            g = make_decode_graph(tm, lexicon, word_ids, sil_phone=args.sil_phone,
+                                  sil_prob=args.sil_prob)
+        if args.out.endswith(".npz"):
+            from pykaldi2_tpu.graph.vfst import VectorFst
+
+            if not isinstance(g, VectorFst):
+                g = VectorFst.from_fst(g)
+            g.save(args.out)
+        else:
+            if not isinstance(g, Fst):
+                g = g.to_fst()
+            g.write_text(args.out)
         if args.words_out:
             with open(args.words_out, "w") as f:
                 f.write("<eps> 0\n")

@@ -78,11 +78,19 @@ def main(argv=None):
     params, _, _ = load_checkpoint(args.model, model.init(jax.random.PRNGKey(0)))
     log_prior = np.load(args.prior) if args.prior else None
 
-    graph = Fst.read_text(args.graph)
+    if args.graph.endswith(".npz"):
+        from pykaldi2_tpu.graph.vfst import VectorFst
+
+        graph = VectorFst.load(args.graph)
+    else:
+        graph = Fst.read_text(args.graph)
     dense_packed = None
     decoders = []
     n_threads = max(args.num_threads, 1)
     if args.on_device:
+        if not isinstance(graph, Fst):
+            raise SystemExit("-on_device needs a fully-emitting text graph "
+                             "(eps-free); npz HCLG graphs are host-decoder only")
         from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst
         from pykaldi2_tpu.ops.fb import pack_graph
 

@@ -20,8 +20,12 @@ _lib = None
 
 
 def build_native(force: bool = False) -> str:
-    """Build liblatdec.so with make if missing; returns the library path."""
-    if force or not os.path.exists(_LIB_PATH):
+    """Build liblatdec.so with make if missing or stale; returns the path."""
+    src = os.path.join(_NATIVE_DIR, "latdec.cc")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if force or stale:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     return _LIB_PATH
 
@@ -65,22 +69,49 @@ class LatticeDecoder:
     time-synchronous lattices (as DenseFsa for on-device FB).
     """
 
-    def __init__(self, graph: Fst, beam: float = 16.0, max_active: int = 7000,
+    def __init__(self, graph, beam: float = 16.0, max_active: int = 7000,
                  lattice_beam: float = 8.0, word_penalty: float = 0.0):
-        """word_penalty: insertion penalty added to every word-emitting arc
-        (Kaldi's word insertion penalty, applied at graph load)."""
+        """graph: an ``Fst`` or a ``graph.vfst.VectorFst`` (HCLG-scale arc
+        tables load without per-arc Python). word_penalty: insertion penalty
+        added to every word-emitting arc (Kaldi's word insertion penalty,
+        applied at graph load).
+
+        Epsilon (ilabel==0) arcs are supported — the native decoder runs a
+        within-frame closure — but must carry olabel==0 (word outputs live
+        on emitting arcs in our builders); enforced here because the C++
+        traceback only reads olabels off emitting arcs.
+        """
         lib = _load()
-        src, dst, il, ol, cost = [], [], [], [], []
-        for s in range(graph.num_states):
-            for a in graph.arcs[s]:
-                src.append(s)
-                dst.append(a.nextstate)
-                il.append(a.ilabel)
-                ol.append(a.olabel)
-                cost.append(-a.weight + (word_penalty if a.olabel != 0 else 0.0))
-        finals = np.full(graph.num_states, np.inf, np.float32)
-        for s, w in graph.finals.items():
-            finals[s] = -w
+        if isinstance(graph, Fst):
+            src, dst, il, ol, wt = [], [], [], [], []
+            for s in range(graph.num_states):
+                for a in graph.arcs[s]:
+                    src.append(s)
+                    dst.append(a.nextstate)
+                    il.append(a.ilabel)
+                    ol.append(a.olabel)
+                    wt.append(a.weight)
+            src = np.asarray(src, np.int32)
+            dst = np.asarray(dst, np.int32)
+            il = np.asarray(il, np.int32)
+            ol = np.asarray(ol, np.int32)
+            wt = np.asarray(wt, np.float32)
+            finals = np.full(graph.num_states, np.inf, np.float32)
+            for s, w in graph.finals.items():
+                finals[s] = -w
+            num_states, start = graph.num_states, graph.start
+        else:  # VectorFst-style arc table
+            src, dst = graph.src, graph.dst
+            il, ol = graph.ilabel, graph.olabel
+            wt = graph.weight
+            finals = np.where(np.isfinite(graph.final), -graph.final,
+                              np.float32(np.inf)).astype(np.float32)
+            num_states, start = graph.num_states, graph.start
+        bad = (il == 0) & (ol != 0)
+        if bad.any():
+            raise ValueError(f"{int(bad.sum())} epsilon-input arcs carry word "
+                             "olabels; push words onto emitting arcs first")
+        cost = -wt + np.where(ol != 0, np.float32(word_penalty), np.float32(0.0))
         self._src = np.ascontiguousarray(src, np.int32)
         self._dst = np.ascontiguousarray(dst, np.int32)
         self._il = np.ascontiguousarray(il, np.int32)
@@ -88,9 +119,9 @@ class LatticeDecoder:
         self._cost = np.ascontiguousarray(cost, np.float32)
         self._finals = np.ascontiguousarray(finals, np.float32)
         self._h = lib.latdec_new(
-            graph.num_states, graph.start, _iptr(self._src), _iptr(self._dst),
+            num_states, start, _iptr(self._src), _iptr(self._dst),
             _iptr(self._il), _iptr(self._ol), _fptr(self._cost),
-            len(src), _fptr(self._finals),
+            len(self._src), _fptr(self._finals),
             ctypes.c_float(beam), int(max_active), ctypes.c_float(lattice_beam))
         self._lib = lib
 
