@@ -210,3 +210,137 @@ def _mmi_lat_bwd(drop_frames, den_scale, res, ct):
 
 
 mmi_objective_lattice.defvjp(_mmi_lat_fwd, _mmi_lat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Expected accuracy (sMBR / MPE) over decoded per-utterance lattices
+# ---------------------------------------------------------------------------
+#
+# Mirrors ops/fb.fsa_expected_accuracy (double forward-backward carrying the
+# expected accumulated accuracy alongside alpha/beta; gradient = gamma *
+# (E[acc | arc] − E[acc]), Kaldi LatticeForwardBackwardMpeVariants semantics)
+# with per-utterance arc tables. Phone-level (MPE/MPFE) accuracy maps arc
+# pdfs through pdf_to_phone since decoded lattices label arcs by pdf.
+
+
+def _arc_acc_b(g: BatchedGraphs, ref_t, level: str, pdf_to_phone):
+    """[B, E] per-arc frame accuracy vs reference labels ref_t [B]."""
+    if level == "pdf":
+        lab = g.pdf
+    elif level == "phone":
+        if pdf_to_phone is None:
+            raise ValueError("level='phone' needs pdf_to_phone")
+        lab = pdf_to_phone[jnp.maximum(g.pdf, 0)]
+    else:
+        raise ValueError(level)
+    return (lab == ref_t[:, None]).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def batched_expected_accuracy(obs, graphs: BatchedGraphs, ref, num_frames,
+                              level: str = "pdf", pdf_to_phone=None):
+    """E[#correct frames] under each utterance's lattice posterior: [B].
+
+    ref: [B, T] reference pdf (level='pdf') or phone (level='phone') ids.
+    """
+    f, _ = _smbr_fwd_scan_b(obs, graphs, ref, num_frames, level, pdf_to_phone)
+    return f
+
+
+def _smbr_fwd_scan_b(obs, g: BatchedGraphs, ref, num_frames, level, pdf_to_phone):
+    b, t_len, _ = obs.shape
+    alpha0 = _alpha0(g, obs)
+    acc0 = jnp.zeros((b, g.num_states), jnp.float32) + 0.0 * alpha0
+
+    def step(carry, inp):
+        alpha, aacc, norm = carry
+        obs_t, ref_t, t = inp
+        score = (_gather_state(alpha, g.src) + g.weight
+                 + jnp.take_along_axis(obs_t, g.pdf, axis=1))               # [B, E]
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        arc_acc = _arc_acc_b(g, ref_t, level, pdf_to_phone)
+        acc_in = _gather_state(aacc, g.src) + arc_acc
+        denom = _seg_sum_b(lin, g.dst, g.num_states)
+        numer = _seg_sum_b(lin * acc_in, g.dst, g.num_states)
+        new_alpha = jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF) + mx
+        new_acc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        aacc = jnp.where(active, new_acc, aacc)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, aacc, norm), (alpha, aacc, norm)
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, acc_T, norm_T), (alphas, aaccs, norms) = jax.lax.scan(
+        step, (alpha0, acc0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]),
+        (obs_t, ref_t, ts))
+    total = jnp.maximum(alpha_T + g.final, NEG_INF)
+    w = jax.nn.softmax(total, axis=1)
+    f = jnp.sum(w * acc_T, axis=1)
+    logz = jax.nn.logsumexp(total, axis=1) + norm_T
+    return f, (alphas, aaccs, norms, logz, f)
+
+
+def _smbr_b_fwd(obs, graphs, ref, num_frames, level, pdf_to_phone):
+    f, res = _smbr_fwd_scan_b(obs, graphs, ref, num_frames, level, pdf_to_phone)
+    return f, (obs, graphs, ref, num_frames, pdf_to_phone) + res
+
+
+def _smbr_b_bwd(level, res, ct):
+    obs, g, ref, num_frames, pdf_to_phone, alphas, aaccs, norms, logz, f = res
+    b, t_len, p_dim = obs.shape
+
+    beta0 = g.final + 0.0 * alphas[0]
+    bacc0 = jnp.zeros((b, g.num_states), jnp.float32) + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+    alpha_prev = jnp.concatenate([_alpha0(g, obs)[None], alphas[:-1]], axis=0)
+    aacc_prev = jnp.concatenate([jnp.zeros((1, b, g.num_states), jnp.float32), aaccs[:-1]], axis=0)
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
+
+    def step(carry, inp):
+        beta, bacc, bnorm = carry
+        obs_t, ref_t, a_prev, aa_prev, an_prev, t = inp
+        arc_acc = _arc_acc_b(g, ref_t, level, pdf_to_phone)
+        obs_arc = jnp.take_along_axis(obs_t, g.pdf, axis=1)
+        log_gamma = (_gather_state(a_prev, g.src) + an_prev[:, None] + g.weight
+                     + obs_arc + _gather_state(beta, g.dst) + bnorm[:, None]
+                     - logz[:, None])
+        gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        c_arc = _gather_state(aa_prev, g.src) + arc_acc + _gather_state(bacc, g.dst)
+        contrib = gamma * (c_arc - f[:, None])
+        active = (t < num_frames)[:, None]
+        contrib = jnp.where(active, contrib, 0.0)
+        grad_t = _seg_sum_b(contrib, g.pdf, p_dim)
+        score = g.weight + obs_arc + _gather_state(beta, g.dst)
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        acc_out = arc_acc + _gather_state(bacc, g.dst)
+        denom = _seg_sum_b(lin, g.src, g.num_states)
+        numer = _seg_sum_b(lin * acc_out, g.src, g.num_states)
+        new_beta = jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF) + mx
+        new_bacc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.max(new_beta, axis=1, keepdims=True)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        beta = jnp.where(active, new_beta_n, beta)
+        bacc = jnp.where(active, new_bacc, bacc)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bacc, bnorm), grad_t
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    _, grads = jax.lax.scan(
+        step, (beta0, bacc0, bnorm0),
+        (obs_t, ref_t, alpha_prev, aacc_prev, anorm_prev, ts), reverse=True)
+    grad = jnp.swapaxes(grads, 0, 1)
+    return (ct[:, None, None] * grad, None, None, None, None)
+
+
+batched_expected_accuracy.defvjp(_smbr_b_fwd, _smbr_b_bwd)

@@ -224,19 +224,35 @@ def make_se_lattice_steps(
     den_scale: float = 1.0,
     drop_frames: bool = True,
     ce_ratio: float = 0.0,
+    criterion: str = "mmi",
+    pdf_to_phone=None,
+    mesh: Optional[Mesh] = None,
 ):
-    """On-the-fly denominator-lattice MMI (the reference's signature mode,
-    SURVEY.md §4.2): returns (forward_fn, train_fn).
+    """On-the-fly denominator-lattice training (the reference's signature
+    mode, SURVEY.md §4.2): returns (forward_fn, train_fn).
 
     forward_fn(params, batch) → scaled obs [B, T, P] (host decodes lattices
     from it); train_fn(params, opt_state, batch, den_graphs, key) applies the
-    lattice-MMI update, recomputing the forward under autodiff. den_graphs is
-    a BatchedGraphs whose bucketed shapes bound recompilation.
+    lattice update, recomputing the forward under autodiff. den_graphs is a
+    BatchedGraphs whose bucketed shapes bound recompilation.
+
+    criterion: mmi (num alignment − lattice logZ) or smbr/mpfe (expected
+    frame accuracy over the decoded lattice, Kaldi
+    LatticeForwardBackwardMpeVariants semantics). With a mesh, batch AND
+    per-utterance graphs shard over 'data' (every process still decodes its
+    own local batch on the host).
     """
-    from pykaldi2_tpu.ops.fb_batched import mmi_objective_lattice
+    from pykaldi2_tpu.ops.fb_batched import (
+        batched_expected_accuracy, mmi_objective_lattice)
     from pykaldi2_tpu.ops.se_losses import acoustic_scores
 
+    crit = {"mpe": "mpfe"}.get(criterion, criterion)
+    if crit not in ("mmi", "smbr", "mpfe"):
+        raise ValueError(f"unknown criterion {criterion!r}")
+    if crit == "mpfe" and pdf_to_phone is None:
+        raise ValueError("mpfe needs a pdf_to_phone mapping")
     lp = None if log_prior is None else jnp.asarray(log_prior)
+    p2p = None if pdf_to_phone is None else jnp.asarray(pdf_to_phone)
     eval_feat_fn = feat_fn.for_eval()
 
     @jax.jit
@@ -246,6 +262,9 @@ def make_se_lattice_steps(
         return acoustic_scores(logits, lp, acoustic_scale)
 
     def local_step(params, opt_state, batch, den_graphs, key):
+        axis = "data" if mesh is not None else None
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         mask = batch["mask"].astype(jnp.float32)
         nf = batch["num_frames"]
 
@@ -255,16 +274,26 @@ def make_se_lattice_steps(
             logits = model.apply(p, feats, mask, train=True, dropout_key=dropout_key)
             obs = acoustic_scores(logits, lp, acoustic_scale)
             sup = mask * (batch["labels"] >= 0)
-            obj_rows = mmi_objective_lattice(obs, batch["labels"], den_graphs, nf,
-                                             sup, drop_frames, den_scale)
+            if crit == "mmi":
+                obj_rows = mmi_objective_lattice(obs, batch["labels"], den_graphs,
+                                                 nf, sup, drop_frames, den_scale)
+            else:
+                ref = batch["labels"]
+                level = "pdf"
+                if crit == "mpfe":
+                    ref = p2p[jnp.maximum(ref, 0)]
+                    level = "phone"
+                obj_rows = batched_expected_accuracy(
+                    obs, den_graphs, jnp.maximum(ref, 0), nf, level, p2p)
             obj = jnp.sum(jnp.where(nf > 0, obj_rows, 0.0))
             count = jnp.sum(sup)
-            loss = -obj / jnp.maximum(count, 1.0)
+            gcount = jax.lax.psum(count, axis) if axis else count
+            loss = -obj / jnp.maximum(gcount, 1.0)
             if ce_ratio > 0.0:
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 ll = jnp.take_along_axis(logp, jnp.maximum(batch["labels"], 0)[..., None],
                                          axis=-1)[..., 0]
-                loss = loss - ce_ratio * jnp.sum(ll * sup) / jnp.maximum(count, 1.0)
+                loss = loss - ce_ratio * jnp.sum(ll * sup) / jnp.maximum(gcount, 1.0)
             correct = jnp.sum(
                 (jnp.argmax(jax.lax.stop_gradient(logits), -1) == batch["labels"]) * sup)
             return loss, (obj, count, correct)
@@ -273,12 +302,28 @@ def make_se_lattice_steps(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         obj, count, correct = aux
+        if axis:
+            obj = jax.lax.psum(obj, axis)
+            count = jax.lax.psum(count, axis)
+            correct = jax.lax.psum(correct, axis)
         metrics = {"objective": obj / jnp.maximum(count, 1.0),
                    "frame_acc": correct / jnp.maximum(count, 1.0),
                    "frames": count}
         return params, opt_state, metrics
 
-    return forward_fn, jax.jit(local_step)
+    if mesh is None:
+        return forward_fn, jax.jit(local_step)
+
+    def step(params, opt_state, batch, den_graphs, key):
+        bspecs = jax.tree.map(lambda _: P("data"), batch)
+        gspecs = jax.tree.map(lambda _: P("data"), den_graphs)
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), bspecs, gspecs, P()),
+            out_specs=(P(), P(), P()),
+        )(params, opt_state, batch, den_graphs, key)
+
+    return forward_fn, jax.jit(step)
 
 
 def make_eval_step(model: NnetAM, feat_fn: FeaturePipeline, mesh: Optional[Mesh] = None):
