@@ -79,7 +79,9 @@ def main(argv=None):
         cfg.model.dropout = args.dropout
     cfg.trainer.exp_dir = args.exp_dir
 
-    if args.multihost:
+    if args.multihost and not jax.distributed.is_initialized():
+        # launchers (tests, cluster wrappers) may have initialized already
+        # with explicit coordinator/process args; a second call raises
         jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)

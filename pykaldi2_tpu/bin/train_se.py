@@ -130,7 +130,8 @@ def main(argv=None):
         cfg.trainer.drop_frames = False
     cfg.trainer.exp_dir = args.exp_dir
 
-    if args.multihost:
+    if args.multihost and not jax.distributed.is_initialized():
+        # launchers may have initialized already with explicit args
         jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)

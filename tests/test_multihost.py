@@ -1,0 +1,122 @@
+"""Real multi-process (jax.distributed) execution of the trainers.
+
+VERDICT round-1 item 6: the -multihost flags were code-complete but never
+executed across >1 process. Here two actual OS processes initialize
+jax.distributed over a localhost coordinator (2 fake CPU devices each → a
+4-device global 'data' mesh), run the real train_ce CLI on a shared toy
+corpus, and must (a) terminate — step-count equalization means no psum
+deadlock — and (b) end with bit-identical parameters on both ranks
+(reference parity: Horovod allreduce keeps replicas in lock step,
+SURVEY.md §3.3 / §6.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from toydata import make_toy_corpus  # noqa: E402
+
+_WORKER = r"""
+import hashlib, json, os, sys
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+rank = int(sys.argv[1])
+coord = sys.argv[2]
+exp_dir = sys.argv[3]
+cfg = sys.argv[4]
+
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=rank)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4   # 2 fake CPU devices per process
+
+from pykaldi2_tpu.bin.train_ce import main
+args = ["-config", cfg, "-exp_dir", exp_dir, "-multihost"]
+if len(sys.argv) > 5:
+    args += ["-cv_data", sys.argv[5]]
+rc = main(args)
+assert rc == 0
+
+import numpy as np
+params_file = os.path.join(exp_dir, "model.1.npz")
+h = hashlib.sha256()
+with np.load(params_file) as z:
+    for k in sorted(z.files):
+        if k.startswith("['params']"):
+            h.update(np.ascontiguousarray(z[k]).tobytes())
+print(json.dumps({"rank": rank, "sha": h.hexdigest()}), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_train_ce(tmp_path):
+    paths = make_toy_corpus(str(tmp_path / "corpus"), num_utts=10, num_pdfs=5, seed=3)
+    # CV corpus with an ODD utterance count: rank batch counts differ, so the
+    # CV loop deadlocks both ranks unless it step-equalizes (ADVICE r1)
+    cv_paths = make_toy_corpus(str(tmp_path / "cv"), num_utts=3, num_pdfs=5, seed=4)
+    import yaml
+    cv_cfg = {"wav_scp": cv_paths["wav_scp"], "label_ark": cv_paths["ali"]}
+    cv_yaml = tmp_path / "cv.yaml"
+    yaml.safe_dump(cv_cfg, open(cv_yaml, "w"))
+    cfg = {
+        "model": {"type": "lstm", "hidden_size": 16, "num_layers": 1,
+                  "output_size": 5, "compute_dtype": "float32"},
+        "optimizer": {"type": "momentum", "lr": 0.05, "momentum": 0.9},
+        "trainer": {"batch_size": 4, "chunk_len": 40, "num_epochs": 2,
+                    "log_interval": 1, "mesh_shape": {"data": 4}},
+        "data": {"wav_scp": paths["wav_scp"], "label_ark": paths["ali"],
+                 "feat": {"fbank": {"mel_opts": {"num_bins": 16}}}},
+    }
+    cfg_path = tmp_path / "ce.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    coord = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PK2_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    procs = []
+    for rank in range(2):
+        exp = tmp_path / f"exp_rank{rank}"
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(rank), coord, str(exp),
+             str(cfg_path), str(cv_yaml)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost run deadlocked (>600s)")
+        assert p.returncode == 0, f"rank failed:\nstdout:{out}\nstderr:{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    shas = {o["rank"]: o["sha"] for o in outs}
+    assert shas[0] == shas[1], "ranks diverged: params differ after training"
