@@ -27,6 +27,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-data", required=True, help="corpus YAML (wav_scp/feats + feat config)")
     p.add_argument("-output", required=True, help="output stats file (Kaldi binary matrix)")
+    p.add_argument("-spk2utt", default=None,
+                   help="'spk utt1 utt2 ...' table → per-speaker stats ark+scp "
+                        "at -output(.scp) instead of one global matrix "
+                        "(compute-cmvn-stats --spk2utt semantics)")
     args = p.parse_args(argv)
     cfg = load_data_config(args.data)
     # stats are computed deterministically (dither off)
@@ -39,10 +43,35 @@ def main(argv=None):
             fn = jax.jit(lambda w: compute_fbank(w, cfg.feat.fbank))
         else:
             fn = jax.jit(lambda w: compute_mfcc(w, cfg.feat.mfcc))
-    for uid in ds.utt_ids:
+    def utt_feats(uid):
         utt = ds.get(uid)
-        feats = utt.feats if ds.mode == "feats" else np.asarray(fn(jnp.asarray(utt.wave)))
-        stats = acc_cmvn_stats(feats, stats)
+        return utt.feats if ds.mode == "feats" else np.asarray(fn(jnp.asarray(utt.wave)))
+
+    if args.spk2utt:
+        from pykaldi2_tpu.data import kaldi_io
+
+        spk2utt = {}
+        with open(args.spk2utt) as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    spk2utt[parts[0]] = parts[1:]
+        known = set(ds.utt_ids)
+        n_spk = 0
+        with kaldi_io.ArkWriter(args.output, args.output + ".scp", kind="mat") as w:
+            for spk, utts in spk2utt.items():
+                stats = None
+                for uid in utts:
+                    if uid in known:
+                        stats = acc_cmvn_stats(utt_feats(uid), stats)
+                if stats is not None:
+                    w.write(spk, stats)
+                    n_spk += 1
+        print(f"wrote {args.output}(.scp): per-speaker stats for {n_spk} speakers")
+        return 0
+
+    for uid in ds.utt_ids:
+        stats = acc_cmvn_stats(utt_feats(uid), stats)
     save_cmvn_stats(args.output, stats)
     d = stats.shape[1] - 1
     print(f"wrote {args.output}: {int(stats[0, d])} frames, dim {d}")

@@ -121,7 +121,9 @@ def main(argv=None):
 
         dump = ArkWriter(args.dump_ark, args.dump_ark + ".scp", kind="mat")
     loader = SeqDataloader(dataset, BucketSpec(boundaries=(200, 400, 800, 1600, 3200),
-                                               batch_sizes=8), shuffle=False)
+                                               batch_sizes=8), shuffle=False,
+                           extras_fn=(feat_fn.batch_extras
+                                      if feat_fn.has_extras else None))
     for batch in loader:
         utt_ids = batch.pop("utt_ids")
         nf = batch["num_frames"]

@@ -158,6 +158,7 @@ def main(argv=None):
             world_size=jax.process_count() * sweep_world,
             shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
             num_workers=cfg.data.num_workers,
+            extras_fn=feat_fn.batch_extras if feat_fn.has_extras else None,
         )
         loader.set_epoch(epoch)
         batch_iter = iter(loader)
@@ -203,7 +204,9 @@ def main(argv=None):
                                         cfg.trainer.batch_size // jax.process_count(),
                                         cfg.trainer.chunk_len,
                                         rank=jax.process_index(),
-                                        world_size=jax.process_count(), shuffle=False)
+                                        world_size=jax.process_count(), shuffle=False,
+                                        extras_fn=(feat_fn.batch_extras
+                                                   if feat_fn.has_extras else None))
             cv_iter = iter(cv_loader)
             if jax.process_count() > 1:
                 # eval_step psums over the global mesh: equalize CV step counts

@@ -150,6 +150,7 @@ def main(argv=None):
     tm, den, pdf_to_phone = _build_tm_and_den(cfg, args, dataset, log)
     if cfg.model.output_size < tm.num_pdfs:
         raise SystemExit(f"model output {cfg.model.output_size} < num pdfs {tm.num_pdfs}")
+    crit = {"mpe": "mpfe"}.get(cfg.trainer.criterion, cfg.trainer.criterion)
     den_packed = None
     if (not args.generic_den and not args.on_the_fly
             and not (args.den_graph or cfg.trainer.den_graph)):
@@ -167,7 +168,19 @@ def main(argv=None):
         except ValueError as e:
             log.warning("structured den unavailable (%s); using generic kernels", e)
     if den_packed is None:
-        den_packed = pack_graph(den)
+        if crit == "mmi":
+            # dense state-matmul kernels (ops/fb_dense.py): the loaded
+            # -den_graph / -generic_den MMI path rides the MXU instead of
+            # per-frame arc gathers/scatters
+            from pykaldi2_tpu.ops.fb_dense import pack_graph_auto
+
+            den_packed = pack_graph_auto(den, num_pdfs=cfg.model.output_size)
+            kind = type(den_packed).__name__
+            log.info("generic den graph packed as %s (%d states, %d arcs)",
+                     kind, den.num_states, den.num_arcs)
+        else:
+            # smbr/mpfe on generic graphs runs the arc-table accuracy kernel
+            den_packed = pack_graph(den)
 
     if args.prior_path or cfg.trainer.prior_path:
         log_prior = np.load(args.prior_path or cfg.trainer.prior_path)
@@ -195,7 +208,6 @@ def main(argv=None):
     else:
         log.warning("no seed model — SE training from random init is unusual")
 
-    crit = {"mpe": "mpfe"}.get(cfg.trainer.criterion, cfg.trainer.criterion)
     if args.on_the_fly:
         return _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                                optimizer, tm, den, pdf_to_phone, log_prior,
@@ -221,7 +233,9 @@ def main(argv=None):
         loader = SeqDataloader(dataset, bucket, rank=jax.process_index(),
                                world_size=jax.process_count(),
                                shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
-                               num_workers=cfg.data.num_workers)
+                               num_workers=cfg.data.num_workers,
+                               extras_fn=(feat_fn.batch_extras
+                                          if feat_fn.has_extras else None))
         loader.set_epoch(epoch)
         batch_iter = iter(loader)
         if jax.process_count() > 1:
@@ -364,7 +378,9 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         loader = SeqDataloader(dataset, bucket, rank=jax.process_index(),
                                world_size=jax.process_count(),
                                shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
-                               num_workers=cfg.data.num_workers)
+                               num_workers=cfg.data.num_workers,
+                               extras_fn=(feat_fn.batch_extras
+                                          if feat_fn.has_extras else None))
         loader.set_epoch(epoch)
         batch_iter = iter(loader)
         if jax.process_count() > 1:

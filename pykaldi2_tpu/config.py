@@ -98,6 +98,9 @@ class CmvnOpts:
     norm_means: bool = True
     norm_vars: bool = False
     stats_path: Optional[str] = None  # global stats; None → per-utterance
+    # per-speaker CMVN (Kaldi apply-cmvn --utt2spk= scp:cmvn.scp semantics):
+    utt2spk: Optional[str] = None       # 'utt spk' table
+    spk_stats_scp: Optional[str] = None  # spk → [2,D+1] stats matrix scp
 
 
 @dataclass
@@ -110,6 +113,9 @@ class FeatConfig:
     delta_window: int = 2
     splice_left: int = 0      # frame splicing context for TDNN-style inputs
     splice_right: int = 0
+    # per-utterance VTLN warps (Kaldi --vtln-map): 'utt warp_factor' table;
+    # distinct warps become a quantized mel-matrix bank selected per row
+    utt2warp: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

@@ -89,10 +89,14 @@ class ChunkDataloader:
         drop_last: bool = False,
         num_workers: int = 0,
         chunk_shuffle_buffer: int = 1024,
+        extras_fn=None,
     ):
         """``chunk_shuffle_buffer``: when shuffling, chunks pass through a
         reservoir of this size so chunks of one utterance spread across
-        batches (the reference shuffles at chunk granularity); 0 disables."""
+        batches (the reference shuffles at chunk granularity); 0 disables.
+        ``extras_fn(utt_ids) → dict of [B,...] arrays`` attaches per-row
+        extras (speaker CMVN rows, VTLN warp ids — FeaturePipeline
+        .batch_extras); padding rows pass an empty utt_id."""
         self.ds = dataset
         self.batch_size = batch_size
         self.chunk_len = chunk_len
@@ -102,6 +106,7 @@ class ChunkDataloader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.chunk_shuffle_buffer = chunk_shuffle_buffer
+        self.extras_fn = extras_fn
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -155,15 +160,20 @@ class ChunkDataloader:
                 xs = np.zeros((b, T, dim), np.float32)
             else:
                 xs = np.zeros((b, S), np.float32)
-            for i, (x, lab, clen) in enumerate(items):
+            uids = []
+            for i, (x, lab, clen, uid) in enumerate(items):
                 xs[i, : x.shape[0]] = x
                 # mask marks VALID FRAMES (model mask); supervision is
                 # labels >= 0 (loss mask) — they differ for unlabeled data
                 mask[i, :clen] = 1.0
                 if lab is not None:
                     labels[i, : len(lab)] = lab
+                uids.append(uid)
             key = "feats" if feats_mode else "wave"
-            return {key: xs, "labels": labels, "mask": mask}
+            out = {key: xs, "labels": labels, "mask": mask}
+            if self.extras_fn is not None:
+                out.update(self.extras_fn(uids))
+            return out
 
         pool: List[tuple] = []
         pool_cap = self.chunk_shuffle_buffer if self.shuffle else 0
@@ -190,7 +200,7 @@ class ChunkDataloader:
                     s0 = c0 * fo.window_shift
                     xc = x[s0 : s0 + chunk_samples(clen, fo)]
                 lab = utt.labels[c0 : c0 + clen] if utt.labels is not None else None
-                push((xc, lab, clen))
+                push((xc, lab, clen, utt.utt_id))
                 while len(buf) >= self.batch_size:
                     yield emit()
         if pool:
@@ -202,7 +212,7 @@ class ChunkDataloader:
         if buf and not self.drop_last:
             # pad the tail batch to full batch_size with empty (masked) rows
             while len(buf) < self.batch_size:
-                buf.append((np.zeros((0,) if not feats_mode else (0, buf[0][0].shape[1]), np.float32), None, 0))
+                buf.append((np.zeros((0,) if not feats_mode else (0, buf[0][0].shape[1]), np.float32), None, 0, ""))
             yield emit()
 
 
@@ -242,6 +252,7 @@ class SeqDataloader:
         shuffle: bool = True,
         seed: int = 0,
         num_workers: int = 0,
+        extras_fn=None,
     ):
         self.ds = dataset
         self.spec = bucket_spec
@@ -249,6 +260,7 @@ class SeqDataloader:
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
+        self.extras_fn = extras_fn
         self.epoch = 0
         # loader hygiene: utterances longer than the largest bucket are
         # skipped, and speed perturbation can push an utterance past its
@@ -318,7 +330,12 @@ class SeqDataloader:
                     labels[i, :nf] = u.labels[:nf]
             buckets[b] = []
             key = "feats" if feats_mode else "wave"
-            return {key: xs, "labels": labels, "mask": mask, "num_frames": nfs, "utt_ids": utt_ids}
+            out = {key: xs, "labels": labels, "mask": mask, "num_frames": nfs,
+                   "utt_ids": utt_ids}
+            if self.extras_fn is not None:
+                padded_ids = utt_ids + [""] * (B - len(utt_ids))
+                out.update(self.extras_fn(padded_ids))
+            return out
 
         eligible = []
         dropped = []

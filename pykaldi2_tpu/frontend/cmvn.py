@@ -80,6 +80,47 @@ def utterance_cmvn(
     return out
 
 
+class SpeakerCmvn:
+    """Per-speaker CMVN (Kaldi ``apply-cmvn --utt2spk=ark:utt2spk
+    scp:cmvn.scp`` semantics, SURVEY.md §3.1 Dataset row): an utt2spk table
+    plus per-speaker [2, D+1] stats resolve each utterance to its speaker's
+    (mean, scale)."""
+
+    def __init__(self, utt2spk_path: str, spk_stats_scp: str,
+                 norm_means: bool = True, norm_vars: bool = False):
+        from pykaldi2_tpu.data import kaldi_io
+
+        self.norm_means = norm_means
+        self.utt2spk = {}
+        with open(utt2spk_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    self.utt2spk[parts[0]] = parts[1]
+        self.spk_ms = {}
+        for spk, rx in kaldi_io.read_scp(spk_stats_scp):
+            stats = kaldi_io.read_scp_entry(rx, "mat")
+            self.spk_ms[spk] = cmvn_mean_std(stats, norm_vars)
+        self.dim = next(iter(self.spk_ms.values()))[0].shape[0] if self.spk_ms else 0
+
+    def lookup(self, utt_id: str):
+        """(mean [D], scale [D]) for an utterance; KeyError like Kaldi if the
+        utterance or its speaker has no stats."""
+        spk = self.utt2spk.get(utt_id)
+        if spk is None:
+            raise KeyError(f"utterance {utt_id!r} missing from utt2spk")
+        ms = self.spk_ms.get(spk)
+        if ms is None:
+            raise KeyError(f"speaker {spk!r} has no CMVN stats")
+        return ms
+
+    def batch(self, utt_ids):
+        """Stacked (mean [B, D], scale [B, D]) numpy arrays for a batch."""
+        ms = [self.lookup(u) for u in utt_ids]
+        return (np.stack([m for m, _ in ms]).astype(np.float32),
+                np.stack([s for _, s in ms]).astype(np.float32))
+
+
 def apply_cmvn_sliding(
     feats: jax.Array, window: int = 600, norm_vars: bool = False, var_floor: float = 1e-10
 ) -> jax.Array:

@@ -57,12 +57,19 @@ def compute_fbank(
     *,
     dither_key: jax.Array | None = None,
     use_matmul_dft: bool = True,
+    mel_weights: jax.Array | None = None,
+    warp_select: jax.Array | None = None,
 ) -> jax.Array:
     """[..., n_samples] fp32 waveform → [..., n_frames, dim] fbank features.
 
     Matches Kaldi's FbankComputer pipeline: frame → dither → DC removal →
     (raw energy) → pre-emphasis → window → pad-to-pow2 → power spectrum →
     mel GEMM → log with epsilon floor; energy prepended if use_energy.
+
+    Per-utterance VTLN (kaldi featbin --vtln-map semantics): pass
+    ``mel_weights`` [W, num_bins, n_fft_bins] (one mel matrix per quantized
+    warp factor) and ``warp_select`` [B] int32 row indices; the mel
+    projection then runs as a per-row batched GEMM (still MXU-shaped).
     """
     fopts = opts.frame_opts
     frames = W.extract_frames(wave, fopts)
@@ -80,8 +87,13 @@ def compute_fbank(
     spec = power_spectrum(padded, fopts.padded_window_size, use_matmul_dft)
     if not opts.use_power:
         spec = jnp.sqrt(spec)
-    mel_w = jnp.asarray(mel_banks(opts.mel_opts, fopts))
-    mel_e = jnp.dot(spec, mel_w.T, precision=jax.lax.Precision.HIGHEST)
+    if mel_weights is not None and warp_select is not None:
+        per_row = jnp.take(jnp.asarray(mel_weights), warp_select, axis=0)  # [B, M, F]
+        mel_e = jnp.einsum("btf,bmf->btm", spec, per_row,
+                           precision=jax.lax.Precision.HIGHEST)
+    else:
+        mel_w = jnp.asarray(mel_banks(opts.mel_opts, fopts))
+        mel_e = jnp.dot(spec, mel_w.T, precision=jax.lax.Precision.HIGHEST)
     feats = jnp.log(jnp.maximum(mel_e, _LOG_FLOOR)) if opts.use_log_fbank else mel_e
     if opts.use_energy:
         if opts.energy_floor > 0.0:

@@ -43,8 +43,13 @@ def compute_mfcc(
     *,
     dither_key: jax.Array | None = None,
     use_matmul_dft: bool = True,
+    mel_weights: jax.Array | None = None,
+    warp_select: jax.Array | None = None,
 ) -> jax.Array:
-    """[..., n_samples] fp32 waveform → [..., n_frames, num_ceps] MFCCs."""
+    """[..., n_samples] fp32 waveform → [..., n_frames, num_ceps] MFCCs.
+
+    mel_weights/warp_select: per-utterance VTLN, see compute_fbank.
+    """
     fopts = opts.frame_opts
     frames = W.extract_frames(wave, fopts)
     need_energy = opts.use_energy and opts.raw_energy
@@ -57,10 +62,14 @@ def compute_mfcc(
             log_energy = jnp.log(jnp.maximum(jnp.sum(proc * proc, axis=-1), W.FLT_EPSILON))
     padded = W.padded_frames(proc, fopts)
     spec = power_spectrum(padded, fopts.padded_window_size, use_matmul_dft)
-    mel_w = jnp.asarray(mel_banks(opts.mel_opts, fopts))
-    log_mel = jnp.log(
-        jnp.maximum(jnp.dot(spec, mel_w.T, precision=jax.lax.Precision.HIGHEST), W.FLT_EPSILON)
-    )
+    if mel_weights is not None and warp_select is not None:
+        per_row = jnp.take(jnp.asarray(mel_weights), warp_select, axis=0)
+        mel_e = jnp.einsum("btf,bmf->btm", spec, per_row,
+                           precision=jax.lax.Precision.HIGHEST)
+    else:
+        mel_w = jnp.asarray(mel_banks(opts.mel_opts, fopts))
+        mel_e = jnp.dot(spec, mel_w.T, precision=jax.lax.Precision.HIGHEST)
+    log_mel = jnp.log(jnp.maximum(mel_e, W.FLT_EPSILON))
     dct = jnp.asarray(dct_matrix(opts.num_ceps, opts.mel_opts.num_bins))
     ceps = jnp.dot(log_mel, dct.T, precision=jax.lax.Precision.HIGHEST)
     if opts.cepstral_lifter != 0.0:

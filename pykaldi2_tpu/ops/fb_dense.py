@@ -1,0 +1,207 @@
+"""Generic-graph forward-backward as dense MXU matmuls (state-emission form).
+
+SURVEY.md §8 hard-part-1, implemented the TPU way. Every graph our compilers
+emit (graph/compile.py `_expand`) has a key invariant: **all arcs into a
+state carry that state's pdf** (emission sits on the destination state, as in
+Kaldi's H). The per-arc observation term then factorizes out of the
+logsumexp, and the alpha recursion collapses to
+
+    alpha'[d] = obs_t[pdf(d)] + log( (exp(alpha) @ W)[d] )        W[s, d] = e^{w(s→d)}
+
+— a [B,S]x[S,S] GEMM in exp space (running per-step renormalization keeps
+exp(alpha) ≤ 1, and static graph weights make W a constant), plus elementwise
+work. The arc-table kernel's per-frame O(E) gathers/scatters (1.1 s/step on
+the 79k-arc den graph; a degree-padded gather variant measured 4.3x WORSE)
+become MXU work: ~50x faster measured on one v5e chip.
+
+The matrix is dense [S, S] fp32, so this path is gated on S (default ≤ 16k
+states ≈ 1 GB); `pack_graph_auto` falls back to the arc-table kernels above
+that, or when the state-emission invariant does not hold (e.g. hand-built
+FSAs with mixed-pdf in-arcs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fsa import DenseFsa
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class DenseStateGraph(NamedTuple):
+    """Dense exp-weight transition matrix + per-state pdf labels."""
+
+    w_exp: jax.Array       # [S, S] f32, e^{graph weight}, 0 = no arc
+    state_pdf: jax.Array   # [S] int32 pdf emitted by arcs INTO each state
+    final: jax.Array       # [S] f32 log-prob
+    start: int
+    num_states: int
+
+
+def state_emission_pdfs(fsa: DenseFsa) -> Optional[np.ndarray]:
+    """Per-state pdf if every arc into a state shares one pdf, else None."""
+    S = int(fsa.num_states)
+    dst = np.asarray(fsa.dst)
+    pdf = np.asarray(fsa.pdf)
+    state_pdf = np.full(S, -1, np.int64)
+    state_pdf[dst] = pdf          # last write per state wins...
+    if np.any(state_pdf[dst] != pdf):   # ...then every arc must agree
+        return None
+    # states with no in-arcs (start) emit nothing; pdf slot unused → 0
+    state_pdf[state_pdf < 0] = 0
+    return state_pdf.astype(np.int32)
+
+
+def pack_graph_dense(fsa: DenseFsa) -> DenseStateGraph:
+    fsa.validate()
+    state_pdf = state_emission_pdfs(fsa)
+    if state_pdf is None:
+        raise ValueError("graph violates the state-emission invariant "
+                         "(arcs into one state carry different pdfs)")
+    S = int(fsa.num_states)
+    w = np.nan_to_num(np.asarray(fsa.weight, np.float64),
+                      neginf=NEG_INF, posinf=NEG_INF)
+    w_exp = np.zeros((S, S), np.float32)
+    # duplicate arcs between the same state pair add in prob space (their
+    # logsumexp), which the accumulation here performs exactly; -inf /
+    # padding arcs contribute exactly zero
+    probs = np.where(w <= 0.5 * NEG_INF, 0.0, np.exp(np.maximum(w, -80.0)))
+    np.add.at(w_exp, (np.asarray(fsa.src), np.asarray(fsa.dst)),
+              probs.astype(np.float32))
+    final = np.nan_to_num(np.asarray(fsa.final, np.float64),
+                          neginf=NEG_INF, posinf=NEG_INF)
+    return DenseStateGraph(jnp.asarray(w_exp), jnp.asarray(state_pdf),
+                           jnp.asarray(final, jnp.float32),
+                           int(fsa.start), S)
+
+
+def pack_graph_auto(fsa: DenseFsa, num_pdfs: Optional[int] = None,
+                    max_states: int = 16384):
+    """Dense-matmul graph when possible, else arc tables.
+
+    num_pdfs is accepted for API stability (the dense form needs only
+    per-state pdfs; obs width comes from the observations themselves).
+    """
+    from pykaldi2_tpu.ops.fb import pack_graph
+
+    if fsa.num_states <= max_states and state_emission_pdfs(fsa) is not None:
+        return pack_graph_dense(fsa)
+    return pack_graph(fsa)
+
+
+def _alpha_init_d(g: DenseStateGraph, batch: int, like: jax.Array):
+    a = jnp.full((batch, g.num_states), NEG_INF, jnp.float32)
+    a = a.at[:, g.start].set(0.0)
+    return a + 0.0 * jnp.sum(like * 0.0)
+
+
+def _log_matvec(x_log, w_exp):
+    """[B, S] log-values → log(exp(x) @ w_exp), NEG_INF-safe.
+
+    Caller keeps x_log ≤ 0 via running renormalization, so exp never
+    overflows; fp32 GEMM at HIGHEST precision (MXU would silently run bf16).
+    """
+    lin = jnp.exp(jnp.maximum(x_log, NEG_INF))
+    s = jnp.dot(lin, w_exp, precision=_HIGHEST)
+    return jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), NEG_INF)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def fsa_logz_dense(obs: jax.Array, graph: DenseStateGraph, num_frames: jax.Array) -> jax.Array:
+    """log partition per batch element: [B] (dense-matmul recursion)."""
+    logz, _ = _logz_fwd_scan_d(obs, graph, num_frames)
+    return logz
+
+
+def _logz_fwd_scan_d(obs, g: DenseStateGraph, num_frames):
+    b, t_len, _p = obs.shape
+    alpha0 = _alpha_init_d(g, b, obs)
+
+    def step(carry, inp):
+        alpha, norm = carry
+        obs_t, t = inp
+        new_alpha = (_log_matvec(alpha, g.w_exp)
+                     + jnp.take(obs_t, g.state_pdf, axis=1))
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        m2 = jnp.maximum(m2, NEG_INF)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, norm), (alpha, norm)
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
+        step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), (obs_t, ts))
+    total = alpha_T + g.final[None, :]
+    logz = jax.nn.logsumexp(jnp.maximum(total, NEG_INF), axis=1) + norm_T
+    return logz, (alphas, norms)
+
+
+def _fsa_logz_d_fwd(obs, graph, num_frames):
+    logz, (alphas, norms) = _logz_fwd_scan_d(obs, graph, num_frames)
+    return logz, (obs, num_frames, logz, alphas, norms)
+
+
+def _fsa_logz_d_bwd(graph, res, ct):
+    obs, num_frames, logz, alphas, norms = res
+    gamma = _occupancies_d(obs, graph, num_frames, logz, alphas, norms)
+    return (ct[:, None, None] * gamma, None)
+
+
+def _occupancies_d(obs, g: DenseStateGraph, num_frames, logz, alphas, norms):
+    """gamma [B, T, P]: state posterior (alpha·beta/Z) scattered by state pdf
+    — an O(S) segment sum, 15x fewer elements than the arc-level scatter."""
+    b, t_len, p_dim = obs.shape
+    beta0 = jnp.broadcast_to(g.final[None, :], (b, g.num_states)) + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+    w_exp_t = g.w_exp.T
+
+    def step(carry, inp):
+        beta, bnorm = carry
+        obs_t, alpha_t, anorm_t, t = inp
+        # state posterior at frame t: alpha (through t) · beta (after t)
+        log_gamma = (alpha_t + anorm_t[:, None] + beta + bnorm[:, None]
+                     - logz[:, None])
+        gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_s = jnp.where(active, gamma_s, 0.0)
+        gamma_t = jax.vmap(
+            lambda row: jax.ops.segment_sum(row, g.state_pdf, num_segments=p_dim)
+        )(gamma_s)
+        # beta recursion: beta'[s] = lse_d(w(s→d) + obs_t[pdf(d)] + beta[d])
+        y = jnp.take(obs_t, g.state_pdf, axis=1) + beta
+        m = jnp.max(y, axis=1, keepdims=True)
+        m = jnp.maximum(m, NEG_INF)
+        new_beta = _log_matvec(y - m, w_exp_t) + m
+        m2 = jnp.max(new_beta, axis=1, keepdims=True)
+        m2 = jnp.maximum(m2, NEG_INF)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        beta = jnp.where(active, new_beta_n, beta)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bnorm), gamma_t
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ts = jnp.arange(t_len)
+    _, gammas = jax.lax.scan(
+        step, (beta0, bnorm0), (obs_t, alphas, norms, ts), reverse=True)
+    return jnp.swapaxes(gammas, 0, 1)
+
+
+fsa_logz_dense.defvjp(_fsa_logz_d_fwd, _fsa_logz_d_bwd)
+
+
+def fsa_occupancies_dense(obs, graph: DenseStateGraph, num_frames):
+    logz, (alphas, norms) = _logz_fwd_scan_d(obs, graph, num_frames)
+    gamma = _occupancies_d(obs, graph, num_frames, logz, alphas, norms)
+    return logz, gamma

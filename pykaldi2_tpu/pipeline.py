@@ -71,7 +71,62 @@ class FeaturePipeline:
             cmvn_stats = load_cmvn_stats(cfg.cmvn.stats_path)
         if cmvn_stats is not None:
             self.mean, self.scale = cmvn_mean_std(cmvn_stats, cfg.cmvn.norm_vars)
+        # per-speaker CMVN: host-side table; rows reach the jitted path via
+        # batch["cmvn_mean"/"cmvn_scale"] attached by batch_extras
+        self.speaker_cmvn = None
+        if cfg.cmvn.utt2spk and cfg.cmvn.spk_stats_scp:
+            from pykaldi2_tpu.frontend.cmvn import SpeakerCmvn
+
+            self.speaker_cmvn = SpeakerCmvn(cfg.cmvn.utt2spk, cfg.cmvn.spk_stats_scp,
+                                            cfg.cmvn.norm_means, cfg.cmvn.norm_vars)
+        # per-utterance VTLN: quantized warp bank of mel matrices + utt→index
+        self.warp_bank = None
+        self.utt_warp_id = None
+        if cfg.utt2warp:
+            from pykaldi2_tpu.frontend.mel import mel_banks
+
+            utt_warp = {}
+            with open(cfg.utt2warp) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        utt_warp[parts[0]] = float(parts[1])
+            mel_opts = cfg.fbank.mel_opts if cfg.type == "fbank" else cfg.mfcc.mel_opts
+            fopts = cfg.fbank.frame_opts if cfg.type == "fbank" else cfg.mfcc.frame_opts
+            warps = sorted(set(utt_warp.values()))
+            self.warp_values = warps
+            self.warp_bank = np.stack(
+                [mel_banks(mel_opts, fopts, warp=w) for w in warps]).astype(np.float32)
+            index = {w: i for i, w in enumerate(warps)}
+            self.utt_warp_id = {u: index[w] for u, w in utt_warp.items()}
+            # padding rows / unlisted utts fall back to the most neutral warp
+            self._neutral_warp = int(np.argmin(np.abs(np.asarray(warps) - 1.0)))
         self.dim = feature_dim(cfg)
+
+    @property
+    def has_extras(self) -> bool:
+        """True when batches need per-row extras (speaker CMVN / VTLN)."""
+        return self.speaker_cmvn is not None or self.warp_bank is not None
+
+    def batch_extras(self, utt_ids) -> dict:
+        """Host-side per-row arrays for a batch (loaders attach these).
+
+        An empty utt_id marks a padding row (masked downstream) and gets
+        neutral values; a real utterance missing from the tables raises,
+        matching Kaldi's apply-cmvn strictness.
+        """
+        out = {}
+        if self.speaker_cmvn is not None:
+            d = self.speaker_cmvn.dim
+            rows = [(np.zeros(d, np.float32), np.ones(d, np.float32)) if not u
+                    else self.speaker_cmvn.lookup(u) for u in utt_ids]
+            out["cmvn_mean"] = np.stack([m for m, _ in rows]).astype(np.float32)
+            out["cmvn_scale"] = np.stack([s for _, s in rows]).astype(np.float32)
+        if self.warp_bank is not None:
+            out["warp_id"] = np.asarray(
+                [self.utt_warp_id.get(u, self._neutral_warp) for u in utt_ids],
+                np.int32)
+        return out
 
     def for_eval(self) -> "FeaturePipeline":
         """Deterministic copy for eval/alignment/stats paths: dither off.
@@ -117,15 +172,24 @@ class FeaturePipeline:
 
     def __call__(self, batch: dict, dither_key=None) -> jax.Array:
         cfg = self.cfg
+        warp_sel = batch.get("warp_id") if self.warp_bank is not None else None
         if "feats" in batch:
             feats = batch["feats"].astype(jnp.float32)
         elif cfg.type == "fbank":
-            if self._use_fused(dither_key):
+            if warp_sel is not None:
+                feats = compute_fbank(batch["wave"], cfg.fbank, dither_key=dither_key,
+                                      mel_weights=jnp.asarray(self.warp_bank),
+                                      warp_select=warp_sel)
+            elif self._use_fused(dither_key):
                 from pykaldi2_tpu.frontend.fused import fused_fbank
 
                 feats = fused_fbank(batch["wave"], cfg.fbank)
             else:
                 feats = compute_fbank(batch["wave"], cfg.fbank, dither_key=dither_key)
+        elif warp_sel is not None:
+            feats = compute_mfcc(batch["wave"], cfg.mfcc, dither_key=dither_key,
+                                 mel_weights=jnp.asarray(self.warp_bank),
+                                 warp_select=warp_sel)
         elif self._use_fused_mfcc():
             from pykaldi2_tpu.frontend.fused import fused_mfcc
 
@@ -133,7 +197,11 @@ class FeaturePipeline:
         else:
             feats = compute_mfcc(batch["wave"], cfg.mfcc, dither_key=dither_key)
         mask = batch.get("mask")
-        if self.mean is not None:
+        if "cmvn_mean" in batch:
+            # per-speaker CMVN rows (SpeakerCmvn.batch via batch_extras)
+            feats = apply_cmvn(feats, batch["cmvn_mean"][:, None, :],
+                               batch["cmvn_scale"][:, None, :], cfg.cmvn.norm_means)
+        elif self.mean is not None:
             feats = apply_cmvn(feats, jnp.asarray(self.mean), jnp.asarray(self.scale),
                                cfg.cmvn.norm_means)
         elif cfg.cmvn.norm_means:

@@ -46,6 +46,37 @@ def test_compute_cmvn_stats_cli(tmp_path):
     assert int(stats[0, 24]) == total
 
 
+def test_compute_cmvn_stats_cli_spk2utt(tmp_path):
+    paths = make_toy_corpus(str(tmp_path), num_utts=4, seed=17)
+    dp, _ = _yamls(tmp_path, paths)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"],
+                       frame_opts=FrameOpts(dither=0.0))
+    spk2utt = str(tmp_path / "spk2utt")
+    uids = list(ds.utt_ids)
+    with open(spk2utt, "w") as f:
+        f.write("spkA " + " ".join(uids[:2]) + "\n")
+        f.write("spkB " + " ".join(uids[2:]) + "\n")
+    out = str(tmp_path / "cmvn.ark")
+    from pykaldi2_tpu.bin.compute_cmvn_stats import main
+    assert main(["-data", dp, "-output", out, "-spk2utt", spk2utt]) == 0
+    from pykaldi2_tpu.data import kaldi_io
+    stats = dict(kaldi_io.read_ark(out, kind="mat"))
+    assert set(stats) == {"spkA", "spkB"}
+    want = sum(ds.utt_num_frames(u) for u in uids[:2])
+    assert int(stats["spkA"][0, -1]) == want
+    # the scp + SpeakerCmvn consume it directly
+    from pykaldi2_tpu.frontend.cmvn import SpeakerCmvn
+    u2s = str(tmp_path / "utt2spk")
+    with open(u2s, "w") as f:
+        for u in uids[:2]:
+            f.write(f"{u} spkA\n")
+        for u in uids[2:]:
+            f.write(f"{u} spkB\n")
+    sc = SpeakerCmvn(u2s, out + ".scp")
+    m, s = sc.lookup(uids[0])
+    assert m.shape == (24,)
+
+
 def test_decode_cli_with_dump_ark(tmp_path):
     num_pdfs = 4
     paths = make_toy_corpus(str(tmp_path / "c"), num_utts=3, num_pdfs=num_pdfs, seed=16)
