@@ -16,8 +16,15 @@ empty, so the denominator is an ANALYTIC PROXY, not a measured number:
 40 utt/sec (≈49k frames/s) for the same CE workload on one V100 — consistent
 with cuDNN-LSTM training throughput at this size. Replace with the measured
 reference number when one exists; the ratio is honest only up to that proxy.
+
+Modes (VERDICT r1 item 10 — perf-regression guard):
+  python bench.py            → the driver-facing single JSON line (CE)
+  python bench.py --check    → CE + MMI + BLSTM runs asserted against floor
+                               thresholds; exit 1 on regression (run on the
+                               real chip before merging kernel-path changes)
 """
 
+import argparse
 import json
 import time
 
@@ -31,10 +38,22 @@ BASELINE_UTT_PER_SEC = 40.0  # analytic V100 proxy — UNVERIFIED, see docstring
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 
+# --check floors: measured round-2 numbers minus ~10% headroom, so refactors
+# can't silently lose the Pallas/structured-kernel wins
+CHECK_FLOORS = {
+    "ce": 350.0,       # 4x1024 LSTM CE, B=128 (measured ~410 r1)
+    "mmi": 130.0,      # structured bigram den, B=64, T=400 (measured ~152 r1)
+    "blstm": 125.0,    # 4x1024 BLSTM CE, B=64 (measured ~140 r1)
+}
 
-def main():
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--check", action="store_true",
+                   help="assert CE/MMI/BLSTM throughput floors (regression guard)")
+    args = p.parse_args(argv)
     try:
-        _run()
+        return _dispatch(args)
     except Exception:
         # safety net: if a Pallas kernel fails to compile in this environment,
         # fall back to the pure-XLA paths rather than losing the benchmark
@@ -45,12 +64,42 @@ def main():
         os.environ["PK2_PALLAS_LSTM"] = "0"
         os.environ["PK2_PALLAS_FBANK"] = "0"
         print("retrying with Pallas kernels disabled", flush=True)
-        _run()
+        return _dispatch(args)
 
 
-def _run():
+def _dispatch(args):
+    if not args.check:
+        utt_per_sec = _measure_ce("lstm", BATCH)
+        print(json.dumps({
+            "metric": "ce_train_utt_per_sec_per_chip",
+            "value": round(utt_per_sec, 3),
+            "unit": "utt/sec/chip (LibriSpeech-960-normalized, 4x1024 LSTM CE)",
+            "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+        }))
+        return 0
+
     import jax
-    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print("bench.py --check needs the real TPU chip (backend="
+              f"{jax.default_backend()}); floors are TPU numbers", flush=True)
+        return 2
+    results = {
+        "ce": _measure_ce("lstm", BATCH),
+        "blstm": _measure_ce("blstm", 64),
+        "mmi": _measure_mmi(),
+    }
+    ok = True
+    for name, got in results.items():
+        floor = CHECK_FLOORS[name]
+        status = "OK" if got >= floor else "REGRESSION"
+        ok &= got >= floor
+        print(f"{name}: {got:.1f} utt/s (floor {floor:.0f})  {status}", flush=True)
+    return 0 if ok else 1
+
+
+def _measure_ce(model_type: str, batch_size: int) -> float:
+    import jax
 
     from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
                                      ModelConfig, OptimizerConfig)
@@ -64,7 +113,7 @@ def _run():
         fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=80))
     )
     feat_fn = FeaturePipeline(feat_cfg)
-    mcfg = ModelConfig(type="lstm", input_size=feat_fn.dim, hidden_size=1024,
+    mcfg = ModelConfig(type=model_type, input_size=feat_fn.dim, hidden_size=1024,
                        num_layers=4, output_size=NUM_PDFS, compute_dtype="bfloat16")
     model = build_model(mcfg)
     opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.01, grad_clip=5.0))
@@ -76,9 +125,9 @@ def _run():
     S = chunk_samples(CHUNK_FRAMES, fo)
     rng = np.random.RandomState(0)
     batch = {
-        "wave": jax.device_put((rng.randn(BATCH, S) * 4000).astype(np.float32)),
-        "labels": jax.device_put(rng.randint(0, NUM_PDFS, (BATCH, CHUNK_FRAMES)).astype(np.int32)),
-        "mask": jax.device_put(np.ones((BATCH, CHUNK_FRAMES), np.float32)),
+        "wave": jax.device_put((rng.randn(batch_size, S) * 4000).astype(np.float32)),
+        "labels": jax.device_put(rng.randint(0, NUM_PDFS, (batch_size, CHUNK_FRAMES)).astype(np.int32)),
+        "mask": jax.device_put(np.ones((batch_size, CHUNK_FRAMES), np.float32)),
     }
     key = jax.random.PRNGKey(1)
 
@@ -97,15 +146,69 @@ def _run():
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
 
-    frames_per_sec = MEASURE_STEPS * BATCH * CHUNK_FRAMES / dt
-    utt_per_sec = frames_per_sec / FRAMES_PER_UTT
-    print(json.dumps({
-        "metric": "ce_train_utt_per_sec_per_chip",
-        "value": round(utt_per_sec, 3),
-        "unit": "utt/sec/chip (LibriSpeech-960-normalized, 4x1024 LSTM CE)",
-        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
-    }))
+    frames_per_sec = MEASURE_STEPS * batch_size * CHUNK_FRAMES / dt
+    return frames_per_sec / FRAMES_PER_UTT
+
+
+def _measure_mmi(batch_size: int = 64, t_len: int = 400) -> float:
+    """Round-1 MMI workload: whole utterances, structured bigram den graph."""
+    import jax
+
+    from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
+                                     ModelConfig, OptimizerConfig)
+    from pykaldi2_tpu.data.dataloader import chunk_samples
+    from pykaldi2_tpu.graph import HmmTopology, TransitionModel
+    from pykaldi2_tpu.graph.phone_lm import estimate_phone_bigram
+    from pykaldi2_tpu.models import build_model
+    from pykaldi2_tpu.ops.fb_bigram import make_bigram_den
+    from pykaldi2_tpu.pipeline import FeaturePipeline
+    from pykaldi2_tpu.trainer import make_se_train_step
+    from pykaldi2_tpu.utils import make_optimizer
+
+    n_phones = 41
+    tm = TransitionModel(HmmTopology.three_state(range(1, n_phones + 1)))
+    rng = np.random.RandomState(0)
+    seqs = [rng.randint(1, n_phones + 1, rng.randint(20, 60)).astype(np.int32)
+            for _ in range(100)]
+    lm = estimate_phone_bigram(seqs, tm.topo.phones)
+    den = make_bigram_den(tm, lm, num_pdfs=NUM_PDFS)
+
+    feat_cfg = FeatConfig(
+        fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=80)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    model = build_model(ModelConfig(type="lstm", input_size=feat_fn.dim,
+                                    hidden_size=1024, num_layers=4,
+                                    output_size=NUM_PDFS, compute_dtype="bfloat16"))
+    opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=1e-4))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    step = make_se_train_step(model, feat_fn, opt, den, "mmi", mesh=None,
+                              acoustic_scale=0.1, ce_ratio=0.1)
+
+    fo = feat_cfg.fbank.frame_opts
+    S = chunk_samples(t_len, fo)
+    batch = {
+        "wave": jax.device_put((rng.randn(batch_size, S) * 4000).astype(np.float32)),
+        "labels": jax.device_put(rng.randint(0, tm.num_pdfs, (batch_size, t_len)).astype(np.int32)),
+        "mask": jax.device_put(np.ones((batch_size, t_len), np.float32)),
+        "num_frames": jax.device_put(np.full((batch_size,), t_len, np.int32)),
+    }
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):
+        key, sk = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sk)
+    float(m["objective"])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        key, sk = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sk)
+    obj = float(m["objective"])
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(obj)
+    return n * batch_size * t_len / dt / FRAMES_PER_UTT
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -38,15 +38,25 @@ fi
 
 if [ "$stage" -le 4 ]; then
   echo "=== stage 4: build decode graph ==="
-  python -m pykaldi2_tpu.bin.build_graph decode -lexicon lexicon.txt \
-    -out exp/graph.fst.txt -words_out exp/words.txt -sil_phone 1 -sil_prob 0.5
+  # word-LM HCLG (recommended: real eval decodes against an ARPA LM):
+  #   lm.arpa = a trigram LM over the training text (external, or
+  #   python -c "from pykaldi2_tpu.graph.arpa import train_arpa; ...")
+  if [ -f lm.arpa ]; then
+    python -m pykaldi2_tpu.bin.build_graph decode -lexicon lexicon.txt \
+      -arpa lm.arpa -out exp/hclg.npz -words_out exp/words.txt \
+      -sil_phone 1 -sil_prob 0.5
+  else
+    # fallback: free word-loop graph (no LM)
+    python -m pykaldi2_tpu.bin.build_graph decode -lexicon lexicon.txt \
+      -out exp/graph.fst.txt -words_out exp/words.txt -sil_phone 1 -sil_prob 0.5
+  fi
 fi
 
 if [ "$stage" -le 5 ]; then
   echo "=== stage 5: decode + WER ==="
   se_final=$(ls -v exp/se_mmi/model.*.npz | tail -1)
   python -m pykaldi2_tpu.bin.decode -config ce.yaml -data data_dev.yaml \
-    -model "$se_final" -graph exp/graph.fst.txt -words exp/words.txt \
+    -model "$se_final" -graph "$([ -f exp/hclg.npz ] && echo exp/hclg.npz || echo exp/graph.fst.txt)" -words exp/words.txt \
     -ref data/dev_clean/text -acoustic_scale 0.1 \
     -hyp_out exp/dev_clean.hyp -dump_ark exp/dev_clean.post.ark
 fi

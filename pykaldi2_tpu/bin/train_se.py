@@ -168,19 +168,18 @@ def main(argv=None):
         except ValueError as e:
             log.warning("structured den unavailable (%s); using generic kernels", e)
     if den_packed is None:
-        if crit == "mmi":
-            # dense state-matmul kernels (ops/fb_dense.py): the loaded
-            # -den_graph / -generic_den MMI path rides the MXU instead of
-            # per-frame arc gathers/scatters
-            from pykaldi2_tpu.ops.fb_dense import pack_graph_auto
+        # dense state-matmul kernels (ops/fb_dense.py): the loaded
+        # -den_graph / -generic_den path (all criteria) rides the MXU
+        # instead of per-frame arc gathers/scatters; pack_graph_auto falls
+        # back to arc tables for huge or invariant-violating graphs
+        from pykaldi2_tpu.ops.fb_dense import DenseStateGraph, pack_graph_auto
 
-            den_packed = pack_graph_auto(den, num_pdfs=cfg.model.output_size)
-            kind = type(den_packed).__name__
-            log.info("generic den graph packed as %s (%d states, %d arcs)",
-                     kind, den.num_states, den.num_arcs)
-        else:
-            # smbr/mpfe on generic graphs runs the arc-table accuracy kernel
-            den_packed = pack_graph(den)
+        den_packed = pack_graph_auto(den, num_pdfs=cfg.model.output_size)
+        if (crit == "mpfe" and isinstance(den_packed, DenseStateGraph)
+                and den_packed.state_phone is None):
+            den_packed = pack_graph(den)  # needs per-arc phones
+        log.info("generic den graph packed as %s (%d states, %d arcs)",
+                 type(den_packed).__name__, den.num_states, den.num_arcs)
 
     if args.prior_path or cfg.trainer.prior_path:
         log_prior = np.load(args.prior_path or cfg.trainer.prior_path)
@@ -371,7 +370,19 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                     lats[i], _score = dec.decode_lattice(obs[i, : nf[i]])
 
         list(utt_pool.map(shard, range(n_threads)))
-        return pack_graph_batch(lats)
+        packed = pack_graph_batch(lats)
+        # early-training posteriors can keep the whole beam alive; the
+        # padded [T, B, S] FB alphas then exceed HBM — tell the user which
+        # knob to turn rather than dying in the XLA allocator
+        s_pad = packed.num_states
+        t_max = int(np.asarray(batch["num_frames"]).max())
+        if 4.0 * s_pad * t_max * obs.shape[0] > 4e9:   # >4 GB of fp32 alphas
+            log.warning(
+                "decoded lattices padded to %d states — forward-backward "
+                "activations may exceed HBM; tighten -beam/-lattice_beam or "
+                "lower -max_active (currently beam=%.1f lat_beam=%.1f "
+                "max_active=%d)", s_pad, beam, lat_beam, cfg.trainer.max_active)
+        return packed
 
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):

@@ -75,6 +75,16 @@ class ChunkDataloader:
     Chunking happens in the waveform domain at frame-shift boundaries, which
     yields bit-identical features to chunking in the feature domain (frame t
     of a chunk starting at frame c0 is exactly frame c0+t of the utterance).
+
+    Semantics decision (SURVEY.md §9.3 open question, resolved for this
+    framework): chunks are STATELESS and NON-OVERLAPPING — LSTM state is not
+    carried across chunks and no context frames are shared. With the
+    reference mount empty its exact behavior is unverifiable; stateless
+    fixed chunks match the truncated-BPTT reading of the paper, and the
+    chunk-level reservoir shuffle below makes carried state meaningless
+    anyway (consecutive chunks of one utterance land in different batches).
+    If the reference turns out to overlap chunks, add the overlap at the
+    ``range(0, nf, T)`` stride below and mask the duplicate frames' loss.
     """
 
     def __init__(

@@ -150,8 +150,12 @@ class Fst:
         return out.connect()
 
     def remove_input_epsilons(self) -> "Fst":
-        """Eliminate ilabel==EPS arcs by epsilon-closure folding (log-semiring
-        exact only for acyclic epsilon subgraphs, which our builders produce)."""
+        """Eliminate ilabel==EPS arcs by epsilon-closure folding.
+
+        Exact only for ACYCLIC epsilon subgraphs (which our builders
+        produce); a cyclic epsilon subgraph would silently drop the cycle's
+        weight mass, so it is rejected here instead (VERDICT r1)."""
+        self._check_eps_acyclic()
         out = Fst()
         for _ in range(self.num_states):
             out.add_state()
@@ -184,6 +188,38 @@ class Fst:
                     if prev is None or cand > prev:
                         out.set_final(s, cand)
         return out.connect()
+
+    def _check_eps_acyclic(self):
+        """Raise if the eps/eps arc subgraph has a cycle (iterative DFS)."""
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = [WHITE] * self.num_states
+        for root in range(self.num_states):
+            if color[root] != WHITE:
+                continue
+            stack = [(root, 0)]
+            color[root] = GRAY
+            while stack:
+                s, i = stack[-1]
+                arcs = self.arcs[s]
+                advanced = False
+                while i < len(arcs):
+                    a = arcs[i]
+                    i += 1
+                    if a.ilabel != EPS or a.olabel != EPS:
+                        continue
+                    if color[a.nextstate] == GRAY:
+                        raise ValueError(
+                            "epsilon cycle detected: remove_input_epsilons is "
+                            "only exact for acyclic epsilon subgraphs")
+                    if color[a.nextstate] == WHITE:
+                        stack[-1] = (s, i)
+                        stack.append((a.nextstate, 0))
+                        color[a.nextstate] = GRAY
+                        advanced = True
+                        break
+                if not advanced:
+                    color[s] = BLACK
+                    stack.pop()
 
     # -- IO ---------------------------------------------------------------
 

@@ -43,6 +43,7 @@ class DenseStateGraph(NamedTuple):
     final: jax.Array       # [S] f32 log-prob
     start: int
     num_states: int
+    state_phone: Optional[jax.Array] = None  # [S] int32 (MPE/MPFE accuracy)
 
 
 def state_emission_pdfs(fsa: DenseFsa) -> Optional[np.ndarray]:
@@ -65,6 +66,16 @@ def pack_graph_dense(fsa: DenseFsa) -> DenseStateGraph:
     if state_pdf is None:
         raise ValueError("graph violates the state-emission invariant "
                          "(arcs into one state carry different pdfs)")
+    state_phone = None
+    if fsa.phone is not None:
+        # same invariant holds for phones in compiler-emitted graphs
+        dst = np.asarray(fsa.dst)
+        ph = np.asarray(fsa.phone)
+        sp = np.full(int(fsa.num_states), -1, np.int64)
+        sp[dst] = ph
+        if not np.any(sp[dst] != ph):
+            sp[sp < 0] = 0
+            state_phone = jnp.asarray(sp.astype(np.int32))
     S = int(fsa.num_states)
     w = np.nan_to_num(np.asarray(fsa.weight, np.float64),
                       neginf=NEG_INF, posinf=NEG_INF)
@@ -79,7 +90,7 @@ def pack_graph_dense(fsa: DenseFsa) -> DenseStateGraph:
                           neginf=NEG_INF, posinf=NEG_INF)
     return DenseStateGraph(jnp.asarray(w_exp), jnp.asarray(state_pdf),
                            jnp.asarray(final, jnp.float32),
-                           int(fsa.start), S)
+                           int(fsa.start), S, state_phone)
 
 
 def pack_graph_auto(fsa: DenseFsa, num_pdfs: Optional[int] = None,
@@ -205,3 +216,133 @@ def fsa_occupancies_dense(obs, graph: DenseStateGraph, num_frames):
     logz, (alphas, norms) = _logz_fwd_scan_d(obs, graph, num_frames)
     gamma = _occupancies_d(obs, graph, num_frames, logz, alphas, norms)
     return logz, gamma
+
+
+# ---------------------------------------------------------------------------
+# Expected accuracy (sMBR / MPE) in dense state-matmul form
+# ---------------------------------------------------------------------------
+#
+# The accuracy recursion factorizes per state exactly like the emission: the
+# per-arc accuracy is A_t[dst] = (label(dst) == ref_t), so the expected
+# incoming accuracy is (exp(alpha)·aacc @ W) / (exp(alpha) @ W) + A_t — two
+# extra GEMMs per frame. The gradient needs no per-arc work either: the
+# gamma-weighted E[acc | arc] grouped by destination state collapses to
+# gamma_state · (aacc_t + bacc_t − F), scattered by state pdf.
+
+
+def _state_labels(g: DenseStateGraph, level: str):
+    if level == "pdf":
+        return g.state_pdf
+    if level == "phone":
+        if g.state_phone is None:
+            raise ValueError("graph has no phone labels; cannot do phone-level accuracy")
+        return g.state_phone
+    raise ValueError(level)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def fsa_expected_accuracy_dense(obs, graph: DenseStateGraph, ref, num_frames,
+                                level: str = "pdf"):
+    """E[#correct frames] under the graph posterior: [B] (dense form)."""
+    f, _ = _smbr_fwd_scan_dense(obs, graph, ref, num_frames, level)
+    return f
+
+
+def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level):
+    b, t_len, _p = obs.shape
+    lab = _state_labels(g, level)
+    alpha0 = _alpha_init_d(g, b, obs)
+    acc0 = jnp.zeros((b, g.num_states), jnp.float32) + 0.0 * alpha0
+
+    def step(carry, inp):
+        alpha, aacc, norm = carry
+        obs_t, ref_t, t = inp
+        ea = jnp.exp(jnp.maximum(alpha, NEG_INF))
+        denom = jnp.dot(ea, g.w_exp, precision=_HIGHEST)
+        numer = jnp.dot(ea * aacc, g.w_exp, precision=_HIGHEST)
+        a_t = (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
+        new_alpha = (jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)),
+                               NEG_INF)
+                     + jnp.take(obs_t, g.state_pdf, axis=1))
+        new_acc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0) + a_t
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        m2 = jnp.maximum(m2, NEG_INF)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        aacc = jnp.where(active, new_acc, aacc)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, aacc, norm), (alpha, aacc, norm)
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    (alpha_T, acc_T, norm_T), (alphas, aaccs, norms) = jax.lax.scan(
+        step, (alpha0, acc0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]),
+        (obs_t, ref_t, ts))
+    total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
+    w = jax.nn.softmax(total, axis=1)
+    f = jnp.sum(w * acc_T, axis=1)
+    logz = jax.nn.logsumexp(total, axis=1) + norm_T
+    return f, (alphas, aaccs, norms, logz, f)
+
+
+def _smbr_dense_fwd(obs, graph, ref, num_frames, level):
+    f, res = _smbr_fwd_scan_dense(obs, graph, ref, num_frames, level)
+    return f, (obs, ref, num_frames) + res
+
+
+def _smbr_dense_bwd(graph, level, res, ct):
+    g = graph
+    obs, ref, num_frames, alphas, aaccs, norms, logz, f = res
+    b, t_len, p_dim = obs.shape
+    lab = _state_labels(g, level)
+    w_exp_t = g.w_exp.T
+
+    beta0 = jnp.broadcast_to(g.final[None, :], (b, g.num_states)) + 0.0 * alphas[0]
+    bacc0 = jnp.zeros((b, g.num_states), jnp.float32) + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+
+    def step(carry, inp):
+        beta, bacc, bnorm = carry
+        obs_t, ref_t, alpha_t, aacc_t, anorm_t, t = inp
+        # gradient at frame t: gamma_state · (E[acc through t] + E[acc after t] − F)
+        log_gamma = (alpha_t + anorm_t[:, None] + beta + bnorm[:, None]
+                     - logz[:, None])
+        gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_s = jnp.where(active, gamma_s, 0.0)
+        contrib = gamma_s * (aacc_t + bacc - f[:, None])
+        grad_t = jax.vmap(
+            lambda row: jax.ops.segment_sum(row, g.state_pdf, num_segments=p_dim)
+        )(contrib)
+        # beta/bacc recursion for frame t
+        a_t = (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
+        y_log = jnp.take(obs_t, g.state_pdf, axis=1) + beta
+        m = jnp.maximum(jnp.max(y_log, axis=1, keepdims=True), NEG_INF)
+        y = jnp.exp(y_log - m)
+        denom = jnp.dot(y, w_exp_t, precision=_HIGHEST)
+        numer = jnp.dot(y * (a_t + bacc), w_exp_t, precision=_HIGHEST)
+        new_beta = (jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)),
+                              NEG_INF) + m)
+        new_bacc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.maximum(jnp.max(new_beta, axis=1, keepdims=True), NEG_INF)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        beta = jnp.where(active, new_beta_n, beta)
+        bacc = jnp.where(active, new_bacc, bacc)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bacc, bnorm), grad_t
+
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    ts = jnp.arange(t_len)
+    _, grads = jax.lax.scan(
+        step, (beta0, bacc0, bnorm0),
+        (obs_t, ref_t, alphas, aaccs, norms, ts), reverse=True)
+    grad = jnp.swapaxes(grads, 0, 1)
+    return (ct[:, None, None] * grad, None, None)
+
+
+fsa_expected_accuracy_dense.defvjp(_smbr_dense_fwd, _smbr_dense_bwd)

@@ -134,6 +134,7 @@ def make_se_train_step(
     """
     from pykaldi2_tpu.ops.se_losses import acoustic_scores, mmi_objective
     from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
+    from pykaldi2_tpu.ops.fb_dense import DenseStateGraph, fsa_expected_accuracy_dense
 
     from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph, bigram_expected_accuracy
 
@@ -167,7 +168,12 @@ def make_se_train_step(
                 if crit == "mpfe":
                     ref = jnp.asarray(pdf_to_phone)[jnp.maximum(ref, 0)]
                     level = "phone"
-                acc_fn = bigram_expected_accuracy if structured else fsa_expected_accuracy
+                if structured:
+                    acc_fn = bigram_expected_accuracy
+                elif isinstance(den_graph, DenseStateGraph):
+                    acc_fn = fsa_expected_accuracy_dense
+                else:
+                    acc_fn = fsa_expected_accuracy
                 obj_rows = acc_fn(obs, den_graph, jnp.maximum(ref, 0), nf, level)
             # zero-length padded rows would contribute num − logZ(dead) ≈ +1e30
             obj = jnp.sum(jnp.where(nf > 0, obj_rows, 0.0))

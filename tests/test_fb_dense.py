@@ -157,6 +157,86 @@ def test_dense_mmi_dispatch_matches():
     np.testing.assert_allclose(np.asarray(gd), np.asarray(ga), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("level", ["pdf", "phone"])
+def test_dense_expected_accuracy_matches_arc_table(level):
+    from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
+    from pykaldi2_tpu.ops.fb_dense import fsa_expected_accuracy_dense
+
+    # graph with per-state phones: expand a real den graph
+    from pykaldi2_tpu.graph import HmmTopology, TransitionModel, make_den_graph
+    from pykaldi2_tpu.graph.phone_lm import estimate_phone_bigram
+
+    tm = TransitionModel(HmmTopology.three_state(range(1, 5)))
+    rng = np.random.RandomState(31)
+    seqs = [rng.randint(1, 5, 10).astype(np.int32) for _ in range(5)]
+    den = make_den_graph(tm, estimate_phone_bigram(seqs, tm.topo.phones))
+    gd = pack_graph_dense(den)
+    assert gd.state_phone is not None
+    ga = pack_graph(den)
+
+    B, T = 2, 6
+    obs = jnp.asarray(rng.randn(B, T, tm.num_pdfs).astype(np.float32))
+    hi = tm.num_pdfs if level == "pdf" else 5
+    lo = 0 if level == "pdf" else 1
+    ref = jnp.asarray(rng.randint(lo, hi, (B, T)).astype(np.int32))
+    lens = jnp.asarray([6, 4])
+    fa = np.asarray(fsa_expected_accuracy(obs, ga, ref, lens, level))
+    fd = np.asarray(fsa_expected_accuracy_dense(obs, gd, ref, lens, level))
+    np.testing.assert_allclose(fd, fa, rtol=1e-5, atol=1e-5)
+    grad_a = jax.grad(lambda o: jnp.sum(fsa_expected_accuracy(o, ga, ref, lens, level)))(obs)
+    grad_d = jax.grad(lambda o: jnp.sum(fsa_expected_accuracy_dense(o, gd, ref, lens, level)))(obs)
+    np.testing.assert_allclose(np.asarray(grad_d), np.asarray(grad_a),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dense_smbr_training_step_via_trainer():
+    """make_se_train_step smbr with a DenseStateGraph den improves."""
+    from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
+                                     ModelConfig, OptimizerConfig)
+    from pykaldi2_tpu.frontend.window import num_frames as _nf
+    from pykaldi2_tpu.graph import HmmTopology, TransitionModel, make_den_graph
+    from pykaldi2_tpu.graph.phone_lm import estimate_phone_bigram
+    from pykaldi2_tpu.models import build_model
+    from pykaldi2_tpu.pipeline import FeaturePipeline
+    from pykaldi2_tpu.trainer import make_se_train_step
+    from pykaldi2_tpu.utils import make_optimizer
+
+    num_pdfs = 4
+    tm = TransitionModel(HmmTopology.one_state(range(1, num_pdfs + 1)))
+    rng = np.random.RandomState(12)
+    seqs = [rng.randint(1, num_pdfs + 1, rng.randint(5, 15)) for _ in range(6)]
+    den = make_den_graph(tm, estimate_phone_bigram(
+        [s.astype(np.int32) for s in seqs], tm.topo.phones))
+    den_packed = pack_graph_dense(den)
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                                          mel_opts=MelOpts(num_bins=16)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    model = build_model(ModelConfig(type="lstm", input_size=feat_fn.dim,
+                                    hidden_size=16, num_layers=1,
+                                    output_size=num_pdfs, compute_dtype="float32"))
+    opt = make_optimizer(OptimizerConfig(type="adam", lr=3e-3))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    step = make_se_train_step(model, feat_fn, opt, den_packed, "smbr",
+                              acoustic_scale=1.0, ce_ratio=0.1)
+    B, S = 2, 4000
+    T = _nf(S, FrameOpts(dither=0.0))
+    batch = {
+        "wave": jnp.asarray(rng.randn(B, S).astype(np.float32) * 1000),
+        "labels": jnp.asarray(rng.randint(0, num_pdfs, (B, T)).astype(np.int32)),
+        "mask": jnp.ones((B, T), jnp.float32),
+        "num_frames": jnp.full((B,), T, jnp.int32),
+    }
+    objs = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(6):
+        key, sk = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sk)
+        objs.append(float(m["objective"]))
+    assert np.isfinite(objs).all()
+    assert objs[-1] > objs[0], objs
+
+
 def test_dense_den_graph_training_step():
     """make_se_train_step with a DenseStateGraph denominator trains (the
     loaded -den_graph MMI hot path)."""

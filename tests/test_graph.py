@@ -142,3 +142,28 @@ def test_den_graph_includes_num_path():
     lz_den = float(fsa_logz(jnp.asarray(obs), den, lens)[0])
     v_score, _ = fsa_viterbi(jnp.asarray(obs), den, lens)
     assert lz_den >= float(v_score[0]) - 1e-5
+
+
+def test_remove_input_epsilons_rejects_cycles():
+    """A cyclic eps subgraph silently dropped weight mass before; now raises."""
+    import pytest
+    from pykaldi2_tpu.graph.fst import EPS, Fst
+
+    f = Fst()
+    a, b = f.add_state(), f.add_state()
+    f.set_start(a)
+    f.add_arc(a, EPS, EPS, -0.5, b)
+    f.add_arc(b, EPS, EPS, -0.5, a)   # eps cycle
+    f.add_arc(a, 1, 1, 0.0, b)
+    f.set_final(b, 0.0)
+    with pytest.raises(ValueError, match="epsilon cycle"):
+        f.remove_input_epsilons()
+    # acyclic eps still fine
+    g = Fst()
+    s0, s1, s2 = g.add_state(), g.add_state(), g.add_state()
+    g.set_start(s0)
+    g.add_arc(s0, EPS, EPS, -0.1, s1)
+    g.add_arc(s1, 2, 2, 0.0, s2)
+    g.set_final(s2, 0.0)
+    out = g.remove_input_epsilons()
+    assert out.num_states > 0
