@@ -298,13 +298,16 @@ int latdec_decode(void* h, const float* loglikes, int T, int P, int* out_words,
 }
 
 // Lattice decode: emits the pruned time-synchronous arc table (state 0 =
-// start). Returns 0 ok, -1 search failure, -2 capacity too small.
+// start). state_frame (if non-null, state_capacity ints) gets each lattice
+// state's frame index — states partition by frame, which the banded
+// [B, max_active] forward-backward kernels exploit (ops/fb_lattice.py).
+// Returns 0 ok, -1 search failure, -2 capacity too small.
 int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
                           int* lat_src, int* lat_dst, int* lat_pdf,
                           float* lat_weight, int arc_capacity,
                           int* num_arcs_out, float* final_weights,
                           int state_capacity, int* num_states_out,
-                          float* best_score) {
+                          float* best_score, int* state_frame) {
   auto* d = static_cast<Decoder*>(h);
   float best_cost;
   int best_i = RunSearch(d, loglikes, T, P, &best_cost);
@@ -314,6 +317,7 @@ int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
   int next_id = 1;
   std::vector<std::vector<int>> ids(T + 1);
   ids[0].assign(d->frames[0].size(), 0);
+  if (state_frame != nullptr) state_frame[0] = 0;
   for (int t = 1; t <= T; ++t) {
     float fb = kInf;
     for (auto& tk : d->frames[t]) fb = std::min(fb, tk.cost);
@@ -321,6 +325,7 @@ int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
     for (int i = 0; i < (int)d->frames[t].size(); ++i) {
       if (d->frames[t][i].cost <= fb + d->lattice_beam) {
         if (next_id >= state_capacity) return -2;
+        if (state_frame != nullptr) state_frame[next_id] = t;
         ids[t][i] = next_id++;
       }
     }

@@ -295,7 +295,7 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
     from pykaldi2_tpu.decode.decoder import LatticeDecoder
     from pykaldi2_tpu.graph.compile import expand_to_pdf_fst
     from pykaldi2_tpu.graph.fst import Fst
-    from pykaldi2_tpu.ops.fb_batched import pack_graph_batch
+    from pykaldi2_tpu.ops.fb_lattice import pack_time_sync
     from pykaldi2_tpu.trainer import make_se_lattice_steps
 
     if args.den_hclg:
@@ -356,7 +356,9 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
     pipe_pool = ThreadPoolExecutor(max_workers=1)
 
     def decode_batch(p_snapshot, batch):
-        """forward (device) → per-utterance lattice decode (host threads)."""
+        """forward (device) → per-utterance lattice decode (host threads) →
+        banded time-synchronous pack (activations stay [T, B, max_active],
+        not [T, B, num_states] — ops/fb_lattice.py)."""
         obs = np.asarray(forward_fn(p_snapshot, batch))
         nf = np.asarray(batch["num_frames"])
         lats = [None] * obs.shape[0]
@@ -365,24 +367,15 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
             dec = decoders[t]
             for i in range(t, obs.shape[0], n_threads):
                 if nf[i] == 0:
-                    lats[i] = linear_chain_fsa(np.zeros(1, np.int32))
+                    lats[i] = (linear_chain_fsa(np.zeros(1, np.int32)),
+                               np.array([0, 1], np.int32))
                 else:
-                    lats[i], _score = dec.decode_lattice(obs[i, : nf[i]])
+                    fsa, frames, _score = dec.decode_lattice(
+                        obs[i, : nf[i]], with_frames=True)
+                    lats[i] = (fsa, frames)
 
         list(utt_pool.map(shard, range(n_threads)))
-        packed = pack_graph_batch(lats)
-        # early-training posteriors can keep the whole beam alive; the
-        # padded [T, B, S] FB alphas then exceed HBM — tell the user which
-        # knob to turn rather than dying in the XLA allocator
-        s_pad = packed.num_states
-        t_max = int(np.asarray(batch["num_frames"]).max())
-        if 4.0 * s_pad * t_max * obs.shape[0] > 4e9:   # >4 GB of fp32 alphas
-            log.warning(
-                "decoded lattices padded to %d states — forward-backward "
-                "activations may exceed HBM; tighten -beam/-lattice_beam or "
-                "lower -max_active (currently beam=%.1f lat_beam=%.1f "
-                "max_active=%d)", s_pad, beam, lat_beam, cfg.trainer.max_active)
-        return packed
+        return pack_time_sync(lats, t_pad=obs.shape[1])
 
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):

@@ -48,7 +48,7 @@ def _load():
     lib.latdec_decode_lattice.restype = ctypes.c_int
     lib.latdec_decode_lattice.argtypes = [
         ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int,
-        ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int, ip, fp]
+        ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int, ip, fp, ip]
     _lib = lib
     return lib
 
@@ -144,12 +144,14 @@ class LatticeDecoder:
             raise RuntimeError("decoding failed (no surviving tokens — widen beam?)")
         return words[:n].tolist(), pdfs, float(score.value)
 
-    def decode_lattice(self, loglikes: np.ndarray) -> Tuple[DenseFsa, float]:
+    def decode_lattice(self, loglikes: np.ndarray, with_frames: bool = False):
         """loglikes [T, P] → (time-synchronous lattice as DenseFsa, best score).
 
         The lattice's arc weights are graph scores only; run it through
         ops/fb with the same obs matrix to get den posteriors (the decoded-
-        lattice MMI mode).
+        lattice mode). ``with_frames=True`` additionally returns each
+        lattice state's frame index [S] (states partition by frame) for the
+        banded kernels in ops/fb_lattice.py.
         """
         ll = np.ascontiguousarray(loglikes, np.float32)
         t, p = ll.shape
@@ -160,17 +162,21 @@ class LatticeDecoder:
             pdf = np.zeros(arc_cap, np.int32)
             w = np.zeros(arc_cap, np.float32)
             finals = np.zeros(state_cap, np.float32)
+            frames = np.zeros(state_cap, np.int32)
             n_arcs = ctypes.c_int()
             n_states = ctypes.c_int()
             score = ctypes.c_float()
             rc = self._lib.latdec_decode_lattice(
                 self._h, _fptr(ll), t, p, _iptr(src), _iptr(dst), _iptr(pdf),
                 _fptr(w), arc_cap, ctypes.byref(n_arcs), _fptr(finals),
-                state_cap, ctypes.byref(n_states), ctypes.byref(score))
+                state_cap, ctypes.byref(n_states), ctypes.byref(score),
+                _iptr(frames))
             if rc == 0:
                 na, ns = n_arcs.value, n_states.value
                 fsa = DenseFsa(ns, src[:na].copy(), dst[:na].copy(), pdf[:na].copy(),
                                w[:na].copy(), finals[:ns].copy(), 0)
+                if with_frames:
+                    return fsa.validate(), frames[:ns].copy(), float(score.value)
                 return fsa.validate(), float(score.value)
             if rc == -1:
                 raise RuntimeError("lattice decoding failed (no surviving tokens)")

@@ -1,0 +1,404 @@
+"""Banded forward-backward over TIME-SYNCHRONOUS decoded lattices.
+
+The generic per-utterance kernels (ops/fb_batched.py) keep [B, S] alphas over
+all lattice states and save [T, B, S] for the backward pass. Decoded lattices
+make that explode: with realistic beams an utterance easily carries tens of
+thousands of states (max_active tokens × T frames), and a B=32 bucket padded
+to S≈131k at T=800 means >13 GB of alphas — observed crashing the TPU worker.
+
+But beam-decoder lattices are time-synchronous: every state lives at exactly
+one frame (native/latdec.cc emits the state→frame map). Re-indexing states as
+(frame, slot) bands the recursion: alphas are [B, K] with K = max tokens per
+frame (≤ max_active), per-frame arc tables are [B, T, A] with A = max links
+per frame, and the saved activations are [T, B, K] — memory drops from
+O(T·B·S) to O(T·B·K), about a T× saving (SURVEY.md §8 hard-part-1's banding
+plan, applied where it actually bites).
+
+Covers logZ/occupancies (MMI) and expected accuracy (sMBR/MPE), both as
+custom VJPs, mirroring fb_batched's math one frame-band at a time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fsa import DenseFsa
+
+
+class TimeSyncLattice(NamedTuple):
+    """Per-frame banded arc tables. Arc a of frame t connects slot src[b,t,a]
+    (at frame t) to slot dst[b,t,a] (at frame t+1) emitting pdf[b,t,a] with
+    obs[b, t] — i.e. scan step t consumes observation frame t. Padding arcs
+    carry NEG_INF weight. ``final`` holds each utterance's final weights on
+    the slots of its LAST frame (frozen alphas line up with it).
+    """
+
+    src: jax.Array      # [B, T, A] int32
+    dst: jax.Array      # [B, T, A] int32
+    pdf: jax.Array      # [B, T, A] int32
+    weight: jax.Array   # [B, T, A] f32
+    final: jax.Array    # [B, K] f32
+
+    @property
+    def num_slots(self) -> int:
+        return self.final.shape[1]
+
+
+def _round_up(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def time_sync_from_fsa(fsa: DenseFsa, state_frame: np.ndarray):
+    """(per-frame arc lists, per-frame slot counts, final slot weights).
+
+    Returns (arcs_by_frame, n_frames, slots, finals) where arcs_by_frame[t]
+    is an (src_slot, dst_slot, pdf, w) tuple of arrays for scan step t and
+    ``finals`` are the last frame's slot weights.
+    """
+    state_frame = np.asarray(state_frame)
+    n_frames = int(state_frame.max())
+    # slot index = rank of the state within its frame (state ids ascend)
+    order = np.argsort(state_frame, kind="stable")
+    slot = np.zeros_like(state_frame)
+    counts = np.bincount(state_frame, minlength=n_frames + 1)
+    starts = np.cumsum(counts) - counts
+    slot[order] = np.arange(len(state_frame)) - starts[state_frame[order]]
+
+    src_f = state_frame[np.asarray(fsa.src)]
+    dst_f = state_frame[np.asarray(fsa.dst)]
+    if np.any(dst_f != src_f + 1):
+        raise ValueError("lattice is not time-synchronous (arc skips frames)")
+    arcs_by_frame = []
+    for t in range(n_frames):
+        sel = src_f == t
+        arcs_by_frame.append((
+            slot[np.asarray(fsa.src)[sel]],
+            slot[np.asarray(fsa.dst)[sel]],
+            np.asarray(fsa.pdf)[sel],
+            np.nan_to_num(np.asarray(fsa.weight)[sel], neginf=NEG_INF),
+        ))
+    finals = np.nan_to_num(
+        np.asarray(fsa.final)[state_frame == n_frames], neginf=NEG_INF)
+    return arcs_by_frame, n_frames, counts, finals
+
+
+def pack_time_sync(lattices: Sequence[Tuple[DenseFsa, np.ndarray]],
+                   t_pad: Optional[int] = None,
+                   bucket: bool = True) -> TimeSyncLattice:
+    """Pad per-utterance time-sync lattices to a common [B, T, A]/[B, K]."""
+    per_utt = [time_sync_from_fsa(fsa, frames) for (fsa, frames) in lattices]
+    t_max = max(nf for (_a, nf, _c, _f) in per_utt)
+    if t_pad is None:
+        t_pad = t_max
+    if t_pad < t_max:
+        raise ValueError(f"t_pad {t_pad} < longest lattice {t_max}")
+    k_max = max(int(c.max()) for (_a, _nf, c, _f) in per_utt)
+    a_max = max((max((len(a[0]) for a in arcs), default=1)
+                 for (arcs, _nf, _c, _f) in per_utt))
+    if bucket:
+        k_max, a_max = _round_up(k_max), _round_up(max(a_max, 1), 64)
+    b = len(per_utt)
+    src = np.zeros((b, t_pad, a_max), np.int32)
+    dst = np.zeros((b, t_pad, a_max), np.int32)
+    pdf = np.zeros((b, t_pad, a_max), np.int32)
+    w = np.full((b, t_pad, a_max), NEG_INF, np.float32)
+    final = np.full((b, k_max), NEG_INF, np.float32)
+    for i, (arcs, nf, _counts, fin) in enumerate(per_utt):
+        for t, (s, d, p, ww) in enumerate(arcs):
+            n = len(s)
+            src[i, t, :n] = s
+            dst[i, t, :n] = d
+            pdf[i, t, :n] = p
+            w[i, t, :n] = ww
+        final[i, : len(fin)] = fin
+    return TimeSyncLattice(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(pdf),
+                           jnp.asarray(w), jnp.asarray(final))
+
+
+def _seg_sum_slots(values, ids, k):
+    """values [B, A], ids [B, A] → [B, K] scatter-add per row."""
+    b = values.shape[0]
+    offs = jnp.arange(b, dtype=ids.dtype)[:, None] * k
+    flat = jax.ops.segment_sum(values.reshape(-1), (ids + offs).reshape(-1),
+                               num_segments=b * k)
+    return flat.reshape(b, k)
+
+
+def _alpha0_ts(lat: TimeSyncLattice, b, like):
+    a = jnp.full((b, lat.num_slots), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    return a + 0.0 * jnp.sum(like * 0.0)
+
+
+def _logz_fwd_ts(obs, lat: TimeSyncLattice, num_frames):
+    b, t_len, _p = obs.shape
+    k = lat.num_slots
+
+    def step(carry, inp):
+        alpha, norm = carry
+        obs_t, src_t, dst_t, pdf_t, w_t, t = inp
+        score = (jnp.take_along_axis(alpha, src_t, axis=1) + w_t
+                 + jnp.take_along_axis(obs_t, pdf_t, axis=1))        # [B, A]
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        summed = _seg_sum_slots(lin, dst_t, k)
+        new_alpha = jnp.where(summed > 0,
+                              jnp.log(jnp.where(summed > 0, summed, 1.0)),
+                              NEG_INF) + mx
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, norm), (alpha, norm)
+
+    alpha0 = _alpha0_ts(lat, b, obs)
+    xs = (jnp.swapaxes(obs, 0, 1),
+          jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+          jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
+          jnp.arange(t_len))
+    (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
+        step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), xs)
+    total = jnp.maximum(alpha_T + lat.final, NEG_INF)
+    logz = jax.nn.logsumexp(total, axis=1) + norm_T
+    return logz, (alphas, norms)
+
+
+@jax.custom_vjp
+def lattice_logz_ts(obs, lat: TimeSyncLattice, num_frames):
+    """Per-utterance log partition over banded lattices: [B]."""
+    return _logz_fwd_ts(obs, lat, num_frames)[0]
+
+
+def _logz_ts_fwd(obs, lat, num_frames):
+    logz, (alphas, norms) = _logz_fwd_ts(obs, lat, num_frames)
+    return logz, (obs, lat, num_frames, logz, alphas, norms)
+
+
+def _logz_ts_bwd(res, ct):
+    obs, lat, num_frames, logz, alphas, norms = res
+    gamma = _occupancies_ts(obs, lat, num_frames, logz, alphas, norms)
+    return (ct[:, None, None] * gamma, None, None)
+
+
+def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
+    b, t_len, p_dim = obs.shape
+    k = lat.num_slots
+    beta0 = lat.final + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+    alpha_prev = jnp.concatenate([_alpha0_ts(lat, b, obs)[None], alphas[:-1]], axis=0)
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
+
+    def step(carry, inp):
+        beta, bnorm = carry
+        obs_t, src_t, dst_t, pdf_t, w_t, a_prev, an_prev, t = inp
+        obs_arc = jnp.take_along_axis(obs_t, pdf_t, axis=1)
+        score = w_t + obs_arc + jnp.take_along_axis(beta, dst_t, axis=1)
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        summed = _seg_sum_slots(lin, src_t, k)
+        new_beta = jnp.where(summed > 0,
+                             jnp.log(jnp.where(summed > 0, summed, 1.0)),
+                             NEG_INF) + mx
+        m2 = jnp.max(new_beta, axis=1, keepdims=True)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        log_gamma = (jnp.take_along_axis(a_prev, src_t, axis=1) + an_prev[:, None]
+                     + w_t + obs_arc + jnp.take_along_axis(beta, dst_t, axis=1)
+                     + bnorm[:, None] - logz[:, None])
+        gamma_arc = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_arc = jnp.where(active, gamma_arc, 0.0)
+        gamma_t = _seg_sum_slots(gamma_arc, pdf_t, p_dim)
+        beta = jnp.where(active, new_beta_n, beta)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bnorm), gamma_t
+
+    xs = (jnp.swapaxes(obs, 0, 1),
+          jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+          jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
+          alpha_prev, anorm_prev, jnp.arange(t_len))
+    _, gammas = jax.lax.scan(step, (beta0, bnorm0), xs, reverse=True)
+    return jnp.swapaxes(gammas, 0, 1)
+
+
+lattice_logz_ts.defvjp(_logz_ts_fwd, _logz_ts_bwd)
+
+
+def lattice_occupancies_ts(obs, lat: TimeSyncLattice, num_frames):
+    logz, (alphas, norms) = _logz_fwd_ts(obs, lat, num_frames)
+    gamma = _occupancies_ts(obs, lat, num_frames, logz, alphas, norms)
+    return logz, gamma
+
+
+# ---------------------------------------------------------------------------
+# MMI over banded decoded lattices
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def mmi_objective_lattice_ts(obs, ali, lat: TimeSyncLattice, num_frames, mask,
+                             drop_frames: bool = True, den_scale: float = 1.0):
+    """MMI with banded per-utterance denominator lattices: [B] objectives."""
+    safe = jnp.maximum(ali, 0)
+    num = jnp.sum(jnp.take_along_axis(obs, safe[..., None], axis=-1)[..., 0] * mask, axis=-1)
+    return num - den_scale * lattice_logz_ts(obs, lat, num_frames)
+
+
+def _mmi_ts_fwd(obs, ali, lat, num_frames, mask, drop_frames, den_scale):
+    logz, gamma = lattice_occupancies_ts(obs, lat, num_frames)
+    safe = jnp.maximum(ali, 0)
+    num = jnp.sum(jnp.take_along_axis(obs, safe[..., None], axis=-1)[..., 0] * mask, axis=-1)
+    return num - den_scale * logz, (ali, mask, gamma)
+
+
+def _mmi_ts_bwd(drop_frames, den_scale, res, ct):
+    ali, mask, gamma = res
+    safe = jnp.maximum(ali, 0)
+    num_onehot = jax.nn.one_hot(safe, gamma.shape[-1], dtype=jnp.float32)
+    grad = num_onehot - den_scale * gamma
+    m = mask[..., None]
+    if drop_frames:
+        den_at_num = jnp.take_along_axis(gamma, safe[..., None], axis=-1)
+        m = m * (den_at_num > 1e-20).astype(jnp.float32)
+    return (ct[:, None, None] * grad * m, None, None, None, None)
+
+
+mmi_objective_lattice_ts.defvjp(_mmi_ts_fwd, _mmi_ts_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Expected accuracy (sMBR / MPE) over banded decoded lattices
+# ---------------------------------------------------------------------------
+
+
+def _arc_acc_ts(pdf_t, ref_t, pdf_to_phone, level):
+    if level == "pdf":
+        lab = pdf_t
+    elif level == "phone":
+        if pdf_to_phone is None:
+            raise ValueError("level='phone' needs pdf_to_phone")
+        lab = pdf_to_phone[jnp.maximum(pdf_t, 0)]
+    else:
+        raise ValueError(level)
+    return (lab == ref_t[:, None]).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lattice_expected_accuracy_ts(obs, lat: TimeSyncLattice, ref, num_frames,
+                                 level: str = "pdf", pdf_to_phone=None):
+    """E[#correct frames] under the banded lattice posterior: [B]."""
+    f, _ = _smbr_fwd_ts(obs, lat, ref, num_frames, level, pdf_to_phone)
+    return f
+
+
+def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level, pdf_to_phone):
+    b, t_len, _p = obs.shape
+    k = lat.num_slots
+    alpha0 = _alpha0_ts(lat, b, obs)
+    acc0 = jnp.zeros((b, k), jnp.float32) + 0.0 * alpha0
+
+    def step(carry, inp):
+        alpha, aacc, norm = carry
+        obs_t, ref_t, src_t, dst_t, pdf_t, w_t, t = inp
+        score = (jnp.take_along_axis(alpha, src_t, axis=1) + w_t
+                 + jnp.take_along_axis(obs_t, pdf_t, axis=1))
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        arc_acc = _arc_acc_ts(pdf_t, ref_t, pdf_to_phone, level)
+        acc_in = jnp.take_along_axis(aacc, src_t, axis=1) + arc_acc
+        denom = _seg_sum_slots(lin, dst_t, k)
+        numer = _seg_sum_slots(lin * acc_in, dst_t, k)
+        new_alpha = jnp.where(denom > 0,
+                              jnp.log(jnp.where(denom > 0, denom, 1.0)),
+                              NEG_INF) + mx
+        new_acc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+        new_alpha = new_alpha - m2
+        new_norm = norm + m2[:, 0]
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        aacc = jnp.where(active, new_acc, aacc)
+        norm = jnp.where(active[:, 0], new_norm, norm)
+        return (alpha, aacc, norm), (alpha, aacc, norm)
+
+    xs = (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
+          jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+          jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
+          jnp.arange(t_len))
+    (alpha_T, acc_T, norm_T), (alphas, aaccs, norms) = jax.lax.scan(
+        step, (alpha0, acc0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), xs)
+    total = jnp.maximum(alpha_T + lat.final, NEG_INF)
+    w = jax.nn.softmax(total, axis=1)
+    f = jnp.sum(w * acc_T, axis=1)
+    logz = jax.nn.logsumexp(total, axis=1) + norm_T
+    return f, (alphas, aaccs, norms, logz, f)
+
+
+def _smbr_ts_fwd(obs, lat, ref, num_frames, level, pdf_to_phone):
+    f, res = _smbr_fwd_ts(obs, lat, ref, num_frames, level, pdf_to_phone)
+    return f, (obs, lat, ref, num_frames, pdf_to_phone) + res
+
+
+def _smbr_ts_bwd(level, res, ct):
+    obs, lat, ref, num_frames, pdf_to_phone, alphas, aaccs, norms, logz, f = res
+    b, t_len, p_dim = obs.shape
+    k = lat.num_slots
+    beta0 = lat.final + 0.0 * alphas[0]
+    bacc0 = jnp.zeros((b, k), jnp.float32) + 0.0 * alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
+    alpha_prev = jnp.concatenate([_alpha0_ts(lat, b, obs)[None], alphas[:-1]], axis=0)
+    aacc_prev = jnp.concatenate([jnp.zeros((1, b, k), jnp.float32), aaccs[:-1]], axis=0)
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
+
+    def step(carry, inp):
+        beta, bacc, bnorm = carry
+        obs_t, ref_t, src_t, dst_t, pdf_t, w_t, a_prev, aa_prev, an_prev, t = inp
+        arc_acc = _arc_acc_ts(pdf_t, ref_t, pdf_to_phone, level)
+        obs_arc = jnp.take_along_axis(obs_t, pdf_t, axis=1)
+        beta_dst = jnp.take_along_axis(beta, dst_t, axis=1)
+        log_gamma = (jnp.take_along_axis(a_prev, src_t, axis=1) + an_prev[:, None]
+                     + w_t + obs_arc + beta_dst + bnorm[:, None] - logz[:, None])
+        gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        c_arc = (jnp.take_along_axis(aa_prev, src_t, axis=1) + arc_acc
+                 + jnp.take_along_axis(bacc, dst_t, axis=1))
+        contrib = gamma * (c_arc - f[:, None])
+        active = (t < num_frames)[:, None]
+        contrib = jnp.where(active, contrib, 0.0)
+        grad_t = _seg_sum_slots(contrib, pdf_t, p_dim)
+        score = w_t + obs_arc + beta_dst
+        mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+        lin = jnp.exp(score - mx)
+        acc_out = arc_acc + jnp.take_along_axis(bacc, dst_t, axis=1)
+        denom = _seg_sum_slots(lin, src_t, k)
+        numer = _seg_sum_slots(lin * acc_out, src_t, k)
+        new_beta = jnp.where(denom > 0,
+                             jnp.log(jnp.where(denom > 0, denom, 1.0)),
+                             NEG_INF) + mx
+        new_bacc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.max(new_beta, axis=1, keepdims=True)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        beta = jnp.where(active, new_beta_n, beta)
+        bacc = jnp.where(active, new_bacc, bacc)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bacc, bnorm), grad_t
+
+    xs = (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
+          jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+          jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
+          alpha_prev, aacc_prev, anorm_prev, jnp.arange(t_len))
+    _, grads = jax.lax.scan(step, (beta0, bacc0, bnorm0), xs, reverse=True)
+    return (ct[:, None, None] * jnp.swapaxes(grads, 0, 1), None, None, None, None)
+
+
+lattice_expected_accuracy_ts.defvjp(_smbr_ts_fwd, _smbr_ts_bwd)

@@ -247,9 +247,16 @@ def make_se_lattice_steps(
     LatticeForwardBackwardMpeVariants semantics). With a mesh, batch AND
     per-utterance graphs shard over 'data' (every process still decodes its
     own local batch on the host).
+
+    den_graphs may be a BatchedGraphs (generic per-utterance arc tables) or
+    a TimeSyncLattice (banded decoded lattices, ops/fb_lattice.py — the
+    scalable form: activations are [T, B, max_active] instead of
+    [T, B, num_states]).
     """
     from pykaldi2_tpu.ops.fb_batched import (
         batched_expected_accuracy, mmi_objective_lattice)
+    from pykaldi2_tpu.ops.fb_lattice import (
+        TimeSyncLattice, lattice_expected_accuracy_ts, mmi_objective_lattice_ts)
     from pykaldi2_tpu.ops.se_losses import acoustic_scores
 
     crit = {"mpe": "mpfe"}.get(criterion, criterion)
@@ -280,17 +287,20 @@ def make_se_lattice_steps(
             logits = model.apply(p, feats, mask, train=True, dropout_key=dropout_key)
             obs = acoustic_scores(logits, lp, acoustic_scale)
             sup = mask * (batch["labels"] >= 0)
+            banded = isinstance(den_graphs, TimeSyncLattice)
             if crit == "mmi":
-                obj_rows = mmi_objective_lattice(obs, batch["labels"], den_graphs,
-                                                 nf, sup, drop_frames, den_scale)
+                mmi_fn = mmi_objective_lattice_ts if banded else mmi_objective_lattice
+                obj_rows = mmi_fn(obs, batch["labels"], den_graphs,
+                                  nf, sup, drop_frames, den_scale)
             else:
                 ref = batch["labels"]
                 level = "pdf"
                 if crit == "mpfe":
                     ref = p2p[jnp.maximum(ref, 0)]
                     level = "phone"
-                obj_rows = batched_expected_accuracy(
-                    obs, den_graphs, jnp.maximum(ref, 0), nf, level, p2p)
+                acc_fn = (lattice_expected_accuracy_ts if banded
+                          else batched_expected_accuracy)
+                obj_rows = acc_fn(obs, den_graphs, jnp.maximum(ref, 0), nf, level, p2p)
             obj = jnp.sum(jnp.where(nf > 0, obj_rows, 0.0))
             count = jnp.sum(sup)
             gcount = jax.lax.psum(count, axis) if axis else count

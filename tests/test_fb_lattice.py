@@ -1,0 +1,120 @@
+"""Banded time-synchronous lattice FB vs the generic per-utterance kernels.
+
+The banded kernels (ops/fb_lattice.py) must match fb_batched exactly on real
+decoder output — same lattices, two representations — while keeping
+activations [T, B, max_active] instead of [T, B, num_states].
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pykaldi2_tpu.decode.decoder import LatticeDecoder
+from pykaldi2_tpu.graph import HmmTopology, TransitionModel, make_decode_graph
+from pykaldi2_tpu.ops.fb_batched import (
+    batched_expected_accuracy, fsa_occupancies_b, mmi_objective_lattice,
+    pack_graph_batch)
+from pykaldi2_tpu.ops.fb_lattice import (
+    TimeSyncLattice, lattice_expected_accuracy_ts, lattice_occupancies_ts,
+    mmi_objective_lattice_ts, pack_time_sync, time_sync_from_fsa)
+
+
+@pytest.fixture(scope="module")
+def decoded():
+    """Real decoder lattices over a toy graph, varying lengths."""
+    num_pdfs = 5
+    tm = TransitionModel(HmmTopology.one_state(range(1, num_pdfs + 1)))
+    lexicon = {f"w{p}": [[p]] for p in range(1, num_pdfs + 1)}
+    word_ids = {f"w{p}": p for p in range(1, num_pdfs + 1)}
+    graph = make_decode_graph(tm, lexicon, word_ids)
+    dec = LatticeDecoder(graph, beam=24.0, lattice_beam=12.0)
+    rng = np.random.RandomState(0)
+    T = 12
+    lens = [12, 9, 5]
+    obs = rng.randn(len(lens), T, num_pdfs).astype(np.float32) * 1.5
+    fsas, framed = [], []
+    for i, nf in enumerate(lens):
+        fsa, frames, _ = dec.decode_lattice(obs[i, :nf], with_frames=True)
+        fsas.append(fsa)
+        framed.append((fsa, frames))
+    return obs, np.asarray(lens, np.int32), fsas, framed, num_pdfs
+
+
+def test_state_frames_are_time_synchronous(decoded):
+    _obs, lens, fsas, framed, _p = decoded
+    for (fsa, frames), nf in zip(framed, lens):
+        assert frames.shape == (fsa.num_states,)
+        assert frames[0] == 0
+        assert frames.max() == nf
+        # every arc advances exactly one frame
+        np.testing.assert_array_equal(frames[fsa.dst], frames[fsa.src] + 1)
+
+
+def test_banded_logz_and_gamma_match_generic(decoded):
+    obs, lens, fsas, framed, _p = decoded
+    bg = pack_graph_batch(fsas)
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    zg, gg = fsa_occupancies_b(jnp.asarray(obs), bg, jnp.asarray(lens))
+    zt, gt = lattice_occupancies_ts(jnp.asarray(obs), lat, jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(zt), np.asarray(zg), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gg), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_mmi_matches_generic(decoded):
+    obs, lens, fsas, framed, p = decoded
+    bg = pack_graph_batch(fsas)
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    rng = np.random.RandomState(1)
+    ali = jnp.asarray(rng.randint(0, p, obs.shape[:2]).astype(np.int32))
+    mask = (jnp.arange(obs.shape[1])[None] < jnp.asarray(lens)[:, None]).astype(jnp.float32)
+
+    def f_gen(o):
+        return jnp.sum(mmi_objective_lattice(o, ali, bg, jnp.asarray(lens),
+                                             mask, True, 1.0))
+
+    def f_ts(o):
+        return jnp.sum(mmi_objective_lattice_ts(o, ali, lat, jnp.asarray(lens),
+                                                mask, True, 1.0))
+
+    o = jnp.asarray(obs)
+    np.testing.assert_allclose(float(f_ts(o)), float(f_gen(o)), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(f_ts)(o)),
+                               np.asarray(jax.grad(f_gen)(o)),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("level", ["pdf", "phone"])
+def test_banded_expected_accuracy_matches_generic(decoded, level):
+    obs, lens, fsas, framed, p = decoded
+    bg = pack_graph_batch(fsas)
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    rng = np.random.RandomState(2)
+    p2p = jnp.asarray(np.arange(p, dtype=np.int32) % 3 + 1)
+    hi = p if level == "pdf" else 4
+    lo = 0 if level == "pdf" else 1
+    ref = jnp.asarray(rng.randint(lo, hi, obs.shape[:2]).astype(np.int32))
+    lens_j = jnp.asarray(lens)
+
+    def f_gen(o):
+        return jnp.sum(batched_expected_accuracy(o, bg, ref, lens_j, level, p2p))
+
+    def f_ts(o):
+        return jnp.sum(lattice_expected_accuracy_ts(o, lat, ref, lens_j, level, p2p))
+
+    o = jnp.asarray(obs)
+    np.testing.assert_allclose(float(f_ts(o)), float(f_gen(o)), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(f_ts)(o)),
+                               np.asarray(jax.grad(f_gen)(o)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_banded_memory_shape(decoded):
+    """The win itself: slot count ≤ per-frame tokens, not total states."""
+    obs, lens, fsas, framed, _p = decoded
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    total_states = max(f.num_states for f in fsas)
+    assert lat.num_slots < total_states
+    arcs, nf, counts, _fin = time_sync_from_fsa(*framed[0])
+    assert len(arcs) == nf
+    assert counts.sum() == framed[0][0].num_states
