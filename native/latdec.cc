@@ -39,7 +39,8 @@ constexpr float kInf = std::numeric_limits<float>::infinity();
 struct Graph {
   int num_states = 0;
   int start = 0;
-  std::vector<int> row_off;  // CSR by src
+  std::vector<int> row_off;  // CSR by src; eps arcs first within each row
+  std::vector<int> eps_end;  // per state: end of the eps-arc range
   std::vector<int> dst, ilabel, olabel;
   std::vector<float> cost;
   std::vector<float> final_cost;
@@ -83,17 +84,29 @@ void* latdec_new(int num_states, int start, const int* src, const int* dst,
   g.start = start;
   g.final_cost.assign(final_cost, final_cost + num_states);
   std::vector<int> count(num_states + 1, 0);
-  for (int e = 0; e < num_arcs; ++e) count[src[e] + 1]++;
+  std::vector<int> eps_count(num_states, 0);
+  for (int e = 0; e < num_arcs; ++e) {
+    count[src[e] + 1]++;
+    if (ilabel[e] == 0) eps_count[src[e]]++;
+  }
   g.row_off.resize(num_states + 1);
   g.row_off[0] = 0;
   for (int s = 0; s < num_states; ++s) g.row_off[s + 1] = g.row_off[s] + count[s + 1];
+  g.eps_end.resize(num_states);
+  for (int s = 0; s < num_states; ++s) g.eps_end[s] = g.row_off[s] + eps_count[s];
   g.dst.resize(num_arcs);
   g.ilabel.resize(num_arcs);
   g.olabel.resize(num_arcs);
   g.cost.resize(num_arcs);
-  std::vector<int> fill(g.row_off.begin(), g.row_off.end() - 1);
+  // eps arcs first within each row: the closure walks only [row_off, eps_end)
+  // and the emission loop only [eps_end, row_off+1) — no per-arc label tests
+  std::vector<int> fill_eps(num_states), fill_emit(num_states);
+  for (int s = 0; s < num_states; ++s) {
+    fill_eps[s] = g.row_off[s];
+    fill_emit[s] = g.eps_end[s];
+  }
   for (int e = 0; e < num_arcs; ++e) {
-    int pos = fill[src[e]]++;
+    int pos = (ilabel[e] == 0) ? fill_eps[src[e]]++ : fill_emit[src[e]]++;
     g.dst[pos] = dst[e];
     g.ilabel[pos] = ilabel[e];
     g.olabel[pos] = olabel[e];
@@ -122,8 +135,7 @@ void EpsClosure(const Graph& g, std::vector<Token>& toks,
     queue.pop_back();
     int s = toks[i].state;
     float base = toks[i].cost;
-    for (int e = g.row_off[s]; e < g.row_off[s + 1]; ++e) {
-      if (g.ilabel[e] != 0) continue;
+    for (int e = g.row_off[s]; e < g.eps_end[s]; ++e) {
       float w = g.cost[e];
       float c = base + w;
       if (c > cutoff) continue;
@@ -191,10 +203,13 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
 
     for (int i = 0; i < (int)cur.size(); ++i) {
       const Token& tok = cur[i];
-      for (int e = g.row_off[tok.state]; e < g.row_off[tok.state + 1]; ++e) {
+      for (int e = g.eps_end[tok.state]; e < g.row_off[tok.state + 1]; ++e) {
         int pdf = g.ilabel[e] - 1;
-        if (pdf < 0 || pdf >= P) continue;
+        if (pdf >= P) continue;
         float c = tok.cost + g.cost[e] - obs[pdf];
+        // running beam: once any good path exists this frame, skip hopeless
+        // expansions before they allocate tokens (Kaldi adaptive-cutoff-ish)
+        if (c > frame_best + dec.beam) continue;
         int s2 = g.dst[e];
         int ti = state_tok[s2];
         if (ti < 0) {

@@ -225,7 +225,8 @@ def main(argv=None):
         annealer.restore(resume_meta.get("anneal")
                          or {"scale": resume_meta.get("lr_scale", 1.0)})
         opt_state = set_lr_scale(opt_state, annealer.scale)
-    bucket = BucketSpec(batch_sizes=cfg.trainer.batch_size)
+    bucket = BucketSpec(boundaries=tuple(cfg.trainer.bucket_boundaries),
+                        batch_sizes=cfg.trainer.batch_size)
 
     step_no = 0
     for epoch in range(start_epoch, cfg.trainer.num_epochs):
@@ -349,7 +350,8 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         annealer.restore(resume_meta.get("anneal")
                          or {"scale": resume_meta.get("lr_scale", 1.0)})
         opt_state = set_lr_scale(opt_state, annealer.scale)
-    bucket = BucketSpec(batch_sizes=cfg.trainer.batch_size)
+    bucket = BucketSpec(boundaries=tuple(cfg.trainer.bucket_boundaries),
+                        batch_sizes=cfg.trainer.batch_size)
     sharding = None if mesh is None else local_batch_sharding(mesh)
 
     utt_pool = ThreadPoolExecutor(max_workers=n_threads)

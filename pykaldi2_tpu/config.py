@@ -240,6 +240,8 @@ class TrainerConfig:
     drop_frames: bool = True
     ce_ratio: float = 0.1         # CE smoothing weight for SE (f-smoothing)
     silence_phones: tuple = ()
+    # sequence-mode bucket inventory (SeqDataloader): max frame counts
+    bucket_boundaries: tuple = (200, 400, 800, 1600)
     # lattice decode opts for on-the-fly denominator mode
     beam: float = 16.0
     lattice_beam: float = 8.0
