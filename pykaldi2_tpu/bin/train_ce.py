@@ -124,7 +124,8 @@ def main(argv=None):
         params, _, _ = load_checkpoint(args.seed_model, params)
         log.info("seeded params from %s", args.seed_model)
 
-    train_step = make_ce_train_step(model, feat_fn, optimizer, mesh)
+    train_step = make_ce_train_step(model, feat_fn, optimizer, mesh,
+                                    grad_compression=cfg.optimizer.grad_compression)
     eval_step = None
     if cv_dataset is not None:
         from pykaldi2_tpu.trainer import make_eval_step

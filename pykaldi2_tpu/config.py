@@ -218,6 +218,10 @@ class OptimizerConfig:
     anneal_factor: float = 0.5
     anneal_patience: int = 1
     warmup_steps: int = 0
+    # gradient allreduce compression (Horovod's optional fp16 compression,
+    # SURVEY §3.3/§6.8): "none" | "bf16" — halves cross-device gradient
+    # traffic; mainly useful over DCN on multihost meshes
+    grad_compression: str = "none"
 
 
 @dataclass

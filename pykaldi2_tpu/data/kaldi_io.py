@@ -204,10 +204,21 @@ class ArkWriter:
         self.close()
 
 
+def _open_maybe_gz(path: str):
+    """Transparent gzip: real Kaldi alignment archives ship as ali.*.gz."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def read_ark(path: str, kind: str = "mat") -> Iterator[Tuple[str, np.ndarray]]:
-    """Sequential reader over a binary ark file."""
+    """Sequential reader over a binary ark file (gzipped arks supported)."""
     reader = _READERS[kind]
-    with open(path, "rb") as f:
+    with _open_maybe_gz(path) as f:
         while True:
             key = _read_token(f)
             if not key:

@@ -278,3 +278,25 @@ def test_unlabeled_data_gets_valid_frame_mask(tmp_path):
         got_any = True
         assert b["mask"].sum() > 0
     assert got_any
+
+
+def test_gzipped_alignment_ark(tmp_path):
+    """Real Kaldi alignment archives ship gzipped (ali.*.gz): transparent read."""
+    import gzip
+    import io
+
+    from pykaldi2_tpu.data import kaldi_io
+
+    alis = {"u1": np.array([1, 2, 3, 2], np.int32),
+            "u2": np.array([4, 4], np.int32)}
+    plain = tmp_path / "ali.ark"
+    with kaldi_io.ArkWriter(str(plain), kind="ivec") as w:
+        for k, v in alis.items():
+            w.write(k, v)
+    gz = tmp_path / "ali.1.gz"
+    with open(plain, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    got = dict(kaldi_io.read_ark(str(gz), kind="ivec"))
+    assert set(got) == set(alis)
+    for k in alis:
+        np.testing.assert_array_equal(got[k], alis[k])

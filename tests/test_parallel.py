@@ -110,3 +110,48 @@ def test_se_dp_step_matches_single_device(tmp_path):
     assert abs(float(m1["objective"]) - float(m2["objective"])) < 1e-5
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6)
+
+
+def test_bf16_grad_compression_close_to_fp32():
+    """Horovod-fp16-compression parity: bf16-compressed psum ~= exact psum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
+                                     ModelConfig, OptimizerConfig)
+    from pykaldi2_tpu.frontend.window import num_frames as _nf
+    from pykaldi2_tpu.models import build_model
+    from pykaldi2_tpu.parallel.mesh import make_mesh
+    from pykaldi2_tpu.pipeline import FeaturePipeline
+    from pykaldi2_tpu.trainer import make_ce_train_step
+    from pykaldi2_tpu.utils import make_optimizer
+
+    rng = np.random.RandomState(0)
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                                          mel_opts=MelOpts(num_bins=16)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    model = build_model(ModelConfig(type="lstm", input_size=feat_fn.dim,
+                                    hidden_size=16, num_layers=1, output_size=6,
+                                    compute_dtype="float32"))
+    opt = make_optimizer(OptimizerConfig(type="sgd", lr=0.1))
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"data": 8})
+    B, S = 8, 3000
+    T = _nf(S, FrameOpts(dither=0.0))
+    batch = {
+        "wave": jnp.asarray((rng.randn(B, S) * 1000).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 6, (B, T)).astype(np.int32)),
+        "mask": jnp.ones((B, T), jnp.float32),
+    }
+    outs = {}
+    for comp in ("none", "bf16"):
+        step = make_ce_train_step(model, feat_fn, opt, mesh, donate=False,
+                                  grad_compression=comp)
+        p2, _, m = step(params, opt.init(params), batch, jax.random.PRNGKey(1))
+        outs[comp] = (p2, float(m["loss"]))
+    assert outs["none"][1] == outs["bf16"][1]  # loss is pre-update, identical
+    for a, b in zip(jax.tree.leaves(outs["none"][0]), jax.tree.leaves(outs["bf16"][0])):
+        a, b = np.asarray(a), np.asarray(b)
+        # updates differ only by bf16 rounding of gradients
+        np.testing.assert_allclose(b, a, rtol=2e-2, atol=2e-3)
