@@ -205,7 +205,7 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
       const Token& tok = cur[i];
       for (int e = g.eps_end[tok.state]; e < g.row_off[tok.state + 1]; ++e) {
         int pdf = g.ilabel[e] - 1;
-        if (pdf >= P) continue;
+        if (pdf < 0 || pdf >= P) continue;  // guard corrupt negative ilabels
         float c = tok.cost + g.cost[e] - obs[pdf];
         // running beam: once any good path exists this frame, skip hopeless
         // expansions before they allocate tokens (Kaldi adaptive-cutoff-ish)

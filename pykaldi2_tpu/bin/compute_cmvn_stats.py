@@ -15,7 +15,7 @@ import numpy as np
 
 from pykaldi2_tpu.config import load_data_config
 from pykaldi2_tpu.data.dataset import SpeechDataset
-from pykaldi2_tpu.frontend import compute_fbank, compute_mfcc
+
 from pykaldi2_tpu.frontend.cmvn import acc_cmvn_stats
 from pykaldi2_tpu.pipeline import save_cmvn_stats
 
@@ -39,13 +39,32 @@ def main(argv=None):
     ds = SpeechDataset.from_config(cfg)
     stats = None
     if ds.mode == "wave":
-        if cfg.feat.type == "fbank":
-            fn = jax.jit(lambda w: compute_fbank(w, cfg.feat.fbank))
-        else:
-            fn = jax.jit(lambda w: compute_mfcc(w, cfg.feat.mfcc))
+        # stats must describe the features CMVN will actually normalize: the
+        # BASE features (pre-deltas/splice) including per-utterance VTLN
+        # warps when configured (Kaldi computes CMVN post-VTLN too)
+        import copy
+
+        from pykaldi2_tpu.pipeline import FeaturePipeline
+
+        stats_cfg = copy.deepcopy(cfg.feat)
+        stats_cfg.cmvn.norm_means = False
+        stats_cfg.cmvn.stats_path = None
+        stats_cfg.cmvn.utt2spk = None
+        stats_cfg.cmvn.spk_stats_scp = None
+        stats_cfg.delta_order = 0
+        stats_cfg.splice_left = stats_cfg.splice_right = 0
+        pipe = FeaturePipeline(stats_cfg)
+        fn = jax.jit(lambda b: pipe(b))
+
     def utt_feats(uid):
         utt = ds.get(uid)
-        return utt.feats if ds.mode == "feats" else np.asarray(fn(jnp.asarray(utt.wave)))
+        if ds.mode == "feats":
+            return utt.feats
+        batch = {"wave": jnp.asarray(utt.wave[None])}
+        if pipe.has_extras:
+            batch.update({k: jnp.asarray(v)
+                          for k, v in pipe.batch_extras([uid]).items()})
+        return np.asarray(fn(batch))[0]
 
     if args.spk2utt:
         from pykaldi2_tpu.data import kaldi_io

@@ -20,7 +20,7 @@ from pykaldi2_tpu.data.dataloader import ChunkDataloader
 from pykaldi2_tpu.data.dataset import SpeechDataset
 from pykaldi2_tpu.data.prefetch import device_prefetch
 from pykaldi2_tpu.models import build_model
-from pykaldi2_tpu.parallel.mesh import local_batch_sharding, make_mesh
+from pykaldi2_tpu.parallel.mesh import equalized_steps, local_batch_sharding, make_mesh
 from pykaldi2_tpu.pipeline import FeaturePipeline, feature_dim
 from pykaldi2_tpu.trainer import Throughput, make_ce_train_step
 from pykaldi2_tpu.utils import (
@@ -132,13 +132,7 @@ def main(argv=None):
         eval_step = make_eval_step(model, feat_fn, mesh)
     sharding = None if mesh is None else local_batch_sharding(mesh)
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
-    if resume_meta:
-        # restore plateau state or the first post-resume epoch would silently
-        # reset lr_scale to 1.0, undoing prior annealing (ADVICE round 1);
-        # old checkpoints without "anneal" still carry lr_scale
-        annealer.restore(resume_meta.get("anneal")
-                         or {"scale": resume_meta.get("lr_scale", 1.0)})
-        opt_state = set_lr_scale(opt_state, annealer.scale)
+    opt_state = annealer.restore_from_checkpoint(resume_meta, opt_state)
 
     num_params = sum(np.prod(np.shape(x)) for x in jax.tree.leaves(params))
     log.info("model: %s input=%d params=%.2fM output=%d",
@@ -162,15 +156,8 @@ def main(argv=None):
             extras_fn=feat_fn.batch_extras if feat_fn.has_extras else None,
         )
         loader.set_epoch(epoch)
-        batch_iter = iter(loader)
-        if jax.process_count() > 1:
-            # equalize steps across hosts or the final psum deadlocks
-            import itertools
-            from jax.experimental import multihost_utils
-
-            local = np.asarray([loader.num_batches(conservative=True)])
-            steps = int(multihost_utils.process_allgather(local).min())
-            batch_iter = itertools.islice(batch_iter, steps)
+        # equalize steps across hosts or the final psum deadlocks
+        batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()
         ep_nll = ep_frames = 0.0
         for batch in device_prefetch(batch_iter, sharding=sharding):
@@ -208,17 +195,8 @@ def main(argv=None):
                                         world_size=jax.process_count(), shuffle=False,
                                         extras_fn=(feat_fn.batch_extras
                                                    if feat_fn.has_extras else None))
-            cv_iter = iter(cv_loader)
-            if jax.process_count() > 1:
-                # eval_step psums over the global mesh: equalize CV step counts
-                # across hosts or a host with one extra batch deadlocks all
-                # (ADVICE round 1) — same recipe as the training loop above
-                import itertools
-                from jax.experimental import multihost_utils
-
-                local = np.asarray([cv_loader.num_batches(conservative=True)])
-                steps = int(multihost_utils.process_allgather(local).min())
-                cv_iter = itertools.islice(cv_iter, steps)
+            # CV also psums globally: equalize or a longer host deadlocks all
+            cv_iter = equalized_steps(cv_loader, iter(cv_loader))
             for cb in device_prefetch(cv_iter, sharding=sharding):
                 nll, cnt, _cor = eval_step(params, cb)
                 cv_nll += float(nll)

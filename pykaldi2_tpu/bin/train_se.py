@@ -29,7 +29,7 @@ from pykaldi2_tpu.models import build_model
 from pykaldi2_tpu.ops.fb import pack_graph
 from pykaldi2_tpu.ops.fsa import load_fsa
 from pykaldi2_tpu.ops.se_losses import count_labels, priors_from_counts
-from pykaldi2_tpu.parallel.mesh import local_batch_sharding, make_mesh
+from pykaldi2_tpu.parallel.mesh import equalized_steps, local_batch_sharding, make_mesh
 from pykaldi2_tpu.pipeline import FeaturePipeline
 from pykaldi2_tpu.trainer import Throughput, make_se_train_step
 from pykaldi2_tpu.utils import (
@@ -167,11 +167,13 @@ def main(argv=None):
                      *den_packed.pdf.shape)
         except ValueError as e:
             log.warning("structured den unavailable (%s); using generic kernels", e)
-    if den_packed is None:
+    if den_packed is None and not args.on_the_fly:
         # dense state-matmul kernels (ops/fb_dense.py): the loaded
         # -den_graph / -generic_den path (all criteria) rides the MXU
         # instead of per-frame arc gathers/scatters; pack_graph_auto falls
-        # back to arc tables for huge or invariant-violating graphs
+        # back to arc tables for huge or invariant-violating graphs.
+        # (-on_the_fly never touches den_packed — don't materialize a
+        # potentially-[S,S] matrix it won't use.)
         from pykaldi2_tpu.ops.fb_dense import DenseStateGraph, pack_graph_auto
 
         den_packed = pack_graph_auto(den, num_pdfs=cfg.model.output_size)
@@ -220,11 +222,7 @@ def main(argv=None):
     )
     sharding = None if mesh is None else local_batch_sharding(mesh)
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
-    if resume_meta:
-        # restore plateau state so resume doesn't reset lr_scale (ADVICE round 1)
-        annealer.restore(resume_meta.get("anneal")
-                         or {"scale": resume_meta.get("lr_scale", 1.0)})
-        opt_state = set_lr_scale(opt_state, annealer.scale)
+    opt_state = annealer.restore_from_checkpoint(resume_meta, opt_state)
     bucket = BucketSpec(boundaries=tuple(cfg.trainer.bucket_boundaries),
                         batch_sizes=cfg.trainer.batch_size)
 
@@ -237,14 +235,7 @@ def main(argv=None):
                                extras_fn=(feat_fn.batch_extras
                                           if feat_fn.has_extras else None))
         loader.set_epoch(epoch)
-        batch_iter = iter(loader)
-        if jax.process_count() > 1:
-            import itertools
-            from jax.experimental import multihost_utils
-
-            local = np.asarray([loader.num_batches(conservative=True)])
-            steps = int(multihost_utils.process_allgather(local).min())
-            batch_iter = itertools.islice(batch_iter, steps)
+        batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()
         ep_obj = ep_frames = 0.0
         for batch in device_prefetch(batch_iter, sharding=sharding, device_keys={"wave", "feats", "labels", "mask", "num_frames"}):
@@ -346,10 +337,7 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
     from pykaldi2_tpu.trainer import Throughput
 
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
-    if resume_meta:
-        annealer.restore(resume_meta.get("anneal")
-                         or {"scale": resume_meta.get("lr_scale", 1.0)})
-        opt_state = set_lr_scale(opt_state, annealer.scale)
+    opt_state = annealer.restore_from_checkpoint(resume_meta, opt_state)
     bucket = BucketSpec(boundaries=tuple(cfg.trainer.bucket_boundaries),
                         batch_sizes=cfg.trainer.batch_size)
     sharding = None if mesh is None else local_batch_sharding(mesh)
@@ -388,14 +376,7 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                                extras_fn=(feat_fn.batch_extras
                                           if feat_fn.has_extras else None))
         loader.set_epoch(epoch)
-        batch_iter = iter(loader)
-        if jax.process_count() > 1:
-            import itertools
-            from jax.experimental import multihost_utils
-
-            local = np.asarray([loader.num_batches(conservative=True)])
-            steps = int(multihost_utils.process_allgather(local).min())
-            batch_iter = itertools.islice(batch_iter, steps)
+        batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()
         ep_obj = ep_frames = 0.0
 
@@ -403,6 +384,17 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
             nonlocal params, opt_state, key, step_no, ep_obj, ep_frames
             utt_ids, batch, fut = item
             den_b = fut.result()
+            if jax.process_count() > 1:
+                # all processes must compile the same psum-bearing program:
+                # equalize the (K, A) lattice paddings across hosts (on the
+                # MAIN thread, in lockstep with the equalized step counts)
+                from jax.experimental import multihost_utils
+                from pykaldi2_tpu.ops.fb_lattice import pad_time_sync
+
+                dims = np.asarray([den_b.num_slots, den_b.src.shape[2]])
+                gmax = np.asarray(multihost_utils.process_allgather(dims)
+                                  ).reshape(-1, 2).max(axis=0)
+                den_b = pad_time_sync(den_b, int(gmax[0]), int(gmax[1]))
             if sharding is not None:
                 batch = jax.device_put(batch, sharding)
                 den_b = jax.device_put(den_b, sharding)

@@ -238,11 +238,14 @@ def make_lexicon_trie_fst(
     sil_phone: int = 0,
     sil_prob: float = 0.0,
 ) -> Fst:
-    """Deterministic prefix-tree lexicon with the word olabel (and the
-    pronunciation probability) on the LAST phone arc.
+    """Prefix-tree lexicon with the word olabel (and the pronunciation
+    probability) on the LAST phone arc.
 
-    Phone-deterministic by construction — useful on its own (e.g. free
-    phone-input decoding) — but do NOT compose it naively with a word LM:
+    Prefix sharing makes internal trie arcs deterministic; residual
+    nondeterminism remains where one pronunciation prefixes another (the
+    shorter word's final arc coexists with the trie-continuation arc) and
+    at homophones (one final arc per word). Do NOT compose it naively with
+    a word LM:
     the late word output keeps G from advancing until a word completes, so
     pair states grow as |trie|×|G|. ``make_word_decode_graph`` uses the
     early-output ``make_lexicon_fst`` instead, where L∘G grows as

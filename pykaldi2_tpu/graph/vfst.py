@@ -140,7 +140,12 @@ class VectorFst:
         a1e_il = self.ilabel[o1e]
         a1e_w = self.weight[o1e]
 
-        KO = int(self.olabel.max()) + 1 if self.num_arcs else 1
+        # ONE shared key base for both sides: per-side bases would let a
+        # label >= the other side's base alias into the next state's key
+        # range and fabricate matches (round-2 review finding, reproduced)
+        K = 1 + max(int(self.olabel.max()) if self.num_arcs else 0,
+                    int(other.ilabel.max()) if other.num_arcs else 0)
+        KO = KI = K
         ne1 = np.nonzero(~eps1_m)[0]
         k1 = (self.src[ne1].astype(np.int64) * KO
               + self.olabel[ne1].astype(np.int64))
@@ -156,7 +161,6 @@ class VectorFst:
         deg1 = off1n[1:] - off1n[:-1]
 
         # side 2 (other): eps-INPUT arcs forward side 2; non-eps join on ilabel
-        KI = int(other.ilabel.max()) + 1 if other.num_arcs else 1
         eps2_m = other.ilabel == EPS
         o2e, off2e = _subset_csr(other.src, other.num_states, eps2_m)
         a2e_dst = other.dst[o2e]

@@ -223,14 +223,17 @@ mmi_objective_lattice.defvjp(_mmi_lat_fwd, _mmi_lat_bwd)
 # pdfs through pdf_to_phone since decoded lattices label arcs by pdf.
 
 
-def _arc_acc_b(g: BatchedGraphs, ref_t, level: str, pdf_to_phone):
-    """[B, E] per-arc frame accuracy vs reference labels ref_t [B]."""
+def _arc_acc_b(pdf, ref_t, level: str, pdf_to_phone):
+    """[B, E] per-arc frame accuracy of arc labels ``pdf`` vs ref_t [B].
+
+    Shared with the banded time-sync kernels (ops/fb_lattice.py).
+    """
     if level == "pdf":
-        lab = g.pdf
+        lab = pdf
     elif level == "phone":
         if pdf_to_phone is None:
             raise ValueError("level='phone' needs pdf_to_phone")
-        lab = pdf_to_phone[jnp.maximum(g.pdf, 0)]
+        lab = pdf_to_phone[jnp.maximum(pdf, 0)]
     else:
         raise ValueError(level)
     return (lab == ref_t[:, None]).astype(jnp.float32)
@@ -259,7 +262,7 @@ def _smbr_fwd_scan_b(obs, g: BatchedGraphs, ref, num_frames, level, pdf_to_phone
                  + jnp.take_along_axis(obs_t, g.pdf, axis=1))               # [B, E]
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
-        arc_acc = _arc_acc_b(g, ref_t, level, pdf_to_phone)
+        arc_acc = _arc_acc_b(g.pdf, ref_t, level, pdf_to_phone)
         acc_in = _gather_state(aacc, g.src) + arc_acc
         denom = _seg_sum_b(lin, g.dst, g.num_states)
         numer = _seg_sum_b(lin * acc_in, g.dst, g.num_states)
@@ -306,7 +309,7 @@ def _smbr_b_bwd(level, res, ct):
     def step(carry, inp):
         beta, bacc, bnorm = carry
         obs_t, ref_t, a_prev, aa_prev, an_prev, t = inp
-        arc_acc = _arc_acc_b(g, ref_t, level, pdf_to_phone)
+        arc_acc = _arc_acc_b(g.pdf, ref_t, level, pdf_to_phone)
         obs_arc = jnp.take_along_axis(obs_t, g.pdf, axis=1)
         log_gamma = (_gather_state(a_prev, g.src) + an_prev[:, None] + g.weight
                      + obs_arc + _gather_state(beta, g.dst) + bnorm[:, None]

@@ -82,8 +82,11 @@ def pack_graph_dense(fsa: DenseFsa) -> DenseStateGraph:
     w_exp = np.zeros((S, S), np.float32)
     # duplicate arcs between the same state pair add in prob space (their
     # logsumexp), which the accumulation here performs exactly; -inf /
-    # padding arcs contribute exactly zero
-    probs = np.where(w <= 0.5 * NEG_INF, 0.0, np.exp(np.maximum(w, -80.0)))
+    # padding arcs contribute exactly zero. exp computed in float64 so very
+    # negative legitimate weights underflow toward 0 faithfully instead of
+    # being clamped (round-2 review); only the positive side is clamped to
+    # keep the fp32 cast finite.
+    probs = np.where(w <= 0.5 * NEG_INF, 0.0, np.exp(np.minimum(w, 80.0)))
     np.add.at(w_exp, (np.asarray(fsa.src), np.asarray(fsa.dst)),
               probs.astype(np.float32))
     final = np.nan_to_num(np.asarray(fsa.final, np.float64),

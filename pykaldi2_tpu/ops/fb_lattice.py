@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fb_batched import _arc_acc_b, _seg_sum_b
 from pykaldi2_tpu.ops.fsa import DenseFsa
 
 
@@ -124,13 +125,28 @@ def pack_time_sync(lattices: Sequence[Tuple[DenseFsa, np.ndarray]],
                            jnp.asarray(w), jnp.asarray(final))
 
 
-def _seg_sum_slots(values, ids, k):
-    """values [B, A], ids [B, A] → [B, K] scatter-add per row."""
-    b = values.shape[0]
-    offs = jnp.arange(b, dtype=ids.dtype)[:, None] * k
-    flat = jax.ops.segment_sum(values.reshape(-1), (ids + offs).reshape(-1),
-                               num_segments=b * k)
-    return flat.reshape(b, k)
+def pad_time_sync(lat: TimeSyncLattice, k: int, a: int) -> TimeSyncLattice:
+    """Grow a packed lattice's slot/arc paddings (exact no-op arcs).
+
+    Multihost runs must compile identical psum-bearing step programs on
+    every process, so each host pads its locally-packed lattices up to the
+    allgather-max (K, A) before the jitted step.
+    """
+    k0, a0 = lat.num_slots, lat.src.shape[2]
+    if k < k0 or a < a0:
+        raise ValueError(f"cannot shrink padding ({k0},{a0}) → ({k},{a})")
+    if (k, a) == (k0, a0):
+        return lat
+    pad_a = [(0, 0), (0, 0), (0, a - a0)]
+    return TimeSyncLattice(
+        jnp.pad(lat.src, pad_a), jnp.pad(lat.dst, pad_a), jnp.pad(lat.pdf, pad_a),
+        jnp.pad(lat.weight, pad_a, constant_values=NEG_INF),
+        jnp.pad(lat.final, [(0, 0), (0, k - k0)], constant_values=NEG_INF))
+
+
+# per-row segment sum and per-arc accuracy labels are shared with the
+# generic per-utterance kernels
+_seg_sum_slots = _seg_sum_b
 
 
 def _alpha0_ts(lat: TimeSyncLattice, b, like):
@@ -281,16 +297,6 @@ mmi_objective_lattice_ts.defvjp(_mmi_ts_fwd, _mmi_ts_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _arc_acc_ts(pdf_t, ref_t, pdf_to_phone, level):
-    if level == "pdf":
-        lab = pdf_t
-    elif level == "phone":
-        if pdf_to_phone is None:
-            raise ValueError("level='phone' needs pdf_to_phone")
-        lab = pdf_to_phone[jnp.maximum(pdf_t, 0)]
-    else:
-        raise ValueError(level)
-    return (lab == ref_t[:, None]).astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -314,7 +320,7 @@ def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level, pdf_to_phone
                  + jnp.take_along_axis(obs_t, pdf_t, axis=1))
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
-        arc_acc = _arc_acc_ts(pdf_t, ref_t, pdf_to_phone, level)
+        arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone)
         acc_in = jnp.take_along_axis(aacc, src_t, axis=1) + arc_acc
         denom = _seg_sum_slots(lin, dst_t, k)
         numer = _seg_sum_slots(lin * acc_in, dst_t, k)
@@ -363,7 +369,7 @@ def _smbr_ts_bwd(level, res, ct):
     def step(carry, inp):
         beta, bacc, bnorm = carry
         obs_t, ref_t, src_t, dst_t, pdf_t, w_t, a_prev, aa_prev, an_prev, t = inp
-        arc_acc = _arc_acc_ts(pdf_t, ref_t, pdf_to_phone, level)
+        arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone)
         obs_arc = jnp.take_along_axis(obs_t, pdf_t, axis=1)
         beta_dst = jnp.take_along_axis(beta, dst_t, axis=1)
         log_gamma = (jnp.take_along_axis(a_prev, src_t, axis=1) + an_prev[:, None]

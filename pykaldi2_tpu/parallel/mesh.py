@@ -37,3 +37,22 @@ def make_mesh(shape: Optional[dict] = None, devices=None) -> Mesh:
 def local_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding that splits batch dim 0 over the data axis (replicated on others)."""
     return NamedSharding(mesh, P(axis))
+
+
+def equalized_steps(loader, batch_iter):
+    """Truncate a loader's iterator to the min per-process batch count.
+
+    Multihost train/CV loops psum over the global mesh, so a host with one
+    extra batch deadlocks all of them; uses the loader's metadata-only
+    ``num_batches(conservative=True)`` and an allgather-min. No-op on a
+    single process.
+    """
+    if jax.process_count() <= 1:
+        return batch_iter
+    import itertools
+
+    from jax.experimental import multihost_utils
+
+    local = np.asarray([loader.num_batches(conservative=True)])
+    steps = int(multihost_utils.process_allgather(local).min())
+    return itertools.islice(batch_iter, steps)

@@ -92,6 +92,18 @@ class PlateauAnnealer:
         """JSON-serializable state for checkpoint meta (resume support)."""
         return {"best": self.best, "bad_epochs": self.bad_epochs, "scale": self.scale}
 
+    def restore_from_checkpoint(self, resume_meta: Optional[dict], opt_state):
+        """Restore plateau state from checkpoint meta and re-apply the LR
+        scale — otherwise the first post-resume epoch silently resets
+        lr_scale to 1.0 (ADVICE round 1). Old checkpoints without "anneal"
+        still carry lr_scale. Returns the (possibly updated) opt_state.
+        """
+        if not resume_meta:
+            return opt_state
+        self.restore(resume_meta.get("anneal")
+                     or {"scale": resume_meta.get("lr_scale", 1.0)})
+        return set_lr_scale(opt_state, self.scale)
+
     def restore(self, state: Optional[dict]):
         """Restore from checkpoint meta; tolerates missing/old checkpoints."""
         if not state:

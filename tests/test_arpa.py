@@ -248,6 +248,26 @@ def _path_set(f: Fst, max_len=4):
     return out
 
 
+def test_vector_compose_mismatched_label_ranges():
+    """Regression (round-2 review): per-side key bases aliased a label >= the
+    other side's base into the next state's key range, fabricating arcs.
+    Here L emits olabel 4 but G's max ilabel is 3: the composition is EMPTY."""
+    L = Fst()
+    a, b = L.add_state(), L.add_state()
+    L.set_start(a)
+    L.add_arc(a, 1, 4, 0.0, b)      # olabel 4
+    L.set_final(b, 0.0)
+    G = Fst()
+    c, d = G.add_state(), G.add_state()
+    G.set_start(c)
+    G.add_arc(c, 3, 3, 0.0, d)      # max ilabel 3 < 4
+    G.set_final(d, 0.0)
+    ref = L.compose(G)
+    got = VectorFst.from_fst(L).compose(VectorFst.from_fst(G))
+    assert ref.num_states == 0 or not ref.finals
+    assert got.num_states == 0, f"fabricated {got.num_arcs} arcs"
+
+
 def test_vector_connect_matches_object_connect():
     rng = np.random.RandomState(3)
     for _ in range(5):

@@ -109,6 +109,20 @@ def test_banded_expected_accuracy_matches_generic(decoded, level):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pad_time_sync_invariance(decoded):
+    """Growing (K, A) paddings (the multihost shape-equalization path) must
+    not change logZ/gamma."""
+    from pykaldi2_tpu.ops.fb_lattice import pad_time_sync
+
+    obs, lens, _fsas, framed, _p = decoded
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    big = pad_time_sync(lat, lat.num_slots * 2, lat.src.shape[2] + 96)
+    z1, g1 = lattice_occupancies_ts(jnp.asarray(obs), lat, jnp.asarray(lens))
+    z2, g2 = lattice_occupancies_ts(jnp.asarray(obs), big, jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
+
+
 def test_banded_memory_shape(decoded):
     """The win itself: slot count ≤ per-frame tokens, not total states."""
     obs, lens, fsas, framed, _p = decoded
