@@ -322,7 +322,8 @@ int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
                           float* lat_weight, int arc_capacity,
                           int* num_arcs_out, float* final_weights,
                           int state_capacity, int* num_states_out,
-                          float* best_score, int* state_frame) {
+                          float* best_score, int* state_frame,
+                          int* lat_olabel) {
   auto* d = static_cast<Decoder*>(h);
   float best_cost;
   int best_i = RunSearch(d, loglikes, T, P, &best_cost);
@@ -360,6 +361,7 @@ int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
         lat_src[n_arcs] = prev;
         lat_dst[n_arcs] = ids[t][i];
         lat_pdf[n_arcs] = d->g.ilabel[l.arc] - 1;
+        if (lat_olabel != nullptr) lat_olabel[n_arcs] = d->g.olabel[l.arc];
         // graph_cost folds in epsilon arcs taken after the emitting arc;
         // frame-0 tokens all map to lattice state 0, so initial-epsilon
         // costs (pure graph, no acoustics yet) move onto the first arc

@@ -48,7 +48,7 @@ def _load():
     lib.latdec_decode_lattice.restype = ctypes.c_int
     lib.latdec_decode_lattice.argtypes = [
         ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int,
-        ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int, ip, fp, ip]
+        ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int, ip, fp, ip, ip]
     _lib = lib
     return lib
 
@@ -163,6 +163,7 @@ class LatticeDecoder:
             w = np.zeros(arc_cap, np.float32)
             finals = np.zeros(state_cap, np.float32)
             frames = np.zeros(state_cap, np.int32)
+            olabel = np.zeros(arc_cap, np.int32)
             n_arcs = ctypes.c_int()
             n_states = ctypes.c_int()
             score = ctypes.c_float()
@@ -170,11 +171,12 @@ class LatticeDecoder:
                 self._h, _fptr(ll), t, p, _iptr(src), _iptr(dst), _iptr(pdf),
                 _fptr(w), arc_cap, ctypes.byref(n_arcs), _fptr(finals),
                 state_cap, ctypes.byref(n_states), ctypes.byref(score),
-                _iptr(frames))
+                _iptr(frames), _iptr(olabel))
             if rc == 0:
                 na, ns = n_arcs.value, n_states.value
                 fsa = DenseFsa(ns, src[:na].copy(), dst[:na].copy(), pdf[:na].copy(),
-                               w[:na].copy(), finals[:ns].copy(), 0)
+                               w[:na].copy(), finals[:ns].copy(), 0,
+                               olabel=olabel[:na].copy())
                 if with_frames:
                     return fsa.validate(), frames[:ns].copy(), float(score.value)
                 return fsa.validate(), float(score.value)

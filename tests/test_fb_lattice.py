@@ -130,5 +130,6 @@ def test_banded_memory_shape(decoded):
     total_states = max(f.num_states for f in fsas)
     assert lat.num_slots < total_states
     arcs, nf, counts, _fin = time_sync_from_fsa(*framed[0])
-    assert len(arcs) == nf
+    frame_of_arc = arcs[0]
+    assert frame_of_arc.max() == nf - 1
     assert counts.sum() == framed[0][0].num_states
