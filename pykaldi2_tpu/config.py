@@ -167,6 +167,9 @@ class DataConfig:
     """The '-data' YAML: corpus locations + simulation."""
 
     wav_scp: Optional[str] = None        # utt_id → wav path (or wav.zip member)
+    feats_scp: Optional[str] = None      # precomputed feature matrices (Kaldi scp)
+    hdf5: Optional[str] = None           # hdf5 corpus archive (data/hdf5_io.py layout)
+    hdf5_kind: str = "wave"              # wave|feats datasets inside the archive
     label_ark: Optional[str] = None      # alignment ark/scp (pdf-ids or transition-ids)
     ali_are_pdf_ids: bool = True         # False → map tid→pdf via TransitionModel
     trans_model: Optional[str] = None

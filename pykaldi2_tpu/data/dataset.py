@@ -99,8 +99,29 @@ class SpeechDataset:
             from pykaldi2_tpu.graph.transition_model import TransitionModel
 
             tid_to_pdf = TransitionModel.read_kaldi(cfg.trans_model).tid_to_pdf_array()
+        if cfg.hdf5:
+            if cfg.wav_scp:
+                raise ValueError("configure either data.hdf5 or data.wav_scp, not both")
+            ds = cls.from_hdf5(cfg.hdf5, kind=cfg.hdf5_kind,
+                               frame_opts=frame_opts, simulate_fn=simulate_fn)
+            if cfg.label_ark:
+                # external alignments override/add to labels stored in the archive
+                from pykaldi2_tpu.data import kaldi_io
+
+                reader = (kaldi_io.read_text_ark(cfg.label_ark)
+                          if _looks_text(cfg.label_ark)
+                          else kaldi_io.read_ark(cfg.label_ark, kind="ivec"))
+                labels = {}
+                for key, vec in reader:
+                    if tid_to_pdf is not None:
+                        vec = tid_to_pdf[vec]
+                    labels[key] = vec.astype(np.int32)
+                ds.labels = labels
+                ds.utt_ids = [u for u in ds._entries if u in labels]
+            return ds
         return cls(
             wav_scp=cfg.wav_scp,
+            feats_scp=cfg.feats_scp,
             ali=cfg.label_ark,
             frame_opts=frame_opts,
             simulate_fn=simulate_fn,

