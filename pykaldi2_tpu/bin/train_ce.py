@@ -21,7 +21,7 @@ from pykaldi2_tpu.data.dataset import SpeechDataset
 from pykaldi2_tpu.data.prefetch import device_prefetch
 from pykaldi2_tpu.models import build_model
 from pykaldi2_tpu.parallel.mesh import equalized_steps, local_batch_sharding, make_mesh
-from pykaldi2_tpu.pipeline import FeaturePipeline, feature_dim
+from pykaldi2_tpu.pipeline import FeaturePipeline, build_frontend, feature_dim
 from pykaldi2_tpu.trainer import Throughput, make_ce_train_step
 from pykaldi2_tpu.utils import (
     MetricsLogger,
@@ -93,7 +93,7 @@ def main(argv=None):
         raise SystemExit(f"batch_size {cfg.trainer.batch_size} not divisible by {n_dev} devices")
     log.info("devices: %s (mesh=%s)", jax.devices(), None if mesh is None else dict(zip(mesh.axis_names, mesh.devices.shape)))
 
-    dataset = SpeechDataset.from_config(cfg.data)
+    dataset, feat_fn, extras_fn = build_frontend(cfg.data)
     cv_dataset = None
     if args.cv_data:
         from pykaldi2_tpu.config import load_data_config as _ldc
@@ -101,7 +101,6 @@ def main(argv=None):
         cv_cfg.feat = cfg.data.feat  # same features as training
         cv_cfg.simulation.enabled = False
         cv_dataset = SpeechDataset.from_config(cv_cfg)
-    feat_fn = FeaturePipeline(cfg.data.feat)
     cfg.model.input_size = feat_fn.dim
     model = build_model(cfg.model)
     optimizer = make_optimizer(cfg.optimizer)
@@ -153,7 +152,7 @@ def main(argv=None):
             world_size=jax.process_count() * sweep_world,
             shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
             num_workers=cfg.data.num_workers,
-            extras_fn=feat_fn.batch_extras if feat_fn.has_extras else None,
+            extras_fn=extras_fn,
         )
         loader.set_epoch(epoch)
         # equalize steps across hosts or the final psum deadlocks

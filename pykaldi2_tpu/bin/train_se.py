@@ -139,10 +139,11 @@ def main(argv=None):
     metrics_log = MetricsLogger(args.exp_dir)
     mesh = None if args.single_device else make_mesh(cfg.trainer.mesh_shape)
 
-    dataset = SpeechDataset.from_config(cfg.data)
+    from pykaldi2_tpu.pipeline import build_frontend
+
+    dataset, feat_fn, extras_fn = build_frontend(cfg.data)
     if dataset.labels is None:
         raise SystemExit("train_se requires alignments (label_ark)")
-    feat_fn = FeaturePipeline(cfg.data.feat)
     cfg.model.input_size = feat_fn.dim
     model = build_model(cfg.model)
     optimizer = make_optimizer(cfg.optimizer)
@@ -232,8 +233,7 @@ def main(argv=None):
                                world_size=jax.process_count(),
                                shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
                                num_workers=cfg.data.num_workers,
-                               extras_fn=(feat_fn.batch_extras
-                                          if feat_fn.has_extras else None))
+                               extras_fn=extras_fn)
         loader.set_epoch(epoch)
         batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()
@@ -373,8 +373,7 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                                world_size=jax.process_count(),
                                shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
                                num_workers=cfg.data.num_workers,
-                               extras_fn=(feat_fn.batch_extras
-                                          if feat_fn.has_extras else None))
+                               extras_fn=extras_fn)
         loader.set_epoch(epoch)
         batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()

@@ -151,6 +151,11 @@ class PerturbConfig:
 @dataclass
 class SimulationConfig:
     enabled: bool = False
+    # on_device: reverb/noise/gain run inside the jitted train step (host
+    # samples RIR/noise tensors per batch, the TPU applies them — the
+    # "HBM-resident simulated batches" path); speed perturbation always
+    # stays host-side because it changes sequence length
+    on_device: bool = False
     reverb: ReverbConfig = field(default_factory=ReverbConfig)
     noise: NoiseConfig = field(default_factory=NoiseConfig)
     perturb: PerturbConfig = field(default_factory=PerturbConfig)

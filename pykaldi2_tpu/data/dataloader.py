@@ -182,7 +182,7 @@ class ChunkDataloader:
             key = "feats" if feats_mode else "wave"
             out = {key: xs, "labels": labels, "mask": mask}
             if self.extras_fn is not None:
-                out.update(self.extras_fn(uids))
+                out.update(self.extras_fn(uids, None if feats_mode else S))
             return out
 
         pool: List[tuple] = []
@@ -344,7 +344,7 @@ class SeqDataloader:
                    "utt_ids": utt_ids}
             if self.extras_fn is not None:
                 padded_ids = utt_ids + [""] * (B - len(utt_ids))
-                out.update(self.extras_fn(padded_ids))
+                out.update(self.extras_fn(padded_ids, None if feats_mode else S))
             return out
 
         eligible = []

@@ -63,8 +63,15 @@ class FeaturePipeline:
     ``mask`` [B,T]; returns [B, T, feature_dim] fp32.
     """
 
-    def __init__(self, cfg: FeatConfig, cmvn_stats: Optional[np.ndarray] = None):
+    def __init__(self, cfg: FeatConfig, cmvn_stats: Optional[np.ndarray] = None,
+                 device_sim_cfg=None):
+        """device_sim_cfg: a SimulationConfig with on_device=True — the
+        jitted call then applies reverb/noise/gain to the waveform batch
+        (simulation/device.simulate_batch) before feature extraction, using
+        sim_rir/sim_noise rows attached by DeviceSimulator.batch_extras.
+        Training-only: eval copies (for_eval) drop it with the dither."""
         self.cfg = cfg
+        self.device_sim_cfg = device_sim_cfg
         self.mean = None
         self.scale = None
         if cfg.cmvn.stats_path and cmvn_stats is None:
@@ -108,8 +115,10 @@ class FeaturePipeline:
         """True when batches need per-row extras (speaker CMVN / VTLN)."""
         return self.speaker_cmvn is not None or self.warp_bank is not None
 
-    def batch_extras(self, utt_ids) -> dict:
-        """Host-side per-row arrays for a batch (loaders attach these).
+    def batch_extras(self, utt_ids, n_samples=None) -> dict:
+        """Host-side per-row arrays for a batch (loaders attach these;
+        ``n_samples`` is the batch's waveform length, used by other extras
+        providers like DeviceSimulator and ignored here).
 
         An empty utt_id marks a padding row (masked downstream) and gets
         neutral values; a real utterance missing from the tables raises,
@@ -140,6 +149,7 @@ class FeaturePipeline:
         out.cfg = copy.deepcopy(self.cfg)
         out.cfg.fbank.frame_opts.dither = 0.0
         out.cfg.mfcc.frame_opts.dither = 0.0
+        out.device_sim_cfg = None  # never simulate at eval
         return out
 
     @staticmethod
@@ -170,8 +180,41 @@ class FeaturePipeline:
             return False
         return self._pallas_enabled()
 
+    def _simulate_on_device(self, batch: dict, key) -> jax.Array:
+        """Apply the on-device reverb/noise/gain stage (SimulationConfig with
+        on_device=True) to the waveform batch inside the jitted step."""
+        from pykaldi2_tpu.simulation.device import simulate_batch
+
+        sim = self.device_sim_cfg
+        wave = batch["wave"]
+        sample_mask = None
+        mask = batch.get("mask")
+        if mask is not None:
+            # approximate per-sample validity from the frame mask so padded
+            # rows don't skew the SNR's speech-power estimate
+            fo = (self.cfg.fbank.frame_opts if self.cfg.type == "fbank"
+                  else self.cfg.mfcc.frame_opts)
+            sm = jnp.repeat(mask.astype(jnp.float32), fo.window_shift, axis=-1)
+            s = wave.shape[-1]
+            if sm.shape[-1] < s:
+                sm = jnp.pad(sm, [(0, 0), (0, s - sm.shape[-1])])
+            sample_mask = sm[..., :s]
+        return simulate_batch(
+            wave, jax.random.fold_in(key, 7),
+            rirs=batch.get("sim_rir") if sim.reverb.use_reverb else None,
+            noises=batch.get("sim_noise") if sim.noise.use_noise else None,
+            snr_range=tuple(sim.noise.snr_range),
+            gain_range=tuple(sim.perturb.gain_range) if sim.perturb.use_gain else None,
+            reverb_prob=sim.reverb.prob, noise_prob=sim.noise.prob,
+            sample_mask=sample_mask)
+
     def __call__(self, batch: dict, dither_key=None) -> jax.Array:
         cfg = self.cfg
+        if (self.device_sim_cfg is not None and dither_key is not None
+                and "wave" in batch):
+            batch = dict(batch)
+            batch["wave"] = self._simulate_on_device(batch, dither_key)
+            dither_key = jax.random.fold_in(dither_key, 1)
         warp_sel = batch.get("warp_id") if self.warp_bank is not None else None
         if "feats" in batch:
             feats = batch["feats"].astype(jnp.float32)
@@ -211,3 +254,60 @@ class FeaturePipeline:
         if cfg.splice_left or cfg.splice_right:
             feats = splice_frames(feats, cfg.splice_left, cfg.splice_right)
         return feats
+
+
+def compose_extras(*fns):
+    """Merge several ``(utt_ids, n_samples) → dict`` extras providers into
+    one loader hook (FeaturePipeline.batch_extras + DeviceSimulator etc.);
+    None entries are skipped; returns None when nothing remains."""
+    fns = [f for f in fns if f is not None]
+    if not fns:
+        return None
+
+    def extras(utt_ids, n_samples=None):
+        out = {}
+        for f in fns:
+            out.update(f(utt_ids, n_samples))
+        return out
+
+    return extras
+
+def build_frontend(data_cfg):
+    """(dataset, feat_fn, extras_fn) for the trainers, honoring on-device
+    simulation: with simulation.on_device, reverb/noise/gain move into the
+    jitted step (DeviceSimulator samples the tensors; FeaturePipeline
+    applies them) and the host keeps only duration-changing speed
+    perturbation.
+
+    Note: -on_the_fly SE decodes denominator lattices from the UNdistorted
+    forward (eval pipeline) while training applies the distortion — prefer
+    host-side simulation (on_device: false) for that mode so lattices and
+    gradients see the same audio."""
+    import copy
+
+    from pykaldi2_tpu.data.dataset import SpeechDataset
+
+    sim = data_cfg.simulation
+    dev_sim = None
+    dev_cfg = None
+    dcfg = data_cfg
+    if sim.enabled and sim.on_device:
+        dcfg = copy.deepcopy(data_cfg)
+        host = dcfg.simulation
+        host.reverb.use_reverb = False
+        host.noise.use_noise = False
+        host.perturb.use_gain = False
+        host.enabled = host.perturb.use_speed
+        fo = (data_cfg.feat.fbank.frame_opts if data_cfg.feat.type == "fbank"
+              else data_cfg.feat.mfcc.frame_opts)
+        from pykaldi2_tpu.simulation.device import DeviceSimulator
+
+        dev_sim = DeviceSimulator(sim, samp_freq=fo.samp_freq,
+                                  frame_shift=fo.window_shift)
+        dev_cfg = sim
+    dataset = SpeechDataset.from_config(dcfg)
+    feat_fn = FeaturePipeline(data_cfg.feat, device_sim_cfg=dev_cfg)
+    extras_fn = compose_extras(
+        feat_fn.batch_extras if feat_fn.has_extras else None,
+        dev_sim.batch_extras if dev_sim is not None else None)
+    return dataset, feat_fn, extras_fn

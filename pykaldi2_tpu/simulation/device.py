@@ -41,6 +41,55 @@ def batch_gain_db(waves: jax.Array, gain_db: jax.Array) -> jax.Array:
     return (waves * 10.0 ** (gain_db[:, None] / 20.0)).astype(jnp.float32)
 
 
+class DeviceSimulator:
+    """Host half of the on-device simulation path: samples per-row RIR and
+    noise tensors (reusing the host Simulator's RIR library / synthesis and
+    noise cutting) that the jitted step then applies via ``simulate_batch``
+    inside FeaturePipeline. Bernoulli gates, SNR, and gain draw on device
+    from the step's PRNG key, so only the bulky tensors cross the host
+    boundary.
+
+    ``batch_extras(utt_ids, n_samples)`` plugs into the loaders' extras hook
+    alongside FeaturePipeline.batch_extras.
+    """
+
+    def __init__(self, cfg, samp_freq: float = 16000.0, rir_len: int = 8000,
+                 frame_shift: int = 160):
+        from pykaldi2_tpu.simulation.simulator import Simulator
+
+        self.cfg = cfg
+        self.rir_len = rir_len
+        self._host = Simulator(cfg, samp_freq=samp_freq, frame_shift=frame_shift)
+        import numpy as np
+
+        self._rng = np.random.RandomState(cfg.seed)
+
+    def batch_extras(self, utt_ids, n_samples=None) -> dict:
+        import numpy as np
+
+        out = {}
+        b = len(utt_ids)
+        if self.cfg.reverb.use_reverb:
+            rirs = np.zeros((b, self.rir_len), np.float32)
+            for i in range(b):
+                r = self._host._rir(self._rng)
+                n = min(r.shape[0], self.rir_len)
+                rirs[i, :n] = r[:n]
+            out["sim_rir"] = rirs
+        if self.cfg.noise.use_noise:
+            if n_samples is None:
+                raise ValueError("on-device noise mixing needs the batch "
+                                 "sample length (wave-mode corpora only)")
+            noises = np.zeros((b, n_samples), np.float32)
+            for i in range(b):
+                nz = self._host._noise(self._rng, n_samples)
+                if nz.shape[0] < n_samples:
+                    nz = np.tile(nz, int(np.ceil(n_samples / nz.shape[0])))
+                noises[i] = nz[:n_samples]
+            out["sim_noise"] = noises
+        return out
+
+
 def simulate_batch(
     waves: jax.Array,
     key: jax.Array,

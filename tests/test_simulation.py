@@ -192,3 +192,83 @@ def test_loader_num_workers_deterministic(tmp_path):
     for a, b in zip(b0, b4):
         np.testing.assert_array_equal(a["wave"], b["wave"])
         np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+def test_device_simulator_extras_and_pipeline():
+    """On-device simulation path: DeviceSimulator samples tensors, the
+    pipeline applies reverb/noise/gain inside the (jittable) call."""
+    import jax
+    import jax.numpy as jnp
+
+    from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
+                                     NoiseConfig, PerturbConfig, ReverbConfig,
+                                     SimulationConfig)
+    from pykaldi2_tpu.pipeline import FeaturePipeline
+    from pykaldi2_tpu.simulation.device import DeviceSimulator
+
+    sim = SimulationConfig(
+        enabled=True, on_device=True,
+        reverb=ReverbConfig(use_reverb=True, prob=1.0, rt60_range=(0.2, 0.3)),
+        noise=NoiseConfig(use_noise=True, prob=1.0, snr_range=(5.0, 10.0)),
+        perturb=PerturbConfig(use_gain=True, gain_range=(-6.0, 6.0)))
+    dev = DeviceSimulator(sim, samp_freq=16000.0)
+    B, S = 2, 4000
+    extras = dev.batch_extras(["u0", "u1"], n_samples=S)
+    assert extras["sim_rir"].shape[0] == B
+    assert extras["sim_noise"].shape == (B, S)
+
+    fo = FrameOpts(dither=0.0)
+    cfg = FeatConfig(fbank=FbankOpts(frame_opts=fo, mel_opts=MelOpts(num_bins=8)))
+    from pykaldi2_tpu.frontend.window import num_frames as _nf
+
+    rng = np.random.RandomState(0)
+    T = _nf(S, fo)
+    batch = {"wave": jnp.asarray((rng.randn(B, S) * 1000).astype(np.float32)),
+             "mask": jnp.ones((B, T), jnp.float32)}
+    batch.update({k: jnp.asarray(v) for k, v in extras.items()})
+
+    clean_pipe = FeaturePipeline(cfg)
+    sim_pipe = FeaturePipeline(cfg, device_sim_cfg=sim)
+    key = jax.random.PRNGKey(0)
+    clean = np.asarray(jax.jit(lambda b, k: clean_pipe(b, dither_key=k))(batch, key))
+    noisy = np.asarray(jax.jit(lambda b, k: sim_pipe(b, dither_key=k))(batch, key))
+    assert np.isfinite(noisy).all()
+    assert np.abs(noisy - clean).max() > 0.1     # simulation visibly applied
+    # eval copies never simulate
+    ev = sim_pipe.for_eval()
+    ev_out = np.asarray(ev(batch))
+    np.testing.assert_allclose(ev_out, clean, rtol=1e-5, atol=1e-5)
+
+
+def test_train_ce_cli_on_device_simulation(tmp_path):
+    """train_ce with simulation.on_device runs end-to-end and learns."""
+    import json
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import yaml
+    from toydata import make_toy_corpus
+    from pykaldi2_tpu.bin.train_ce import main as ce_main
+
+    paths = make_toy_corpus(str(tmp_path / "c"), num_utts=6, num_pdfs=4, seed=21)
+    cfg = {
+        "model": {"type": "lstm", "hidden_size": 24, "num_layers": 1,
+                  "output_size": 4, "compute_dtype": "float32"},
+        "optimizer": {"type": "momentum", "lr": 0.05, "momentum": 0.9},
+        "trainer": {"batch_size": 4, "chunk_len": 40, "num_epochs": 2,
+                    "log_interval": 1},
+        "data": {"wav_scp": paths["wav_scp"], "label_ark": paths["ali"],
+                 "feat": {"fbank": {"mel_opts": {"num_bins": 16}}},
+                 "simulation": {"enabled": True, "on_device": True,
+                                "reverb": {"use_reverb": True, "prob": 0.5,
+                                           "rt60_range": [0.15, 0.3]},
+                                "noise": {"use_noise": True, "prob": 0.5,
+                                          "snr_range": [10, 20]},
+                                "perturb": {"use_gain": True}}},
+    }
+    cp = tmp_path / "ce.yaml"
+    yaml.safe_dump(cfg, open(cp, "w"))
+    exp = tmp_path / "exp"
+    assert ce_main(["-config", str(cp), "-exp_dir", str(exp), "-single_device"]) == 0
+    metas = [json.load(open(exp / f"model.{e}.npz.json")) for e in range(2)]
+    assert all(np.isfinite(m["loss"]) for m in metas)
+    assert metas[1]["loss"] < metas[0]["loss"]
