@@ -214,7 +214,8 @@ def main(argv=None):
         return _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                                optimizer, tm, den, pdf_to_phone, log_prior,
                                params, opt_state, start_epoch, key,
-                               resume_meta=resume_meta, crit=crit, mesh=mesh)
+                               resume_meta=resume_meta, crit=crit, mesh=mesh,
+                               extras_fn=extras_fn)
     step = make_se_train_step(
         model, feat_fn, optimizer, den_packed, crit, mesh,
         log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
@@ -270,7 +271,7 @@ def main(argv=None):
 def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                     optimizer, tm, den, pdf_to_phone, log_prior,
                     params, opt_state, start_epoch, key,
-                    resume_meta=None, crit="mmi", mesh=None):
+                    resume_meta=None, crit="mmi", mesh=None, extras_fn=None):
     """Reference train_se semantics: per-utterance denominator lattices
     decoded on the host per batch, forward-backward on device.
 

@@ -104,9 +104,11 @@ class ChunkDataloader:
         """``chunk_shuffle_buffer``: when shuffling, chunks pass through a
         reservoir of this size so chunks of one utterance spread across
         batches (the reference shuffles at chunk granularity); 0 disables.
-        ``extras_fn(utt_ids) → dict of [B,...] arrays`` attaches per-row
-        extras (speaker CMVN rows, VTLN warp ids — FeaturePipeline
-        .batch_extras); padding rows pass an empty utt_id."""
+        ``extras_fn(utt_ids, n_samples) → dict of [B,...] arrays`` attaches
+        per-row extras (speaker CMVN rows, VTLN warp ids, on-device
+        simulation tensors — see pipeline.compose_extras); n_samples is the
+        batch waveform length (None in feats mode); padding rows pass an
+        empty utt_id."""
         self.ds = dataset
         self.batch_size = batch_size
         self.chunk_len = chunk_len

@@ -66,16 +66,7 @@ class SpeechDataset:
         self._entries = dict(kaldi_io.read_scp(wav_scp or feats_scp))
         self.labels: Optional[dict] = None
         if ali is not None:
-            self.labels = {}
-            reader = (
-                kaldi_io.read_text_ark(ali)
-                if _looks_text(ali)
-                else kaldi_io.read_ark(ali, kind="ivec")
-            )
-            for key, vec in reader:
-                if tid_to_pdf is not None:
-                    vec = tid_to_pdf[vec]
-                self.labels[key] = vec.astype(np.int32)
+            self.labels = _read_label_ark(ali, tid_to_pdf)
             self.utt_ids = [u for u in self._entries if u in self.labels]
         else:
             self.utt_ids = list(self._entries)
@@ -100,22 +91,16 @@ class SpeechDataset:
 
             tid_to_pdf = TransitionModel.read_kaldi(cfg.trans_model).tid_to_pdf_array()
         if cfg.hdf5:
-            if cfg.wav_scp:
-                raise ValueError("configure either data.hdf5 or data.wav_scp, not both")
+            if cfg.wav_scp or cfg.feats_scp:
+                raise ValueError("configure either data.hdf5 or "
+                                 "data.wav_scp/feats_scp, not both")
             ds = cls.from_hdf5(cfg.hdf5, kind=cfg.hdf5_kind,
                                frame_opts=frame_opts, simulate_fn=simulate_fn)
             if cfg.label_ark:
-                # external alignments override/add to labels stored in the archive
-                from pykaldi2_tpu.data import kaldi_io
-
-                reader = (kaldi_io.read_text_ark(cfg.label_ark)
-                          if _looks_text(cfg.label_ark)
-                          else kaldi_io.read_ark(cfg.label_ark, kind="ivec"))
-                labels = {}
-                for key, vec in reader:
-                    if tid_to_pdf is not None:
-                        vec = tid_to_pdf[vec]
-                    labels[key] = vec.astype(np.int32)
+                # external alignments override matching archive labels and
+                # add new ones; archive-only labels are kept
+                labels = dict(ds.labels or {})
+                labels.update(_read_label_ark(cfg.label_ark, tid_to_pdf))
                 ds.labels = labels
                 ds.utt_ids = [u for u in ds._entries if u in labels]
             return ds
@@ -137,6 +122,10 @@ class SpeechDataset:
             return self._frame_counts[utt_id]
         if self.labels is not None and utt_id in self.labels:
             nf = len(self.labels[utt_id])
+        elif getattr(self, "_h5", None) is not None:
+            arr, _ = self._h5.get(utt_id)
+            nf = (arr.shape[0] if self.mode == "feats"
+                  else num_frames(arr.shape[-1], self.frame_opts))
         elif self.mode == "feats":
             nf = kaldi_io.read_scp_entry(self._entries[utt_id], "mat").shape[0]
         else:
@@ -215,6 +204,19 @@ class SpeechDataset:
         self.utt_ids = list(self._entries)
         self._frame_counts = {}
         return self
+
+
+def _read_label_ark(path: str, tid_to_pdf=None) -> dict:
+    """utt → int32 pdf labels from a (text|binary, optionally gzipped)
+    alignment ark, mapping transition-ids when tid_to_pdf is given."""
+    reader = (kaldi_io.read_text_ark(path) if _looks_text(path)
+              else kaldi_io.read_ark(path, kind="ivec"))
+    labels = {}
+    for key, vec in reader:
+        if tid_to_pdf is not None:
+            vec = tid_to_pdf[vec]
+        labels[key] = vec.astype(np.int32)
+    return labels
 
 
 def _looks_text(path: str) -> bool:

@@ -34,7 +34,8 @@ from pykaldi2_tpu.ops.fsa import DenseFsa
 
 
 def _gemm_precision():
-    """MXU precision for the FB GEMMs. Default HIGH (bf16x3 passes): measured
+    """MXU precision for the FB GEMMs, read at TRACE time so tests/drivers
+    can set the env after import. Default HIGH (bf16x3 passes): measured
     1.54x over HIGHEST with ≤2e-4 absolute gamma/grad error — negligible
     against SE training noise. PK2_FB_DENSE_PRECISION=highest|high|default
     overrides (the front end's HIGHEST rule is about bit parity of features;
@@ -44,12 +45,13 @@ def _gemm_precision():
     import os
 
     name = os.environ.get("PK2_FB_DENSE_PRECISION", "high").lower()
-    return {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[name]
-
-
-_HIGHEST = _gemm_precision()
+    table = {"highest": jax.lax.Precision.HIGHEST,
+             "high": jax.lax.Precision.HIGH,
+             "default": jax.lax.Precision.DEFAULT}
+    if name not in table:
+        raise ValueError(f"PK2_FB_DENSE_PRECISION={name!r}: expected one of "
+                         f"{sorted(table)}")
+    return table[name]
 
 
 class DenseStateGraph(NamedTuple):
@@ -137,10 +139,10 @@ def _log_matvec(x_log, w_exp):
     """[B, S] log-values → log(exp(x) @ w_exp), NEG_INF-safe.
 
     Caller keeps x_log ≤ 0 via running renormalization, so exp never
-    overflows; fp32 GEMM at HIGHEST precision (MXU would silently run bf16).
+    overflows; GEMM precision per _gemm_precision (never silent plain bf16).
     """
     lin = jnp.exp(jnp.maximum(x_log, NEG_INF))
-    s = jnp.dot(lin, w_exp, precision=_HIGHEST)
+    s = jnp.dot(lin, w_exp, precision=_gemm_precision())
     return jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), NEG_INF)
 
 
@@ -278,8 +280,8 @@ def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level):
         alpha, aacc, norm = carry
         obs_t, ref_t, t = inp
         ea = jnp.exp(jnp.maximum(alpha, NEG_INF))
-        denom = jnp.dot(ea, g.w_exp, precision=_HIGHEST)
-        numer = jnp.dot(ea * aacc, g.w_exp, precision=_HIGHEST)
+        denom = jnp.dot(ea, g.w_exp, precision=_gemm_precision())
+        numer = jnp.dot(ea * aacc, g.w_exp, precision=_gemm_precision())
         a_t = (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
         new_alpha = (jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)),
                                NEG_INF)
@@ -342,8 +344,8 @@ def _smbr_dense_bwd(graph, level, res, ct):
         y_log = jnp.take(obs_t, g.state_pdf, axis=1) + beta
         m = jnp.maximum(jnp.max(y_log, axis=1, keepdims=True), NEG_INF)
         y = jnp.exp(y_log - m)
-        denom = jnp.dot(y, w_exp_t, precision=_HIGHEST)
-        numer = jnp.dot(y * (a_t + bacc), w_exp_t, precision=_HIGHEST)
+        denom = jnp.dot(y, w_exp_t, precision=_gemm_precision())
+        numer = jnp.dot(y * (a_t + bacc), w_exp_t, precision=_gemm_precision())
         new_beta = (jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)),
                               NEG_INF) + m)
         new_bacc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0)

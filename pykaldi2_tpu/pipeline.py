@@ -292,6 +292,11 @@ def build_frontend(data_cfg):
     dev_cfg = None
     dcfg = data_cfg
     if sim.enabled and sim.on_device:
+        if not (data_cfg.wav_scp or (data_cfg.hdf5 and data_cfg.hdf5_kind == "wave")):
+            raise ValueError(
+                "simulation.on_device needs a waveform corpus (wav_scp or "
+                "hdf5 kind=wave); feats-mode corpora would silently skip "
+                "the distortion stage")
         dcfg = copy.deepcopy(data_cfg)
         host = dcfg.simulation
         host.reverb.use_reverb = False

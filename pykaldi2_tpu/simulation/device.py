@@ -60,9 +60,18 @@ class DeviceSimulator:
         self.cfg = cfg
         self.rir_len = rir_len
         self._host = Simulator(cfg, samp_freq=samp_freq, frame_shift=frame_shift)
+
+    def _row_rng(self, utt_id: str):
+        """Deterministic per-utterance RNG (matches the host loaders'
+        crc-keyed convention): same utterance → same RIR/noise tensors on
+        every rank and across resumes; step-level variety comes from the
+        device-side gates/SNR/gain draws."""
+        import zlib
+
         import numpy as np
 
-        self._rng = np.random.RandomState(cfg.seed)
+        h = zlib.crc32(f"{self.cfg.seed}|sim|{utt_id}".encode()) & 0x7FFFFFFF
+        return np.random.RandomState(h or 1)
 
     def batch_extras(self, utt_ids, n_samples=None) -> dict:
         import numpy as np
@@ -71,8 +80,8 @@ class DeviceSimulator:
         b = len(utt_ids)
         if self.cfg.reverb.use_reverb:
             rirs = np.zeros((b, self.rir_len), np.float32)
-            for i in range(b):
-                r = self._host._rir(self._rng)
+            for i, uid in enumerate(utt_ids):
+                r = self._host._rir(self._row_rng(uid))
                 n = min(r.shape[0], self.rir_len)
                 rirs[i, :n] = r[:n]
             out["sim_rir"] = rirs
@@ -81,8 +90,8 @@ class DeviceSimulator:
                 raise ValueError("on-device noise mixing needs the batch "
                                  "sample length (wave-mode corpora only)")
             noises = np.zeros((b, n_samples), np.float32)
-            for i in range(b):
-                nz = self._host._noise(self._rng, n_samples)
+            for i, uid in enumerate(utt_ids):
+                nz = self._host._noise(self._row_rng(uid), n_samples)
                 if nz.shape[0] < n_samples:
                     nz = np.tile(nz, int(np.ceil(n_samples / nz.shape[0])))
                 noises[i] = nz[:n_samples]

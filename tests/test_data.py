@@ -335,3 +335,27 @@ def test_from_config_hdf5_and_feats_modes(tmp_path):
     ds2 = SpeechDataset.from_config(cfg2)
     assert ds2.mode == "feats" and len(ds2) == 2
     assert ds2.get("f0").feats.shape == (10, 8)
+
+
+def test_hdf5_unlabeled_utt_num_frames(tmp_path):
+    """Regression (round-2 review): hdf5 corpora without labels crashed
+    utt_num_frames by treating the utt id as a file path."""
+    from pykaldi2_tpu.config import DataConfig
+    from pykaldi2_tpu.data.hdf5_io import write_corpus
+
+    rng = np.random.RandomState(1)
+    h5 = tmp_path / "c.h5"
+    write_corpus(str(h5), [(f"u{i}", (rng.randn(3200) * 500).astype(np.float32))
+                           for i in range(2)], kind="wave")
+    ds = SpeechDataset.from_config(DataConfig(hdf5=str(h5)))
+    assert ds.labels is None
+    nf = ds.utt_num_frames("u0")
+    assert nf > 0
+    # label_ark merges with (empty) archive labels rather than replacing
+    from pykaldi2_tpu.data import kaldi_io
+    ali = str(tmp_path / "a.ark")
+    with kaldi_io.ArkWriter(ali, kind="ivec") as w:
+        w.write("u0", np.arange(nf, dtype=np.int32) % 3)
+    ds2 = SpeechDataset.from_config(DataConfig(hdf5=str(h5), label_ark=ali))
+    assert ds2.utt_ids == ["u0"]
+    assert ds2.utt_num_frames("u0") == nf
