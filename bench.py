@@ -44,6 +44,7 @@ CHECK_FLOORS = {
     "ce": 350.0,       # 4x1024 LSTM CE, B=128 (measured ~410 r1)
     "mmi": 130.0,      # structured bigram den, B=64, T=400 (measured ~152 r1)
     "blstm": 125.0,    # 4x1024 BLSTM CE, B=64 (measured ~140 r1)
+    "blstmp": 195.0,   # 4x1024/512 BLSTMP CE, B=64, proj Pallas kernel (~226 r2)
 }
 
 
@@ -87,6 +88,7 @@ def _dispatch(args):
     results = {
         "ce": _measure_ce("lstm", BATCH),
         "blstm": _measure_ce("blstm", 64),
+        "blstmp": _measure_ce("blstm", 64, proj_size=512),
         "mmi": _measure_mmi(),
     }
     ok = True
@@ -98,7 +100,7 @@ def _dispatch(args):
     return 0 if ok else 1
 
 
-def _measure_ce(model_type: str, batch_size: int) -> float:
+def _measure_ce(model_type: str, batch_size: int, proj_size: int = 0) -> float:
     import jax
 
     from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
@@ -114,7 +116,8 @@ def _measure_ce(model_type: str, batch_size: int) -> float:
     )
     feat_fn = FeaturePipeline(feat_cfg)
     mcfg = ModelConfig(type=model_type, input_size=feat_fn.dim, hidden_size=1024,
-                       num_layers=4, output_size=NUM_PDFS, compute_dtype="bfloat16")
+                       num_layers=4, output_size=NUM_PDFS, compute_dtype="bfloat16",
+                       proj_size=proj_size)
     model = build_model(mcfg)
     opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.01, grad_clip=5.0))
     params = model.init(jax.random.PRNGKey(0))

@@ -86,12 +86,18 @@ def lstm_layer_apply(
 
     if use_pallas is None:
         use_pallas = _use_pallas_default()
-    if use_pallas and wp is None:
+    if use_pallas:
         from pykaldi2_tpu.ops import lstm_pallas
 
-        if lstm_pallas.supported(B, H):
+        if wp is None and lstm_pallas.supported(B, H):
             xp_k, mask_k = (xp_t, mask_t) if not reverse else (xp_t[::-1], mask_t[::-1])
             ys = lstm_pallas.lstm_seq_pallas(xp_k, params["wh"], mask_k)
+            if reverse:
+                ys = ys[::-1]
+            return jnp.swapaxes(ys, 0, 1)
+        if wp is not None and lstm_pallas.supported_proj(B, H, out_size):
+            xp_k, mask_k = (xp_t, mask_t) if not reverse else (xp_t[::-1], mask_t[::-1])
+            ys = lstm_pallas.lstm_seq_proj_pallas(xp_k, params["wh"], wp, mask_k)
             if reverse:
                 ys = ys[::-1]
             return jnp.swapaxes(ys, 0, 1)

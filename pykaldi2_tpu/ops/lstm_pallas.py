@@ -239,3 +239,231 @@ lstm_seq_pallas.defvjp(_seq_fwd, _seq_bwd)
 def supported(b: int, h: int) -> bool:
     """Shapes the kernels handle (8-sublane batch, 128-lane hidden)."""
     return _supported(b, h)
+
+
+# ---------------------------------------------------------------------------
+# projected-LSTM (LSTMP) kernels
+#
+# Reference behavior: torch.nn.LSTM(proj_size=P) as used by LSTMP acoustic
+# models (models/lstm.py proj_size). The recurrence reads the projected state
+# hp [B, P], so the recurrent weight is Wh [P, 4H] (half the FLOPs at P=H/2)
+# and a projection Wp [H, P] follows the cell output each step. Both weights
+# stay VMEM-resident across the whole sequence.
+# ---------------------------------------------------------------------------
+
+
+def _vmem_bytes_proj(b: int, h: int, p: int, stream_bytes: int) -> int:
+    """Worst-case (backward) VMEM estimate for the projected kernels."""
+    resident = 2 * p * 4 * h + 2 * h * p          # Whᵀ + Wpᵀ, bf16
+    per_step = (stream_bytes * b * 4 * h          # dgates out [B,4H]
+                + 2 * b * 4 * h                   # gates bf16 [B,4H]
+                + 2 * 4 * b * h                   # cs/cs_prev fp32 [B,H]
+                + 2 * b * h                       # h_full bf16 [B,H]
+                + 2 * stream_bytes * b * p)       # dys in + dhpm out [B,P]
+    scratch = 4 * b * p + 4 * b * h
+    return resident + 2 * per_step + scratch
+
+
+def _fp32_mode_proj(b: int, h: int, p: int) -> bool:
+    return _vmem_bytes_proj(b, h, p, 4) <= _VMEM_BUDGET
+
+
+def supported_proj(b: int, h: int, p: int) -> bool:
+    return (b % 8 == 0 and h % 128 == 0 and p % 128 == 0
+            and _vmem_bytes_proj(b, h, p, 2) <= _VMEM_BUDGET)
+
+
+def _fwd_proj_kernel(xp_ref, wh_ref, wp_ref, mask_ref,
+                     ys_ref, cs_ref, gates_ref, hfull_ref, hp_s, c_s):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        hp_s[:] = jnp.zeros_like(hp_s)
+        c_s[:] = jnp.zeros_like(c_s)
+
+    hp = hp_s[:]
+    gates = xp_ref[0] + jnp.dot(
+        hp.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32
+    )
+    hdim = c_s.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hdim])
+    f = jax.nn.sigmoid(gates[:, hdim : 2 * hdim])
+    g = jnp.tanh(gates[:, 2 * hdim : 3 * hdim])
+    o = jax.nn.sigmoid(gates[:, 3 * hdim :])
+    c_new = f * c_s[:] + i * g
+    h_full = o * jnp.tanh(c_new)
+    hp_new = jnp.dot(h_full.astype(wp_ref.dtype), wp_ref[:],
+                     preferred_element_type=jnp.float32)
+    m = mask_ref[0]                      # [B, 1]
+    hp_s[:] = m * hp_new + (1.0 - m) * hp
+    c_s[:] = m * c_new + (1.0 - m) * c_s[:]
+    ys_ref[0] = hp_s[:]
+    cs_ref[0] = c_s[:]
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1).astype(gates_ref.dtype)
+    hfull_ref[0] = h_full.astype(hfull_ref.dtype)
+
+
+def _lstm_fwd_proj_pallas(xp, wh, wp, mask):
+    """xp [T,B,4H], wh [P,4H] bf16, wp [H,P] bf16, mask [T,B,1]
+    → (ys [T,B,P] f32, cs [T,B,H] f32, gates [T,B,4H] bf16, hfull [T,B,H] bf16)."""
+    t_len, b, h4 = xp.shape
+    h = h4 // 4
+    p = wh.shape[0]
+    return pl.pallas_call(
+        _fwd_proj_kernel,
+        grid=(t_len,),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, h4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, p), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, p), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, h4), jnp.bfloat16),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, p), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+        ],
+    )(xp, wh, wp, mask)
+
+
+def _bwd_proj_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref,
+                     whT_ref, wpT_ref, dgates_ref, dhpm_ref, dhp_s, dc_s):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dhp_s[:] = jnp.zeros_like(dhp_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
+
+    hdim = dc_s.shape[-1]
+    m = mask_ref[0]                                  # [B, 1]
+    dhp_total = dhp_s[:] + dys_ref[0]                # recurrent + output cotangent
+    dhp_m = m * dhp_total                            # hp_new = m·proj + (1−m)·hp
+    dc_in = dc_s[:]
+    # back through the projection: dh_full = dhp_m @ Wpᵀ
+    dh_full = jnp.dot(dhp_m.astype(wpT_ref.dtype), wpT_ref[:],
+                      preferred_element_type=jnp.float32)
+    gates = gates_ref[0].astype(jnp.float32)
+    i = gates[:, :hdim]
+    f = gates[:, hdim : 2 * hdim]
+    g = gates[:, 2 * hdim : 3 * hdim]
+    o = gates[:, 3 * hdim :]
+    c = cs_ref[0]
+    c_prev = csp_ref[0]
+    tanh_c = jnp.tanh(c)
+    do = dh_full * tanh_c
+    dc = dh_full * o * (1.0 - tanh_c * tanh_c) + m * dc_in
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * i
+    dgates = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g), do * o * (1.0 - o)],
+        axis=-1,
+    )
+    dgates_ref[0] = dgates.astype(dgates_ref.dtype)
+    dhpm_ref[0] = dhp_m.astype(dhpm_ref.dtype)
+    dhp_rec = jnp.dot(dgates.astype(whT_ref.dtype), whT_ref[:],
+                      preferred_element_type=jnp.float32)
+    dhp_s[:] = dhp_rec + (1.0 - m) * dhp_total
+    dc_s[:] = dc * f + (1.0 - m) * dc_in
+
+
+def _lstm_bwd_proj_pallas(dys, gates, cs, cs_prev, mask, whT, wpT, stream_dtype):
+    t_len, b, p = dys.shape
+    h = cs.shape[-1]
+    h4 = 4 * h
+    rev = lambda t: (t_len - 1 - t, 0, 0)
+    dgates, dhpm = pl.pallas_call(
+        _bwd_proj_kernel,
+        grid=(t_len,),
+        in_specs=[
+            pl.BlockSpec((1, b, p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h4, p), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, p), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b, h4), stream_dtype),
+            jax.ShapeDtypeStruct((t_len, b, p), stream_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, p), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+        ],
+    )(dys, gates, cs, cs_prev, mask, whT, wpT)
+    return dgates, dhpm
+
+
+def _stream_dtype_proj(xp, p):
+    _t, b, h4 = xp.shape
+    return jnp.float32 if _fp32_mode_proj(b, h4 // 4, p) else jnp.bfloat16
+
+
+@jax.custom_vjp
+def lstm_seq_proj_pallas(xp, wh, wp, mask):
+    """Projected-LSTM sequence kernel.
+
+    xp [T,B,4H] (input projections + bias), wh [P,4H], wp [H,P],
+    mask [T,B,1] → ys [T,B,P] (projected hidden states).
+    """
+    sd = _stream_dtype_proj(xp, wh.shape[0])
+    ys, _, _, _ = _lstm_fwd_proj_pallas(
+        xp.astype(sd), wh.astype(jnp.bfloat16), wp.astype(jnp.bfloat16), mask)
+    return ys
+
+
+def _seq_proj_fwd(xp, wh, wp, mask):
+    sd = _stream_dtype_proj(xp, wh.shape[0])
+    wh_b = wh.astype(jnp.bfloat16)
+    wp_b = wp.astype(jnp.bfloat16)
+    ys, cs, gates, hfull = _lstm_fwd_proj_pallas(xp.astype(sd), wh_b, wp_b, mask)
+    return ys, (wh_b, wp_b, mask, ys, cs, gates, hfull)
+
+
+def _seq_proj_bwd(res, dys):
+    wh_b, wp_b, mask, ys, cs, gates, hfull = res
+    t_len, b, p = ys.shape
+    h = cs.shape[-1]
+    sd = jnp.float32 if _fp32_mode_proj(b, h, p) else jnp.bfloat16
+    cs_prev = jnp.concatenate([jnp.zeros((1, b, h), jnp.float32), cs[:-1]], axis=0)
+    whT = jnp.swapaxes(wh_b, 0, 1)
+    wpT = jnp.swapaxes(wp_b, 0, 1)
+    dgates, dhpm = _lstm_bwd_proj_pallas(
+        dys.astype(sd), gates, cs, cs_prev, mask, whT, wpT, sd)
+    # dWh = Σ_t hp_{t-1}ᵀ dgates_t ; dWp = Σ_t h_fullᵀ dhp_m — two big MXU GEMMs
+    hp_prev = jnp.concatenate([jnp.zeros((1, b, p), jnp.float32), ys[:-1]], axis=0)
+    dwh = jax.lax.dot_general(
+        hp_prev.reshape(-1, p).astype(jnp.bfloat16),
+        dgates.reshape(-1, 4 * h).astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwp = jax.lax.dot_general(
+        hfull.reshape(-1, h),
+        dhpm.reshape(-1, p).astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dgates.astype(jnp.float32), dwh, dwp, None
+
+
+lstm_seq_proj_pallas.defvjp(_seq_proj_fwd, _seq_proj_bwd)
