@@ -66,6 +66,19 @@ def main(argv=None):
     p.add_argument("-dump_ark", default=None,
                    help="also dump scaled pseudo-log-likelihood matrices to this "
                         "ark (+.scp) for external/Kaldi decoders")
+    p.add_argument("-lattice_beam", type=float, default=8.0,
+                   help="lattice pruning beam (lattice modes only)")
+    p.add_argument("-lattice_out", default=None,
+                   help="write word lattices (Kaldi CompactLattice text "
+                        "archive) to this path")
+    p.add_argument("-nbest", type=int, default=0,
+                   help="emit the N best unique word sequences per utterance")
+    p.add_argument("-nbest_out", default=None,
+                   help="N-best output path (default: stdout); lines are "
+                        "'utt-N score word...'")
+    p.add_argument("-oracle", action="store_true",
+                   help="also report lattice oracle WER vs -ref "
+                        "(Kaldi lattice-oracle)")
     args = p.parse_args(argv)
 
     log = setup_logging(None)
@@ -87,6 +100,12 @@ def main(argv=None):
     dense_packed = None
     decoders = []
     n_threads = max(args.num_threads, 1)
+    lattice_mode = bool(args.lattice_out or args.nbest or args.oracle)
+    if lattice_mode and args.on_device:
+        raise SystemExit("-lattice_out/-nbest/-oracle need the host lattice "
+                         "decoder; drop -on_device")
+    if args.oracle and not args.ref:
+        raise SystemExit("-oracle needs -ref")
     if args.on_device:
         if not isinstance(graph, Fst):
             raise SystemExit("-on_device needs a fully-emitting text graph "
@@ -101,6 +120,7 @@ def main(argv=None):
     else:
         # decoder handles are stateful — one per thread
         decoders = [LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
+                                   lattice_beam=args.lattice_beam,
                                    word_penalty=args.word_penalty)
                     for _ in range(n_threads)]
     id2w = read_symtab(args.words)
@@ -115,6 +135,7 @@ def main(argv=None):
         return args.acoustic_scale * logpost
 
     hyps = {}
+    word_fsts = {}
     dump = None
     if args.dump_ark:
         from pykaldi2_tpu.data.kaldi_io import ArkWriter
@@ -144,9 +165,20 @@ def main(argv=None):
         def _decode_one(i_uid_dec):
             i, uid, dec = i_uid_dec
             try:
-                words, _pdfs, _score = dec.decode(obs[i, : nf[i]])
+                if lattice_mode:
+                    from pykaldi2_tpu.decode.lattice import (best_path,
+                                                             lattice_word_fst)
+
+                    lat, frames, _sc = dec.decode_lattice(obs[i, : nf[i]],
+                                                          with_frames=True)
+                    wf = lattice_word_fst(lat, loglikes=obs[i, : nf[i]],
+                                          frames=frames, acoustic_scale=1.0)
+                    word_fsts[uid] = wf
+                    words, _ = best_path(wf)
+                else:
+                    words, _pdfs, _score = dec.decode(obs[i, : nf[i]])
                 return uid, [id2w.get(w, f"<{w}>") for w in words]
-            except RuntimeError as e:
+            except (RuntimeError, ValueError) as e:
                 log.warning("decode failed for %s: %s", uid, e)
                 return uid, None
 
@@ -168,6 +200,21 @@ def main(argv=None):
         with open(args.hyp_out, "w") as f:
             for uid in sorted(hyps):
                 f.write(uid + " " + " ".join(hyps[uid]) + "\n")
+    if args.lattice_out:
+        from pykaldi2_tpu.decode.lattice import write_lattices_text
+
+        write_lattices_text(args.lattice_out, word_fsts)
+        log.info("wrote %d word lattices to %s", len(word_fsts), args.lattice_out)
+    if args.nbest:
+        from pykaldi2_tpu.decode.lattice import nbest as lat_nbest
+
+        nb_f = open(args.nbest_out, "w") if args.nbest_out else sys.stdout
+        for uid in sorted(word_fsts):
+            for k, (ws, score) in enumerate(lat_nbest(word_fsts[uid], args.nbest)):
+                text = " ".join(id2w.get(w, f"<{w}>") for w in ws)
+                nb_f.write(f"{uid}-{k + 1} {score:.4f} {text}\n")
+        if args.nbest_out:
+            nb_f.close()
     if args.ref:
         refs = {}
         with open(args.ref) as f:
@@ -178,6 +225,20 @@ def main(argv=None):
         result = score_corpus(refs, hyps)
         print(f"%WER {result['wer']:.2f} [ {result['errors']} / {result['ref_len']}, "
               f"{result['ins']} ins, {result['dels']} del, {result['subs']} sub ]")
+        if args.oracle:
+            from pykaldi2_tpu.decode.lattice import oracle_errors
+
+            w2id = {w: i for i, w in id2w.items()}
+            o_err, o_len = 0, 0
+            for uid, wf in word_fsts.items():
+                if uid not in refs:
+                    continue
+                rids = [w2id.get(w, -1) for w in refs[uid]]
+                o_err += oracle_errors(wf, rids)
+                o_len += len(rids)
+            if o_len:
+                print(f"%Oracle WER {100.0 * o_err / o_len:.2f} "
+                      f"[ {o_err} / {o_len} ]")
     return 0
 
 

@@ -128,6 +128,30 @@ def test_decode_cli_with_dump_ark(tmp_path):
     for uid in ds.utt_ids:
         assert posts[uid].shape == (ds.utt_num_frames(uid), num_pdfs)
 
+    # lattice modes: -lattice_out / -nbest / -oracle (Kaldi lattice-* slice)
+    lat_out = str(tmp_path / "lat.txt")
+    nb_out = str(tmp_path / "nb.txt")
+    assert dec(["-config", cp, "-data", dp, "-model", ckpt, "-graph", g_out,
+                "-words", w_out, "-ref", ref, "-acoustic_scale", "1.0",
+                "-lattice_out", lat_out, "-nbest", "3", "-nbest_out", nb_out,
+                "-oracle"]) == 0
+    from pykaldi2_tpu.decode.lattice import best_path, read_lattices_text
+
+    lats = read_lattices_text(lat_out)
+    assert set(lats) == set(ds.utt_ids)
+    for uid, wf in lats.items():
+        words, score = best_path(wf)
+        assert np.isfinite(score)
+    nb_lines = open(nb_out).read().strip().splitlines()
+    assert len(nb_lines) >= len(ds.utt_ids)  # ≥1 hypothesis per utt
+    # the lattice_tool CLI consumes the dumped archive end-to-end
+    from pykaldi2_tpu.bin.lattice_tool import main as lt_main
+
+    hyp2 = str(tmp_path / "hyp2.txt")
+    assert lt_main(["-lattices", lat_out, "-words", w_out,
+                    "-best_path", hyp2, "-ref", ref]) == 0
+    assert os.path.getsize(hyp2) > 0
+
 
 def test_tdnn_and_transformer_training(tmp_path):
     paths = make_toy_corpus(str(tmp_path), num_utts=6, num_pdfs=4, seed=17)

@@ -167,3 +167,206 @@ def test_remove_input_epsilons_rejects_cycles():
     g.set_final(s2, 0.0)
     out = g.remove_input_epsilons()
     assert out.num_states > 0
+
+
+# ---------------------------------------------------------------------------
+# determinize / push_weights / minimize (OpenFst fstdeterminize/fstpush/
+# fstminimize parity for the graph-build slice)
+# ---------------------------------------------------------------------------
+
+
+def _language(fst, max_len=6):
+    """Best path weight per ilabel string (paths up to max_len arcs)."""
+    out = {}
+    if fst.start < 0:
+        return out
+    frontier = [(fst.start, (), 0.0)]
+    for _ in range(max_len + 1):
+        nxt = []
+        for s, lab, w in frontier:
+            fw = fst.finals.get(s)
+            if fw is not None:
+                key = lab
+                cand = w + fw
+                if key not in out or cand > out[key]:
+                    out[key] = cand
+            for a in fst.arcs[s]:
+                if len(lab) < max_len:
+                    nxt.append((a.nextstate, lab + (a.ilabel,), w + a.weight))
+        frontier = nxt
+    return out
+
+
+def _lang_close(la, lb, tol=1e-4):
+    assert set(la) == set(lb), (set(la) ^ set(lb))
+    for k in la:
+        assert abs(la[k] - lb[k]) < tol, (k, la[k], lb[k])
+
+
+def _is_deterministic(fst):
+    for s in range(fst.num_states):
+        labs = [a.ilabel for a in fst.arcs[s]]
+        if len(labs) != len(set(labs)):
+            return False
+    return True
+
+
+def _nondet_acceptor():
+    """Two overlapping paths for 'ab', one for 'ac' — nondeterministic at start."""
+    f = Fst()
+    for _ in range(5):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, 1, 1, -0.5, 1)
+    f.add_arc(0, 1, 1, -1.0, 2)   # same label, different weight/destination
+    f.add_arc(1, 2, 2, -0.25, 3)
+    f.add_arc(2, 2, 2, -0.1, 3)
+    f.add_arc(2, 3, 3, -0.2, 4)
+    f.set_final(3, -0.3)
+    f.set_final(4, 0.0)
+    return f
+
+
+def test_determinize_acceptor_language_preserved():
+    f = _nondet_acceptor()
+    d = f.determinize()
+    assert _is_deterministic(d)
+    _lang_close(_language(f), _language(d))
+
+
+def test_determinize_cyclic_acceptor():
+    # cyclic but determinizable (twins property: same-label cycles carry the
+    # same weight); nondeterministic entry into the loops
+    f = Fst()
+    for _ in range(3):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, 1, 1, -0.5, 1)
+    f.add_arc(0, 1, 1, -0.7, 2)
+    f.add_arc(1, 2, 2, -0.3, 1)   # cycle
+    f.add_arc(2, 2, 2, -0.3, 2)   # cycle, same weight
+    f.set_final(1, 0.0)
+    f.set_final(2, -0.1)
+    d = f.determinize()
+    assert _is_deterministic(d)
+    _lang_close(_language(f, max_len=5), _language(d, max_len=5))
+
+
+def test_determinize_nondeterminizable_raises():
+    # two same-label cycles with DIFFERENT weights: residuals diverge — the
+    # classic tropical-non-determinizable case must trip the guard, not hang
+    f = Fst()
+    for _ in range(3):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, 1, 1, -0.5, 1)
+    f.add_arc(0, 1, 1, -0.7, 2)
+    f.add_arc(1, 2, 2, -0.2, 1)
+    f.add_arc(2, 2, 2, -0.4, 2)
+    f.set_final(1, 0.0)
+    f.set_final(2, -0.1)
+    with pytest.raises(ValueError):
+        f.determinize(max_states=5000)
+
+
+def test_determinize_transducer_needs_encoding():
+    f = Fst()
+    for _ in range(2):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, 1, 7, -0.5, 1)   # ilabel != olabel
+    f.set_final(1, 0.0)
+    with pytest.raises(ValueError):
+        f.determinize()
+    d = f.determinize(encode_labels=True)
+    assert d.num_arcs == 1 and d.arcs[d.start][0].olabel == 7
+
+
+def test_determinize_rejects_epsilons():
+    f = Fst()
+    for _ in range(2):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, EPS, EPS, -0.5, 1)
+    f.set_final(1, 0.0)
+    with pytest.raises(ValueError):
+        f.determinize()
+
+
+def test_push_weights_preserves_language_with_start_loop():
+    # word-loop-like: final loops back to start, so start is revisited
+    f = Fst()
+    for _ in range(3):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, 1, 1, -0.5, 1)
+    f.add_arc(1, 2, 2, -1.5, 2)
+    f.add_arc(2, 3, 3, -0.25, 0)  # back to start
+    f.set_final(2, -0.75)
+    p = f.push_weights()
+    _lang_close(_language(f, max_len=7), _language(p, max_len=7))
+    # pushed: all non-start states' best suffix weight is 0
+    # (spot-check: arcs out of state 1 now carry the full remaining weight)
+
+
+def test_minimize_merges_equivalent_suffixes():
+    # two prefixes sharing an identical weighted suffix, built twice
+    f = Fst()
+    for _ in range(7):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, 1, 1, -0.5, 1)
+    f.add_arc(0, 2, 2, -0.5, 2)
+    # suffix copy A from state 1
+    f.add_arc(1, 5, 5, -0.1, 3)
+    f.add_arc(3, 6, 6, -0.2, 4)
+    f.set_final(4, 0.0)
+    # suffix copy B from state 2 (same labels/weights, distinct states)
+    f.add_arc(2, 5, 5, -0.1, 5)
+    f.add_arc(5, 6, 6, -0.2, 6)
+    f.set_final(6, 0.0)
+    m = f.minimize()
+    assert m.num_states < f.num_states
+    _lang_close(_language(f), _language(m))
+    assert _is_deterministic(m)
+
+
+def test_minimize_weight_differences_block_merge_until_pushed():
+    # same suffix labels but weight split differently across arcs: pushing
+    # canonicalizes, so minimize() must still merge them
+    f = Fst()
+    for _ in range(7):
+        f.add_state()
+    f.set_start(0)
+    f.add_arc(0, 1, 1, -0.5, 1)
+    f.add_arc(0, 2, 2, -0.5, 2)
+    f.add_arc(1, 5, 5, -0.3, 3)      # -0.3 then 0.0
+    f.add_arc(3, 6, 6, 0.0, 4)
+    f.set_final(4, 0.0)
+    f.add_arc(2, 5, 5, 0.0, 5)       # 0.0 then -0.3 — same total
+    f.add_arc(5, 6, 6, -0.3, 6)
+    f.set_final(6, 0.0)
+    m = f.minimize()
+    _lang_close(_language(f), _language(m))
+    assert m.num_states <= 4
+
+
+def test_determinize_then_minimize_word_graph():
+    # end-to-end: lexicon-ish nondeterministic acceptor → det → min
+    rng = np.random.RandomState(0)
+    f = Fst()
+    root = f.add_state()
+    f.set_start(root)
+    words = [(1, 2), (1, 3), (1, 2, 3), (2, 3), (2, 3)]
+    for w in words:
+        cur = root
+        for lab in w:
+            nxt = f.add_state()
+            f.add_arc(cur, lab, lab, float(-rng.rand() * 0.5), nxt)
+            cur = nxt
+        f.set_final(cur, 0.0)
+    d = f.determinize()
+    m = d.minimize()
+    assert _is_deterministic(m)
+    assert m.num_states <= d.num_states <= f.num_states
+    _lang_close(_language(f), _language(m))
