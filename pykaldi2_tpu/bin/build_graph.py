@@ -80,6 +80,13 @@ def main(argv=None):
             if not isinstance(g, VectorFst):
                 g = VectorFst.from_fst(g)
             g.save(args.out)
+        elif args.out.endswith(".fst"):
+            # OpenFst binary VectorFst (interchangeable with Kaldi tooling)
+            from pykaldi2_tpu.graph.openfst_io import write_openfst
+
+            if not isinstance(g, Fst):
+                g = g.to_fst()
+            write_openfst(g, args.out)
         else:
             if not isinstance(g, Fst):
                 g = g.to_fst()

@@ -96,7 +96,14 @@ def main(argv=None):
 
         graph = VectorFst.load(args.graph)
     else:
-        graph = Fst.read_text(args.graph)
+        with open(args.graph, "rb") as gf:
+            magic = gf.read(4)
+        if magic == b"\xd6\xfd\xb2\x7e":  # OpenFst binary magic (LE 2125659606)
+            from pykaldi2_tpu.graph.openfst_io import read_openfst
+
+            graph = read_openfst(args.graph)
+        else:
+            graph = Fst.read_text(args.graph)
     dense_packed = None
     decoders = []
     n_threads = max(args.num_threads, 1)

@@ -393,3 +393,72 @@ def test_wer_run_1k_words_trigram():
     wer = errs / max(words_total, 1)
     assert wer <= 0.02, f"WER {wer:.3f} on separable synthetic acoustics"
     assert decode_s < 120.0
+
+
+def test_lattice_lmrescore_fixes_homophones():
+    """Decode with a unigram-LM HCLG, rescore lattices with the trigram:
+    homophones are acoustically identical, so only the stronger LM (applied
+    via lattice-lmrescore semantics) can pick the contextually right word."""
+    from pykaldi2_tpu.decode.lattice import (best_path, lattice_word_fst,
+                                             lmrescore)
+
+    rng = np.random.RandomState(13)
+    phones = list(range(1, 13))
+    tm = TransitionModel(HmmTopology.one_state(phones))
+    # 6 homophone pairs a{i}/b{i} + 2 context words with unique prons
+    vocab, lexicon = [], {}
+    seen = set()
+
+    def fresh_pron(lo=3, hi=6):
+        while True:
+            L = rng.randint(lo, hi)
+            pron = tuple(int(rng.choice(phones)) for _ in range(L))
+            if pron not in seen:
+                seen.add(pron)
+                return list(pron)
+
+    for i in range(6):
+        pron = fresh_pron()
+        for prefix in ("a", "b"):
+            w = f"{prefix}{i}"
+            vocab.append(w)
+            lexicon[w] = [list(pron)]  # identical pronunciation
+    for ctx in ("ca", "cb"):
+        vocab.append(ctx)
+        lexicon[ctx] = [fresh_pron()]
+    word_ids = {w: i + 1 for i, w in enumerate(vocab)}
+
+    # training text: 'ca' is always followed by an a-word, 'cb' by a b-word
+    sents = []
+    for _ in range(400):
+        i = rng.randint(6)
+        if rng.rand() < 0.5:
+            sents.append(["ca", f"a{i}"])
+        else:
+            sents.append(["cb", f"b{i}"])
+    uni = train_arpa(sents, order=1)
+    tri = train_arpa(sents, order=3)
+
+    hclg = make_word_decode_graph(tm, lexicon, word_ids, uni)
+    dec = LatticeDecoder(hclg, beam=20.0, max_active=7000, lattice_beam=12.0)
+    g_old = arpa_to_fst(uni, word_ids).to_fst()
+    g_new = arpa_to_fst(tri, word_ids).to_fst()
+
+    id2w = {i: w for w, i in word_ids.items()}
+    base_err = resc_err = total = 0
+    for k in range(30):
+        i = rng.randint(6)
+        ref = ["ca", f"a{i}"] if k % 2 == 0 else ["cb", f"b{i}"]
+        obs = _obs_for_words(tm, lexicon, ref, rng, strength=6.0)
+        lat, frames, _ = dec.decode_lattice(obs, with_frames=True)
+        wf = lattice_word_fst(lat, loglikes=obs, frames=frames)
+        hyp_base, _ = best_path(wf)
+        hyp_resc, _ = best_path(lmrescore(wf, g_old, g_new))
+        ref_ids = [word_ids[w] for w in ref]
+        base_err += edit_distance(ref_ids, hyp_base)["errors"]
+        resc_err += edit_distance(ref_ids, hyp_resc)["errors"]
+        total += len(ref_ids)
+    # unigram can't separate homophones: expect roughly half of the
+    # second-position words wrong; the trigram rescoring should fix ~all
+    assert base_err > total * 0.1, (base_err, total)
+    assert resc_err <= base_err // 4, (resc_err, base_err)

@@ -100,3 +100,14 @@ def test_align_and_build_graph_cli(tmp_path):
     assert g.num_arcs > 0
     words = open(w_out).read().split()
     assert "w1" in words
+
+    # binary OpenFst output (.fst) carries the identical graph
+    gb_out = str(tmp_path / "g.fst")
+    assert bg_main(["decode", "-lexicon", lex_path, "-out", gb_out]) == 0
+    from pykaldi2_tpu.graph.openfst_io import read_openfst
+    gb = read_openfst(gb_out)
+    assert gb.num_states == g.num_states and gb.num_arcs == g.num_arcs
+    for s in range(g.num_states):
+        a1 = [(a.ilabel, a.olabel, a.nextstate) for a in g.arcs[s]]
+        a2 = [(a.ilabel, a.olabel, a.nextstate) for a in gb.arcs[s]]
+        assert a1 == a2
