@@ -111,3 +111,40 @@ def test_align_and_build_graph_cli(tmp_path):
         a1 = [(a.ilabel, a.olabel, a.nextstate) for a in g.arcs[s]]
         a2 = [(a.ilabel, a.olabel, a.nextstate) for a in gb.arcs[s]]
         assert a1 == a2
+
+
+def test_compute_priors_cli(tmp_path):
+    from pykaldi2_tpu.bin.compute_priors import main as cp_main
+    from pykaldi2_tpu.graph.topology import HmmTopology
+    from pykaldi2_tpu.graph.transition_model import TransitionModel
+
+    # pdf-id alignments
+    rng = np.random.RandomState(21)
+    ali = str(tmp_path / "ali.ark")
+    counts = np.zeros(4)
+    with kaldi_io.ArkWriter(ali, kind="ivec") as w:
+        for i in range(5):
+            v = rng.randint(0, 4, 30).astype(np.int32)
+            counts += np.bincount(v, minlength=4)
+            w.write(f"u{i}", v)
+    out = str(tmp_path / "prior.npy")
+    assert cp_main(["-ali", ali, "-out", out]) == 0
+    log_prior = np.load(out)
+    assert log_prior.shape == (4,)
+    np.testing.assert_allclose(np.exp(log_prior), counts / counts.sum(), atol=1e-6)
+
+    # transition-id alignments mapped through final.mdl
+    tm = TransitionModel(HmmTopology.one_state([1, 2, 3, 4]))
+    mdl = str(tmp_path / "final.mdl")
+    tm.write_kaldi(mdl)
+    t2p = tm.tid_to_pdf_array()
+    # pick one self-loop tid per pdf
+    tid_of_pdf = {int(t2p[t]): t for t in range(1, tm.num_tids + 1)}
+    ali2 = str(tmp_path / "ali_tid.ark")
+    with kaldi_io.ArkWriter(ali2, kind="ivec") as w:
+        w.write("u0", np.array([tid_of_pdf[0]] * 3 + [tid_of_pdf[1]] * 1, np.int32))
+    out2 = str(tmp_path / "prior2.npy")
+    assert cp_main(["-ali", ali2, "-out", out2, "-model", mdl]) == 0
+    p2 = np.exp(np.load(out2))
+    np.testing.assert_allclose(p2[:2], [0.75, 0.25], atol=1e-6)
+    assert (p2[2:] < 1e-9).all()   # floored unseen pdfs
