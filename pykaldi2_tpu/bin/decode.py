@@ -208,9 +208,14 @@ def main(argv=None):
             for uid in sorted(hyps):
                 f.write(uid + " " + " ".join(hyps[uid]) + "\n")
     if args.lattice_out:
-        from pykaldi2_tpu.decode.lattice import write_lattices_text
+        if args.lattice_out.endswith(".ark"):
+            from pykaldi2_tpu.decode.lattice_ark import write_lattice_ark
 
-        write_lattices_text(args.lattice_out, word_fsts)
+            write_lattice_ark(args.lattice_out, word_fsts)
+        else:
+            from pykaldi2_tpu.decode.lattice import write_lattices_text
+
+            write_lattices_text(args.lattice_out, word_fsts)
         log.info("wrote %d word lattices to %s", len(word_fsts), args.lattice_out)
     if args.nbest:
         from pykaldi2_tpu.decode.lattice import nbest as lat_nbest

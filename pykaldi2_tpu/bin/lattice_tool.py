@@ -49,7 +49,14 @@ def main(argv=None):
 
     id2w = read_symtab(args.words)
     w2id = {w: i for i, w in id2w.items()}
-    lats = read_lattices_text(args.lattices)
+    with open(args.lattices, "rb") as f:
+        head = f.read(256)
+    if b"\x00B" in head:   # Kaldi binary-archive marker after the key
+        from pykaldi2_tpu.decode.lattice_ark import read_lattice_ark
+
+        lats = read_lattice_ark(args.lattices)
+    else:
+        lats = read_lattices_text(args.lattices)
     log.info("read %d lattices", len(lats))
 
     if args.arpa_new:
@@ -69,7 +76,12 @@ def main(argv=None):
                 log.warning("rescore failed for %s: %s", uid, e)
         lats = rescored
         if args.rescored_out:
-            write_lattices_text(args.rescored_out, lats)
+            if args.rescored_out.endswith(".ark"):
+                from pykaldi2_tpu.decode.lattice_ark import write_lattice_ark
+
+                write_lattice_ark(args.rescored_out, lats)
+            else:
+                write_lattices_text(args.rescored_out, lats)
             log.info("wrote %d rescored lattices to %s",
                      len(lats), args.rescored_out)
 

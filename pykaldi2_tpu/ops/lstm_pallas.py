@@ -44,13 +44,36 @@ def _vmem_bytes(b: int, h: int, stream_bytes: int) -> int:
     return wh + 2 * per_step + scratch
 
 
+# Multi-tile (2-D grid) runs cost roughly one extra pipeline buffer stage
+# over the single-tile 1-D grid (measured: tile 128 at H=1024 compiles 1-D
+# but VMEM-OOMs by ~0.3 MB under grid=(2,T)), so tiles chosen for 2-D grids
+# get a reduced budget.
+_VMEM_BUDGET_TILED = int(14.5 * 1024 * 1024)
+
+
 def _fp32_mode(b: int, h: int) -> bool:
-    return _vmem_bytes(b, h, 4) <= _VMEM_BUDGET
+    tb = _tile_b(b, h)
+    return tb > 0 and _vmem_bytes(tb, h, 4) <= (
+        _VMEM_BUDGET if tb == b else _VMEM_BUDGET_TILED)
+
+
+def _tile_b(b: int, h: int) -> int:
+    """Largest batch tile (divisor of b, multiple of 8) whose per-step blocks
+    fit the VMEM budget. Single-tile batches run the original grid=(T,)
+    pipeline; larger batches run grid=(b/tile, T) with the weights resident
+    across tiles and h/c scratch re-initializing per tile."""
+    if b % 8 == 0 and _vmem_bytes(b, h, 2) <= _VMEM_BUDGET:
+        return b
+    tb = b - 8
+    while tb >= 8:
+        if b % tb == 0 and tb % 8 == 0 and _vmem_bytes(tb, h, 2) <= _VMEM_BUDGET_TILED:
+            return tb
+        tb -= 8
+    return 0
 
 
 def _supported(b: int, h: int) -> bool:
-    # bf16-streamed mode is the fallback for larger batches; beyond that, scan
-    return b % 8 == 0 and h % 128 == 0 and _vmem_bytes(b, h, 2) <= _VMEM_BUDGET
+    return b % 8 == 0 and h % 128 == 0 and _tile_b(b, h) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -58,8 +81,9 @@ def _supported(b: int, h: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(xp_ref, wh_ref, mask_ref, ys_ref, cs_ref, gates_ref, h_s, c_s):
-    t = pl.program_id(0)
+def _fwd_kernel(xp_ref, wh_ref, mask_ref, ys_ref, cs_ref, gates_ref, h_s, c_s,
+                *, t_axis=0):
+    t = pl.program_id(t_axis)  # grid (T,) or (batch tiles, T); T innermost
 
     @pl.when(t == 0)
     def _():
@@ -89,18 +113,25 @@ def _lstm_fwd_pallas(xp, wh, mask):
     """xp [T,B,4H] f32, wh [H,4H] bf16, mask [T,B,1] f32 → (ys, cs, gates)."""
     t_len, b, h4 = xp.shape
     h = h4 // 4
+    tb = _tile_b(b, h)
+    if tb == b:
+        grid = (t_len,)
+        t_axis, io_map, w_map = 0, (lambda t: (t, 0, 0)), (lambda t: (0, 0))
+    else:
+        grid = (b // tb, t_len)
+        t_axis, io_map, w_map = 1, (lambda bt, t: (t, bt, 0)), (lambda bt, t: (0, 0))
     return pl.pallas_call(
-        _fwd_kernel,
-        grid=(t_len,),
+        functools.partial(_fwd_kernel, t_axis=t_axis),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, h4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), io_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), io_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
@@ -108,8 +139,8 @@ def _lstm_fwd_pallas(xp, wh, mask):
             jax.ShapeDtypeStruct((t_len, b, h4), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b, h), jnp.float32),
-            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((tb, h), jnp.float32),
+            pltpu.VMEM((tb, h), jnp.float32),
         ],
     )(xp, wh, mask)
 
@@ -120,8 +151,8 @@ def _lstm_fwd_pallas(xp, wh, mask):
 
 
 def _bwd_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref, whT_ref,
-                dgates_ref, dh_s, dc_s):
-    t = pl.program_id(0)
+                dgates_ref, dh_s, dc_s, *, t_axis=0):
+    t = pl.program_id(t_axis)  # T innermost, reversed by the index maps
 
     @pl.when(t == 0)
     def _():
@@ -160,25 +191,33 @@ def _bwd_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref, whT_ref,
 def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT, dgates_dtype):
     t_len, b, h = dys.shape
     h4 = 4 * h
-    rev = lambda t: (t_len - 1 - t, 0, 0)
+    tb = _tile_b(b, h)
+    if tb == b:
+        grid = (t_len,)
+        t_axis, rev, w_map = 0, (lambda t: (t_len - 1 - t, 0, 0)), (lambda t: (0, 0))
+    else:
+        grid = (b // tb, t_len)
+        t_axis = 1
+        rev = lambda bt, t: (t_len - 1 - t, bt, 0)
+        w_map = lambda bt, t: (0, 0)
     (dgates,) = pl.pallas_call(
-        _bwd_kernel,
-        grid=(t_len,),
+        functools.partial(_bwd_kernel, t_axis=t_axis),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h4, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h4, h), w_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((t_len, b, h4), dgates_dtype)],
         scratch_shapes=[
-            pltpu.VMEM((b, h), jnp.float32),
-            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((tb, h), jnp.float32),
+            pltpu.VMEM((tb, h), jnp.float32),
         ],
     )(dys, gates, cs, cs_prev, mask, whT)
     return dgates
@@ -264,18 +303,33 @@ def _vmem_bytes_proj(b: int, h: int, p: int, stream_bytes: int) -> int:
     return resident + 2 * per_step + scratch
 
 
+def _tile_b_proj(b: int, h: int, p: int) -> int:
+    if b % 8 == 0 and _vmem_bytes_proj(b, h, p, 2) <= _VMEM_BUDGET:
+        return b
+    tb = b - 8
+    while tb >= 8:
+        if (b % tb == 0 and tb % 8 == 0
+                and _vmem_bytes_proj(tb, h, p, 2) <= _VMEM_BUDGET_TILED):
+            return tb
+        tb -= 8
+    return 0
+
+
 def _fp32_mode_proj(b: int, h: int, p: int) -> bool:
-    return _vmem_bytes_proj(b, h, p, 4) <= _VMEM_BUDGET
+    tb = _tile_b_proj(b, h, p)
+    return tb > 0 and _vmem_bytes_proj(tb, h, p, 4) <= (
+        _VMEM_BUDGET if tb == b else _VMEM_BUDGET_TILED)
 
 
 def supported_proj(b: int, h: int, p: int) -> bool:
     return (b % 8 == 0 and h % 128 == 0 and p % 128 == 0
-            and _vmem_bytes_proj(b, h, p, 2) <= _VMEM_BUDGET)
+            and _tile_b_proj(b, h, p) > 0)
 
 
 def _fwd_proj_kernel(xp_ref, wh_ref, wp_ref, mask_ref,
-                     ys_ref, cs_ref, gates_ref, hfull_ref, hp_s, c_s):
-    t = pl.program_id(0)
+                     ys_ref, cs_ref, gates_ref, hfull_ref, hp_s, c_s,
+                     *, t_axis=0):
+    t = pl.program_id(t_axis)  # grid (T,) or (batch tiles, T); T innermost
 
     @pl.when(t == 0)
     def _():
@@ -310,20 +364,27 @@ def _lstm_fwd_proj_pallas(xp, wh, wp, mask):
     t_len, b, h4 = xp.shape
     h = h4 // 4
     p = wh.shape[0]
+    tb = _tile_b_proj(b, h, p)
+    if tb == b:
+        grid = (t_len,)
+        t_axis, io_map, w_map = 0, (lambda t: (t, 0, 0)), (lambda t: (0, 0))
+    else:
+        grid = (b // tb, t_len)
+        t_axis, io_map, w_map = 1, (lambda bt, t: (t, bt, 0)), (lambda bt, t: (0, 0))
     return pl.pallas_call(
-        _fwd_proj_kernel,
-        grid=(t_len,),
+        functools.partial(_fwd_proj_kernel, t_axis=t_axis),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, h4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, p), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, h4), w_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, p), w_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), io_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, p), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, p), io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), io_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_len, b, p), jnp.float32),
@@ -332,15 +393,16 @@ def _lstm_fwd_proj_pallas(xp, wh, wp, mask):
             jax.ShapeDtypeStruct((t_len, b, h), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b, p), jnp.float32),
-            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((tb, p), jnp.float32),
+            pltpu.VMEM((tb, h), jnp.float32),
         ],
     )(xp, wh, wp, mask)
 
 
 def _bwd_proj_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref,
-                     whT_ref, wpT_ref, dgates_ref, dhpm_ref, dhp_s, dc_s):
-    t = pl.program_id(0)
+                     whT_ref, wpT_ref, dgates_ref, dhpm_ref, dhp_s, dc_s,
+                     *, t_axis=0):
+    t = pl.program_id(t_axis)  # T innermost, reversed by the index maps
 
     @pl.when(t == 0)
     def _():
@@ -384,30 +446,38 @@ def _lstm_bwd_proj_pallas(dys, gates, cs, cs_prev, mask, whT, wpT, stream_dtype)
     t_len, b, p = dys.shape
     h = cs.shape[-1]
     h4 = 4 * h
-    rev = lambda t: (t_len - 1 - t, 0, 0)
+    tb = _tile_b_proj(b, h, p)
+    if tb == b:
+        grid = (t_len,)
+        t_axis, rev, w_map = 0, (lambda t: (t_len - 1 - t, 0, 0)), (lambda t: (0, 0))
+    else:
+        grid = (b // tb, t_len)
+        t_axis = 1
+        rev = lambda bt, t: (t_len - 1 - t, bt, 0)
+        w_map = lambda bt, t: (0, 0)
     dgates, dhpm = pl.pallas_call(
-        _bwd_proj_kernel,
-        grid=(t_len,),
+        functools.partial(_bwd_proj_kernel, t_axis=t_axis),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, b, p), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h4, p), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h4, p), w_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, h), w_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, p), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_len, b, h4), stream_dtype),
             jax.ShapeDtypeStruct((t_len, b, p), stream_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b, p), jnp.float32),
-            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((tb, p), jnp.float32),
+            pltpu.VMEM((tb, h), jnp.float32),
         ],
     )(dys, gates, cs, cs_prev, mask, whT, wpT)
     return dgates, dhpm

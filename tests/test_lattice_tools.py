@@ -191,3 +191,66 @@ def test_lattice_tool_cli(tmp_path):
     assert open(hyp).read().strip() == "u1 gamma"
     lines = open(nb).read().strip().splitlines()
     assert len(lines) == 2 and lines[0].startswith("u1-1 ")
+
+
+def test_lattice_binary_ark_roundtrip(tmp_path):
+    from pykaldi2_tpu.decode.lattice_ark import read_lattice_ark, write_lattice_ark
+
+    f1 = _word_fst([((1, 2), -1.0), ((3,), -0.25)])
+    f2 = _word_fst([((5,), -0.5)])
+    path = str(tmp_path / "lat.ark")
+    write_lattice_ark(path, {"utt1": f1, "utt2": f2})
+    back = read_lattice_ark(path)
+    assert set(back) == {"utt1", "utt2"}
+    for orig, name in [(f1, "utt1"), (f2, "utt2")]:
+        a = {tuple(w): s for w, s in nbest(orig, 10)}
+        b = {tuple(w): s for w, s in nbest(back[name], 10)}
+        assert set(a) == set(b)
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-5
+
+
+def test_lattice_binary_ark_fixture(tmp_path):
+    """Byte-layout freeze: an INDEPENDENT writer for one tiny CompactLattice
+    entry (kaldi-lattice.cc WriteCompactLattice layout, with a non-empty
+    transition-id string) must parse, and the tid string is dropped."""
+    import io as _io
+    import struct as _s
+
+    buf = _io.BytesIO()
+    buf.write(b"u1 \x00B")
+    buf.write(_s.pack("<i", 2125659606))
+    for tok in ("vector", "compactlattice44"):
+        buf.write(_s.pack("<i", len(tok)) + tok.encode())
+    buf.write(_s.pack("<ii", 2, 0))
+    buf.write(_s.pack("<Q", 0))
+    buf.write(_s.pack("<qqq", 0, 2, 1))
+    # state 0: non-final, one arc word 7 with costs (0.5 graph, 1.25 acoustic)
+    # and tid string [3, 4]
+    buf.write(_s.pack("<ff", float("inf"), float("inf")))
+    buf.write(_s.pack("<i", 0))
+    buf.write(_s.pack("<q", 1))
+    buf.write(_s.pack("<ii", 7, 7))
+    buf.write(_s.pack("<ff", 0.5, 1.25))
+    buf.write(_s.pack("<i", 2) + _s.pack("<ii", 3, 4))
+    buf.write(_s.pack("<i", 1))
+    # state 1: final (0.25, 0), no arcs
+    buf.write(_s.pack("<ff", 0.25, 0.0))
+    buf.write(_s.pack("<i", 0))
+    buf.write(_s.pack("<q", 0))
+
+    import hashlib
+    digest = hashlib.sha256(buf.getvalue()).hexdigest()
+
+    path = str(tmp_path / "fx.ark")
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    from pykaldi2_tpu.decode.lattice_ark import read_lattice_ark
+
+    lats = read_lattice_ark(path)
+    lat = lats["u1"]
+    assert lat.num_states == 2 and lat.start == 0
+    assert lat.finals == {1: -0.25}
+    (a,) = lat.arcs[0]
+    assert (a.ilabel, a.olabel, a.nextstate) == (7, 7, 1)
+    assert abs(a.weight + 1.75) < 1e-6  # graph+acoustic summed

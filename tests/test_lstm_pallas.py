@@ -172,3 +172,47 @@ def test_pallas_proj_unsupported_falls_back():
     params = lstm_layer_init(jax.random.PRNGKey(14), 8, 128, proj_size=24)
     out = lstm_layer_apply(params, jnp.asarray(x), compute_dtype=jnp.float32, use_pallas=True)
     assert out.shape == (8, 4, 24)
+
+
+def test_pallas_batch_tiling_matches_scan(monkeypatch):
+    """Force tiny batch tiles so the grid=(B/tile, T) path is exercised."""
+    import pykaldi2_tpu.ops.lstm_pallas as LP2
+
+    monkeypatch.setattr(LP2, "_tile_b", lambda b, h: 8 if b % 8 == 0 else 0)
+    x, mask, params = _data(seed=6, b=24, t=5)
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+    ref = lstm_layer_apply(params, xj, mj, compute_dtype=jnp.float32, use_pallas=False)
+    got = lstm_layer_apply(params, xj, mj, compute_dtype=jnp.float32, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+    def loss(p, use_pallas):
+        ys = lstm_layer_apply(p, xj, mj, compute_dtype=jnp.float32, use_pallas=use_pallas)
+        return jnp.sum(ys * jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) * 1e-3)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        a, b = np.asarray(a), np.asarray(b)
+        # magnitude-normalized: the arange-weighted loss inflates absolutes
+        assert np.abs(b - a).max() <= 2e-2 * max(np.abs(a).max(), 1.0)
+
+
+def test_pallas_proj_batch_tiling_matches_scan(monkeypatch):
+    import pykaldi2_tpu.ops.lstm_pallas as LP2
+
+    monkeypatch.setattr(LP2, "_tile_b_proj", lambda b, h, p: 8 if b % 8 == 0 else 0)
+    x, mask, params = _proj_data(seed=7, b=16, t=5)
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+    ref = lstm_layer_apply(params, xj, mj, compute_dtype=jnp.float32, use_pallas=False)
+    got = lstm_layer_apply(params, xj, mj, compute_dtype=jnp.float32, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+    def loss(p, use_pallas):
+        ys = lstm_layer_apply(p, xj, mj, compute_dtype=jnp.float32, use_pallas=use_pallas)
+        return jnp.sum(ys * jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) * 1e-3)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(b - a).max() <= 2e-2 * max(np.abs(a).max(), 1.0)
