@@ -24,6 +24,9 @@ if [ "$stage" -le 2 ]; then
   echo "=== stage 2: CE training ==="
   python -m pykaldi2_tpu.bin.train_ce -config ce.yaml -data data.yaml \
     -cv_data data_dev.yaml -exp_dir exp/ce
+  # pdf priors from the alignments (for SE training and decoding)
+  python -m pykaldi2_tpu.bin.compute_priors -ali exp/ali/ali.ark \
+    -out exp/prior.npy
 fi
 
 if [ "$stage" -le 3 ]; then
@@ -57,6 +60,12 @@ if [ "$stage" -le 5 ]; then
   se_final=$(ls -v exp/se_mmi/model.*.npz | tail -1)
   python -m pykaldi2_tpu.bin.decode -config ce.yaml -data data_dev.yaml \
     -model "$se_final" -graph "$([ -f exp/hclg.npz ] && echo exp/hclg.npz || echo exp/graph.fst.txt)" -words exp/words.txt \
-    -ref data/dev_clean/text -acoustic_scale 0.1 \
-    -hyp_out exp/dev_clean.hyp -dump_ark exp/dev_clean.post.ark
+    -ref data/dev_clean/text -acoustic_scale 0.1 -prior exp/prior.npy \
+    -hyp_out exp/dev_clean.hyp -dump_ark exp/dev_clean.post.ark \
+    -lattice_out exp/dev_clean.lat.ark -oracle
+  # extras on the dumped lattices (Kaldi lattice-* equivalents):
+  #   N-best:    python -m pykaldi2_tpu.bin.lattice_tool -lattices exp/dev_clean.lat.ark \
+  #                -words exp/words.txt -nbest 10 -nbest_out exp/dev_clean.nbest
+  #   rescoring: ... -arpa_old lm.arpa -arpa_new lm4.arpa -lm_scale 1.0 \
+  #                -rescored_out exp/dev_clean.lat4.ark -ref data/dev_clean/text
 fi

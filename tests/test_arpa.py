@@ -462,3 +462,32 @@ def test_lattice_lmrescore_fixes_homophones():
     # second-position words wrong; the trigram rescoring should fix ~all
     assert base_err > total * 0.1, (base_err, total)
     assert resc_err <= base_err // 4, (resc_err, base_err)
+
+
+@pytest.mark.skipif("PK2_SLOW_TESTS" not in __import__("os").environ,
+                    reason="50k-word build takes ~1 min; set PK2_SLOW_TESTS=1")
+def test_graph_build_50k_words():
+    """Large-lexicon scalability (round-1 'won't survive 200k words' concern):
+    50k-word trigram HCLG must build in minutes, not hours. Measured
+    2026-08-16: 20.2 s, 4.77M states / 9.4M arcs (BASELINE.md)."""
+    rng = np.random.RandomState(0)
+    phones = list(range(1, 43))
+    tm = TransitionModel(HmmTopology.three_state(phones))
+    vocab = [f"w{i}" for i in range(50_000)]
+    word_ids = {w: i + 1 for i, w in enumerate(vocab)}
+    lexicon, seen = {}, set()
+    for w in vocab:
+        while True:
+            L = rng.randint(4, 9)
+            pron = tuple(int(rng.choice(phones)) for _ in range(L))
+            if pron not in seen:
+                seen.add(pron)
+                break
+        lexicon[w] = [list(pron)]
+    sents = [list(rng.choice(vocab, rng.randint(3, 9))) for _ in range(4000)]
+    model = train_arpa(sents, order=3)
+    t0 = time.time()
+    hclg = make_word_decode_graph(tm, lexicon, word_ids, model)
+    dt = time.time() - t0
+    assert hclg.num_states > 1_000_000
+    assert dt < 300.0, f"50k-word HCLG build took {dt:.0f}s"
