@@ -32,13 +32,35 @@ def setup_logging(exp_dir: Optional[str] = None, rank: int = 0, name: str = "pyk
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics stream (rank 0 writes, others no-op)."""
+    """Append-only JSONL metrics stream (rank 0 writes, others no-op).
 
-    def __init__(self, exp_dir: Optional[str], rank: int = 0, filename: str = "metrics.jsonl"):
+    Optional TensorBoard mirror (SURVEY.md §6.5 "JSONL + optional
+    tensorboard"): set ``tensorboard=True`` (or env ``PK2_TENSORBOARD=1``)
+    to also emit event files under ``exp_dir/tb/``. Degrades to JSONL-only
+    when the tensorboard package is absent. The scalar names match the
+    reference's logged quantities so loss curves compare directly.
+    """
+
+    def __init__(self, exp_dir: Optional[str], rank: int = 0,
+                 filename: str = "metrics.jsonl",
+                 tensorboard: Optional[bool] = None):
         self._f = None
+        self._tb = None
+        self._step = 0
         if exp_dir is not None and rank == 0:
             os.makedirs(exp_dir, exist_ok=True)
             self._f = open(os.path.join(exp_dir, filename), "a")
+            if tensorboard is None:
+                tensorboard = os.environ.get("PK2_TENSORBOARD", "") not in ("", "0")
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(exp_dir, "tb"))
+                except ImportError:
+                    logging.getLogger("pykaldi2_tpu").warning(
+                        "PK2_TENSORBOARD set but tensorboard is unavailable; "
+                        "JSONL metrics only")
         self._t0 = time.time()
 
     def log(self, **scalars):
@@ -49,7 +71,16 @@ class MetricsLogger:
             rec[k] = float(v) if hasattr(v, "__float__") else v
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            step = int(rec.get("step", self._step))
+            self._step = max(self._step, step) + 1
+            for k, v in rec.items():
+                if k not in ("time", "step", "epoch") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
 
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()

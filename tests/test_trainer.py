@@ -190,3 +190,27 @@ def test_decoder_word_penalty(tmp_path):
     wp, _, _ = LatticeDecoder(g, beam=32.0, word_penalty=3.0).decode(obs)
     # heavy insertion penalty favors fewer words (longer phones per word)
     assert len(wp) <= len(w0)
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """Optional TensorBoard mirror (SURVEY §6.5) writes event files."""
+    pytest.importorskip("torch.utils.tensorboard")
+    import os as _os
+
+    from pykaldi2_tpu.utils.logging import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path), rank=0, tensorboard=True)
+    ml.log(step=0, loss=2.5, frame_acc=0.1)
+    ml.log(step=1, loss=2.0, frame_acc=0.2)
+    ml.close()
+    tb_dir = tmp_path / "tb"
+    events = [p for p in _os.listdir(tb_dir) if "tfevents" in p]
+    assert events, "no event files written"
+    # JSONL still written alongside
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    # rank!=0 and tensorboard off: no-op
+    ml2 = MetricsLogger(str(tmp_path / "r1"), rank=1, tensorboard=True)
+    ml2.log(loss=1.0)
+    ml2.close()
+    assert not (tmp_path / "r1").exists()
