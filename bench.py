@@ -45,6 +45,9 @@ CHECK_FLOORS = {
     "mmi": 130.0,      # structured bigram den, B=64, T=400 (measured ~152 r1)
     "blstm": 125.0,    # 4x1024 BLSTM CE, B=64 (measured ~140 r1)
     "blstmp": 195.0,   # 4x1024/512 BLSTMP CE, B=64, proj Pallas kernel (~226 r2)
+    # mesh-mode CE (shard_map over the local chips): same math as "ce" but
+    # exercises the pallas-in-shard_map path (vma plumbing) every round
+    "ce_mesh": 330.0,
 }
 
 
@@ -87,6 +90,7 @@ def _dispatch(args):
         return 2
     results = {
         "ce": _measure_ce("lstm", BATCH),
+        "ce_mesh": _measure_ce("lstm", BATCH, use_mesh=True),
         "blstm": _measure_ce("blstm", 64),
         "blstmp": _measure_ce("blstm", 64, proj_size=512),
         "mmi": _measure_mmi(),
@@ -100,7 +104,8 @@ def _dispatch(args):
     return 0 if ok else 1
 
 
-def _measure_ce(model_type: str, batch_size: int, proj_size: int = 0) -> float:
+def _measure_ce(model_type: str, batch_size: int, proj_size: int = 0,
+                use_mesh: bool = False) -> float:
     import jax
 
     from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
@@ -122,7 +127,12 @@ def _measure_ce(model_type: str, batch_size: int, proj_size: int = 0) -> float:
     opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.01, grad_clip=5.0))
     params = model.init(jax.random.PRNGKey(0))
     opt_state = opt.init(params)
-    step = make_ce_train_step(model, feat_fn, opt, mesh=None)
+    mesh = None
+    if use_mesh:
+        from pykaldi2_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    step = make_ce_train_step(model, feat_fn, opt, mesh=mesh)
 
     fo = feat_cfg.fbank.frame_opts
     S = chunk_samples(CHUNK_FRAMES, fo)

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pykaldi2_tpu.ops.lstm_pallas import _sds
+
 from pykaldi2_tpu.config import FbankOpts
 from pykaldi2_tpu.frontend import window as W
 from pykaldi2_tpu.frontend.fbank import _dft_matrices
@@ -113,7 +115,7 @@ def fused_fbank(wave: jax.Array, opts: FbankOpts, interpret: bool = False) -> ja
             pl.BlockSpec((2, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R, nb_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, nb_pad), jnp.float32),
+        out_shape=_sds((n_pad, nb_pad), jnp.float32, flat),
         interpret=interpret,
     )(flat, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(mel_p),
       jnp.asarray(win_p))
@@ -200,7 +202,7 @@ def fused_mfcc(wave: jax.Array, opts, interpret: bool = False) -> jax.Array:
             pl.BlockSpec((nb_pad, ceps_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R, ceps_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, ceps_pad), jnp.float32),
+        out_shape=_sds((n_pad, ceps_pad), jnp.float32, flat),
         interpret=interpret,
     )(flat, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(mel_p),
       jnp.asarray(win_p), jnp.asarray(dct_p))

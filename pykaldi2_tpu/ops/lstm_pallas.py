@@ -31,6 +31,57 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = int(15.8 * 1024 * 1024)  # headroom under the 16 MB scoped limit
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct inheriting the varying-axes type of ``like``.
+
+    Inside ``shard_map`` with replication tracking (check_vma, the default),
+    pallas_call out_shapes must declare how outputs vary across mesh axes;
+    every output here varies exactly like the streamed inputs (batch-sharded).
+    Outside shard_map the vma is the empty set and this is a no-op.
+    """
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=jax.typeof(like).vma)
+    except (AttributeError, TypeError):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _vma(x) -> frozenset:
+    try:
+        return frozenset(jax.typeof(x).vma)
+    except (AttributeError, TypeError):
+        return frozenset()
+
+
+def _match_vma(*arrs):
+    """pvary every operand up to the union vma (pallas_call requires all
+    kernel operands to share a varying-axes type under shard_map); a no-op
+    outside shard_map. The pvary lives inside a custom_vjp's fwd/bwd, so its
+    AD transpose never runs — the explicit weight-grad psum below is the
+    counterpart."""
+    target = frozenset().union(*[_vma(a) for a in arrs])
+    out = []
+    for a in arrs:
+        axes = tuple(sorted(target - _vma(a)))
+        if axes:
+            a = jax.lax.pcast(a, axes, to="varying")
+        out.append(a)
+    return out
+
+
+def _psum_weight_grad(dw, varying_like, weight_like):
+    """Reduce a weight cotangent over mesh axes the activations vary on.
+
+    The custom VJP bypasses JAX's automatic pbroadcast-transpose (which is
+    what psums cotangents of replicated params under shard_map replication
+    tracking), so the kernel's own backward must do it: dW computed from
+    batch-sharded activations is varying over the data axes while the weight
+    is replicated — sum it so the returned cotangent's vma matches the
+    primal weight's. No-op outside shard_map.
+    """
+    axes = tuple(sorted(_vma(varying_like) - _vma(weight_like)))
+    return jax.lax.psum(dw, axes) if axes else dw
+
+
 def _vmem_bytes(b: int, h: int, stream_bytes: int) -> int:
     """Worst-case (backward) VMEM estimate: resident Whᵀ + double-buffered
     per-step blocks + fp32 scratch carries. ``stream_bytes`` is the element
@@ -111,6 +162,7 @@ def _fwd_kernel(xp_ref, wh_ref, mask_ref, ys_ref, cs_ref, gates_ref, h_s, c_s,
 
 def _lstm_fwd_pallas(xp, wh, mask):
     """xp [T,B,4H] f32, wh [H,4H] bf16, mask [T,B,1] f32 → (ys, cs, gates)."""
+    xp, wh, mask = _match_vma(xp, wh, mask)
     t_len, b, h4 = xp.shape
     h = h4 // 4
     tb = _tile_b(b, h)
@@ -134,9 +186,9 @@ def _lstm_fwd_pallas(xp, wh, mask):
             pl.BlockSpec((1, tb, h4), io_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, b, h4), jnp.bfloat16),
+            _sds((t_len, b, h), jnp.float32, xp),
+            _sds((t_len, b, h), jnp.float32, xp),
+            _sds((t_len, b, h4), jnp.bfloat16, xp),
         ],
         scratch_shapes=[
             pltpu.VMEM((tb, h), jnp.float32),
@@ -189,6 +241,8 @@ def _bwd_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref, whT_ref,
 
 
 def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT, dgates_dtype):
+    dys, gates, cs, cs_prev, mask, whT = _match_vma(
+        dys, gates, cs, cs_prev, mask, whT)
     t_len, b, h = dys.shape
     h4 = 4 * h
     tb = _tile_b(b, h)
@@ -214,7 +268,7 @@ def _lstm_bwd_pallas(dys, gates, cs, cs_prev, mask, whT, dgates_dtype):
         out_specs=[
             pl.BlockSpec((1, tb, h4), rev, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((t_len, b, h4), dgates_dtype)],
+        out_shape=[_sds((t_len, b, h4), dgates_dtype, dys)],
         scratch_shapes=[
             pltpu.VMEM((tb, h), jnp.float32),
             pltpu.VMEM((tb, h), jnp.float32),
@@ -269,6 +323,7 @@ def _seq_bwd(res, dys):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    dwh = _psum_weight_grad(dwh, dgates, wh_b)
     return dgates.astype(jnp.float32), dwh, None
 
 
@@ -361,6 +416,7 @@ def _fwd_proj_kernel(xp_ref, wh_ref, wp_ref, mask_ref,
 def _lstm_fwd_proj_pallas(xp, wh, wp, mask):
     """xp [T,B,4H], wh [P,4H] bf16, wp [H,P] bf16, mask [T,B,1]
     → (ys [T,B,P] f32, cs [T,B,H] f32, gates [T,B,4H] bf16, hfull [T,B,H] bf16)."""
+    xp, wh, wp, mask = _match_vma(xp, wh, wp, mask)
     t_len, b, h4 = xp.shape
     h = h4 // 4
     p = wh.shape[0]
@@ -387,10 +443,10 @@ def _lstm_fwd_proj_pallas(xp, wh, wp, mask):
             pl.BlockSpec((1, tb, h), io_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_len, b, p), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, b, h4), jnp.bfloat16),
-            jax.ShapeDtypeStruct((t_len, b, h), jnp.bfloat16),
+            _sds((t_len, b, p), jnp.float32, xp),
+            _sds((t_len, b, h), jnp.float32, xp),
+            _sds((t_len, b, h4), jnp.bfloat16, xp),
+            _sds((t_len, b, h), jnp.bfloat16, xp),
         ],
         scratch_shapes=[
             pltpu.VMEM((tb, p), jnp.float32),
@@ -443,6 +499,8 @@ def _bwd_proj_kernel(dys_ref, gates_ref, cs_ref, csp_ref, mask_ref,
 
 
 def _lstm_bwd_proj_pallas(dys, gates, cs, cs_prev, mask, whT, wpT, stream_dtype):
+    dys, gates, cs, cs_prev, mask, whT, wpT = _match_vma(
+        dys, gates, cs, cs_prev, mask, whT, wpT)
     t_len, b, p = dys.shape
     h = cs.shape[-1]
     h4 = 4 * h
@@ -472,8 +530,8 @@ def _lstm_bwd_proj_pallas(dys, gates, cs, cs_prev, mask, whT, wpT, stream_dtype)
             pl.BlockSpec((1, tb, p), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_len, b, h4), stream_dtype),
-            jax.ShapeDtypeStruct((t_len, b, p), stream_dtype),
+            _sds((t_len, b, h4), stream_dtype, dys),
+            _sds((t_len, b, p), stream_dtype, dys),
         ],
         scratch_shapes=[
             pltpu.VMEM((tb, p), jnp.float32),
@@ -533,6 +591,8 @@ def _seq_proj_bwd(res, dys):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    dwh = _psum_weight_grad(dwh, dgates, wh_b)
+    dwp = _psum_weight_grad(dwp, dgates, wp_b)
     return dgates.astype(jnp.float32), dwh, dwp, None
 
 

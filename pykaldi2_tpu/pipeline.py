@@ -165,18 +165,39 @@ class FeaturePipeline:
         except Exception:
             return False
 
-    def _use_fused(self, dither_key) -> bool:
+    @staticmethod
+    def _inside_shard_map(x) -> bool:
+        """True when tracing under shard_map replication tracking (the wave
+        carries a non-empty varying-axes set). The fused front-end kernels
+        compile pathologically slowly there (measured 711 s vs seconds
+        outside, 2026-08-16) for a ~3%-of-step runtime win, so mesh-mode
+        steps default to the XLA front end; PK2_PALLAS_FBANK=1 forces the
+        kernels regardless."""
+        import os
+
+        if os.environ.get("PK2_PALLAS_FBANK") not in (None, "", "0", "false"):
+            return False  # explicit opt-in wins
+        try:
+            return bool(jax.typeof(x).vma)
+        except (AttributeError, TypeError):
+            return False
+
+    def _use_fused(self, dither_key, wave=None) -> bool:
         """Pallas fused fbank kernel for the standard log-power fbank path;
         dithered batches fall back to the XLA path (the kernel has no PRNG)."""
         fb = self.cfg.fbank
         if fb.frame_opts.dither != 0.0 or fb.use_energy \
                 or not fb.use_log_fbank or not fb.use_power:
             return False
+        if wave is not None and self._inside_shard_map(wave):
+            return False
         return self._pallas_enabled()
 
-    def _use_fused_mfcc(self) -> bool:
+    def _use_fused_mfcc(self, wave=None) -> bool:
         mf = self.cfg.mfcc
         if mf.frame_opts.dither != 0.0 or (mf.use_energy and not mf.raw_energy):
+            return False
+        if wave is not None and self._inside_shard_map(wave):
             return False
         return self._pallas_enabled()
 
@@ -223,7 +244,7 @@ class FeaturePipeline:
                 feats = compute_fbank(batch["wave"], cfg.fbank, dither_key=dither_key,
                                       mel_weights=jnp.asarray(self.warp_bank),
                                       warp_select=warp_sel)
-            elif self._use_fused(dither_key):
+            elif self._use_fused(dither_key, batch["wave"]):
                 from pykaldi2_tpu.frontend.fused import fused_fbank
 
                 feats = fused_fbank(batch["wave"], cfg.fbank)
@@ -233,7 +254,7 @@ class FeaturePipeline:
             feats = compute_mfcc(batch["wave"], cfg.mfcc, dither_key=dither_key,
                                  mel_weights=jnp.asarray(self.warp_bank),
                                  warp_select=warp_sel)
-        elif self._use_fused_mfcc():
+        elif self._use_fused_mfcc(batch["wave"]):
             from pykaldi2_tpu.frontend.fused import fused_mfcc
 
             feats = fused_mfcc(batch["wave"], cfg.mfcc)

@@ -155,3 +155,55 @@ def test_bf16_grad_compression_close_to_fp32():
         a, b = np.asarray(a), np.asarray(b)
         # updates differ only by bf16 rounding of gradients
         np.testing.assert_allclose(b, a, rtol=2e-2, atol=2e-3)
+
+
+def test_pallas_lstm_inside_shard_map(tmp_path, monkeypatch):
+    """Regression: pallas_call inside shard_map (the TPU mesh path) needs
+    vma-typed out_shapes under replication tracking, operands pvaried to a
+    common vma, and explicit weight-grad psums in the custom VJPs.
+
+    Interpret-mode pallas cannot run under check_vma shard_map (upstream:
+    the interpreter's internal dynamic_slice indices carry an empty vma), so
+    this runs the real compiled kernels — TPU only; `bench.py --check`'s
+    ce_mesh floor covers it every round on the chip.
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled pallas-in-shard_map needs the TPU backend "
+                    "(interpret mode hits an upstream vma limitation)")
+    monkeypatch.setenv("PK2_PALLAS_LSTM", "1")
+
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                                          mel_opts=MelOpts(num_bins=24)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    # h=128 (lane-aligned) and local per-device batch 64/8 = 8 (8-sublane)
+    # so the Pallas path is actually taken inside each shard
+    mcfg = ModelConfig(type="lstm", input_size=feat_fn.dim, hidden_size=128,
+                       num_layers=1, output_size=6, compute_dtype="float32")
+    model = build_model(mcfg)
+    opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=0.05))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    from pykaldi2_tpu.data.dataloader import chunk_samples
+
+    chunk = 24
+    S = chunk_samples(chunk, feat_cfg.fbank.frame_opts)
+    rng = np.random.RandomState(4)
+    batch = {
+        "wave": (rng.randn(64, S) * 4000).astype(np.float32),
+        "labels": rng.randint(0, 6, (64, chunk)).astype(np.int32),
+        "mask": np.ones((64, chunk), np.float32),
+    }
+
+    from pykaldi2_tpu.ops import lstm_pallas
+    assert lstm_pallas.supported(8, 128)  # local per-device batch
+
+    mesh = make_mesh({"data": 8})
+    step = make_ce_train_step(model, feat_fn, opt, mesh=mesh, donate=False)
+    p, o, m = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+    # parity vs the scan path under the same mesh
+    monkeypatch.setenv("PK2_PALLAS_LSTM", "0")
+    step2 = make_ce_train_step(model, feat_fn, opt, mesh=mesh, donate=False)
+    p2, o2, m2 = step2(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert abs(float(m["loss"]) - float(m2["loss"])) < 5e-3
