@@ -79,7 +79,18 @@ def main(argv=None):
     p.add_argument("-oracle", action="store_true",
                    help="also report lattice oracle WER vs -ref "
                         "(Kaldi lattice-oracle)")
+    p.add_argument("-mbr", action="store_true",
+                   help="consensus (Minimum-Bayes-Risk) decoding: hypotheses "
+                        "come from the lattice sausage argmax instead of the "
+                        "best path (Kaldi lattice-mbr-decode)")
+    p.add_argument("-ctm_out", default=None,
+                   help="write a CTM with per-word times + MBR confidences "
+                        "(Kaldi lattice-to-ctm-conf); implies -mbr")
+    p.add_argument("-frame_shift", type=float, default=0.01,
+                   help="seconds per frame for -ctm_out times")
     args = p.parse_args(argv)
+    if args.ctm_out:
+        args.mbr = True
 
     log = setup_logging(None)
     cfg = load_config(args.config)
@@ -107,10 +118,11 @@ def main(argv=None):
     dense_packed = None
     decoders = []
     n_threads = max(args.num_threads, 1)
-    lattice_mode = bool(args.lattice_out or args.nbest or args.oracle)
+    lattice_mode = bool(args.lattice_out or args.nbest or args.oracle
+                        or args.mbr)
     if lattice_mode and args.on_device:
-        raise SystemExit("-lattice_out/-nbest/-oracle need the host lattice "
-                         "decoder; drop -on_device")
+        raise SystemExit("-lattice_out/-nbest/-oracle/-mbr need the host "
+                         "lattice decoder; drop -on_device")
     if args.oracle and not args.ref:
         raise SystemExit("-oracle needs -ref")
     if args.on_device:
@@ -143,6 +155,7 @@ def main(argv=None):
 
     hyps = {}
     word_fsts = {}
+    mbr_results = {}
     dump = None
     if args.dump_ark:
         from pykaldi2_tpu.data.kaldi_io import ArkWriter
@@ -178,10 +191,22 @@ def main(argv=None):
 
                     lat, frames, _sc = dec.decode_lattice(obs[i, : nf[i]],
                                                           with_frames=True)
-                    wf = lattice_word_fst(lat, loglikes=obs[i, : nf[i]],
-                                          frames=frames, acoustic_scale=1.0)
-                    word_fsts[uid] = wf
-                    words, _ = best_path(wf)
+                    if args.lattice_out or args.nbest or args.oracle:
+                        wf = lattice_word_fst(lat, loglikes=obs[i, : nf[i]],
+                                              frames=frames, acoustic_scale=1.0)
+                        word_fsts[uid] = wf
+                    if args.mbr:
+                        from pykaldi2_tpu.decode.mbr import (
+                            lattice_word_fst_timed, mbr_decode)
+
+                        twf, ttimes = lattice_word_fst_timed(
+                            lat, loglikes=obs[i, : nf[i]], frames=frames,
+                            acoustic_scale=1.0)
+                        res = mbr_decode(twf, arc_times=ttimes)
+                        mbr_results[uid] = res
+                        words = res.words
+                    else:
+                        words, _ = best_path(wf)
                 else:
                     words, _pdfs, _score = dec.decode(obs[i, : nf[i]])
                 return uid, [id2w.get(w, f"<{w}>") for w in words]
@@ -203,6 +228,15 @@ def main(argv=None):
                         hyps[uid] = words
     if dump is not None:
         dump.close()
+    if args.ctm_out:
+        from pykaldi2_tpu.decode.mbr import write_ctm
+
+        with open(args.ctm_out, "w") as f:
+            for uid in sorted(mbr_results):
+                write_ctm(f, uid, mbr_results[uid],
+                          frame_shift=args.frame_shift, id2w=id2w)
+        log.info("wrote CTM for %d utterances to %s",
+                 len(mbr_results), args.ctm_out)
     if args.hyp_out:
         with open(args.hyp_out, "w") as f:
             for uid in sorted(hyps):

@@ -42,7 +42,23 @@ def main(argv=None):
     p.add_argument("-lm_scale", type=float, default=1.0)
     p.add_argument("-rescored_out", default=None,
                    help="write rescored lattices to this archive")
+    p.add_argument("-mbr", action="store_true",
+                   help="consensus (MBR) transcripts instead of best-path "
+                        "(Kaldi lattice-mbr-decode)")
+    p.add_argument("-ctm_out", default=None,
+                   help="CTM with MBR confidences (lattice-to-ctm-conf); "
+                        "implies -mbr. NB: text/ark archives carry no frame "
+                        "times, so times here are bin order only — decode.py "
+                        "-ctm_out has the real times")
+    p.add_argument("-frame_shift", type=float, default=0.01)
+    p.add_argument("-prune_beam", type=float, default=0.0,
+                   help="posterior-prune lattices to this beam first "
+                        "(Kaldi lattice-prune)")
+    p.add_argument("-pruned_out", default=None,
+                   help="write the pruned lattices to this archive")
     args = p.parse_args(argv)
+    if args.ctm_out:
+        args.mbr = True
 
     log = setup_logging(None)
     from pykaldi2_tpu.bin.decode import read_symtab
@@ -85,13 +101,52 @@ def main(argv=None):
             log.info("wrote %d rescored lattices to %s",
                      len(lats), args.rescored_out)
 
+    if args.prune_beam > 0.0:
+        from pykaldi2_tpu.decode.mbr import prune_posterior
+
+        pruned = {}
+        for uid, wf in lats.items():
+            try:
+                pruned[uid] = prune_posterior(wf, args.prune_beam)
+            except ValueError as e:
+                log.warning("prune failed for %s: %s", uid, e)
+        lats = pruned
+        if args.pruned_out:
+            if args.pruned_out.endswith(".ark"):
+                from pykaldi2_tpu.decode.lattice_ark import write_lattice_ark
+
+                write_lattice_ark(args.pruned_out, lats)
+            else:
+                write_lattices_text(args.pruned_out, lats)
+            log.info("wrote %d pruned lattices to %s", len(lats),
+                     args.pruned_out)
+
     hyps = {}
+    mbr_results = {}
     for uid, wf in lats.items():
         try:
-            words, _ = best_path(wf)
+            if args.mbr:
+                from pykaldi2_tpu.decode.mbr import mbr_decode
+
+                res = mbr_decode(wf)
+                mbr_results[uid] = res
+                words = res.words
+            else:
+                words, _ = best_path(wf)
             hyps[uid] = [id2w.get(w, f"<{w}>") for w in words]
         except ValueError as e:
-            log.warning("best-path failed for %s: %s", uid, e)
+            log.warning("%s failed for %s: %s",
+                        "mbr" if args.mbr else "best-path", uid, e)
+
+    if args.ctm_out:
+        from pykaldi2_tpu.decode.mbr import write_ctm
+
+        with open(args.ctm_out, "w") as f:
+            for uid in sorted(mbr_results):
+                write_ctm(f, uid, mbr_results[uid],
+                          frame_shift=args.frame_shift, id2w=id2w)
+        log.info("wrote CTM for %d utterances to %s",
+                 len(mbr_results), args.ctm_out)
 
     if args.best_path:
         f = sys.stdout if args.best_path == "-" else open(args.best_path, "w")

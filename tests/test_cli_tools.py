@@ -152,6 +152,36 @@ def test_decode_cli_with_dump_ark(tmp_path):
                     "-best_path", hyp2, "-ref", ref]) == 0
     assert os.path.getsize(hyp2) > 0
 
+    # consensus decoding + CTM with confidences (lattice-mbr-decode /
+    # lattice-to-ctm-conf slice); times come from the decoder lattice
+    ctm_out = str(tmp_path / "out.ctm")
+    hyp3 = str(tmp_path / "hyp3.txt")
+    assert dec(["-config", cp, "-data", dp, "-model", ckpt, "-graph", g_out,
+                "-words", w_out, "-ref", ref, "-acoustic_scale", "1.0",
+                "-mbr", "-ctm_out", ctm_out, "-hyp_out", hyp3]) == 0
+    ctm_lines = open(ctm_out).read().strip().splitlines()
+    assert len(ctm_lines) >= len(ds.utt_ids)
+    for line in ctm_lines:
+        parts = line.split()
+        assert len(parts) == 6
+        assert 0.0 <= float(parts[5]) <= 1.0   # confidence
+        assert float(parts[3]) > 0.0           # duration
+    # this toy graph is a FREE word loop (no LM/insertion penalty), so the
+    # lattice posterior genuinely spreads over re-entering the same word
+    # frame-by-frame — the consensus keeps those repeats.  Collapsed runs
+    # must match the best path exactly.
+    def _collapse(line):
+        parts = line.split()
+        out = parts[:1]
+        for w in parts[1:]:
+            if w != out[-1]:
+                out.append(w)
+        return out
+
+    h_best = {l.split()[0]: _collapse(l) for l in open(hyp)}
+    for line in open(hyp3):
+        assert _collapse(line) == h_best[line.split()[0]]
+
 
 def test_tdnn_and_transformer_training(tmp_path):
     paths = make_toy_corpus(str(tmp_path), num_utts=6, num_pdfs=4, seed=17)
