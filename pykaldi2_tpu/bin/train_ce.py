@@ -152,7 +152,7 @@ def main(argv=None):
             world_size=jax.process_count() * sweep_world,
             shuffle=cfg.data.shuffle, seed=cfg.trainer.seed,
             num_workers=cfg.data.num_workers,
-            extras_fn=extras_fn,
+            extras_fn=extras_fn, chunk_overlap=cfg.trainer.chunk_overlap,
         )
         loader.set_epoch(epoch)
         # equalize steps across hosts or the final psum deadlocks
@@ -193,7 +193,8 @@ def main(argv=None):
                                         rank=jax.process_index(),
                                         world_size=jax.process_count(), shuffle=False,
                                         extras_fn=(feat_fn.batch_extras
-                                                   if feat_fn.has_extras else None))
+                                                   if feat_fn.has_extras else None),
+                                        chunk_overlap=cfg.trainer.chunk_overlap)
             # CV also psums globally: equalize or a longer host deadlocks all
             cv_iter = equalized_steps(cv_loader, iter(cv_loader))
             for cb in device_prefetch(cv_iter, sharding=sharding):

@@ -236,6 +236,8 @@ class OptimizerConfig:
 class TrainerConfig:
     batch_size: int = 64
     chunk_len: int = 80           # CE chunk length in frames (ChunkDataloader)
+    chunk_overlap: int = 0        # context frames shared with the previous
+                                  # chunk (model-visible, loss-masked)
     num_epochs: int = 8
     sweep_size: float = 1.0       # fraction of data per epoch (reference -sweep_size)
     log_interval: int = 100

@@ -77,14 +77,17 @@ class ChunkDataloader:
     of a chunk starting at frame c0 is exactly frame c0+t of the utterance).
 
     Semantics decision (SURVEY.md §9.3 open question, resolved for this
-    framework): chunks are STATELESS and NON-OVERLAPPING — LSTM state is not
-    carried across chunks and no context frames are shared. With the
-    reference mount empty its exact behavior is unverifiable; stateless
-    fixed chunks match the truncated-BPTT reading of the paper, and the
-    chunk-level reservoir shuffle below makes carried state meaningless
-    anyway (consecutive chunks of one utterance land in different batches).
-    If the reference turns out to overlap chunks, add the overlap at the
-    ``range(0, nf, T)`` stride below and mask the duplicate frames' loss.
+    framework): by default chunks are STATELESS and NON-OVERLAPPING — LSTM
+    state is not carried across chunks and no context frames are shared.
+    With the reference mount empty its exact behavior is unverifiable;
+    stateless fixed chunks match the truncated-BPTT reading of the paper,
+    and the chunk-level reservoir shuffle below makes carried state
+    meaningless anyway (consecutive chunks of one utterance land in
+    different batches).  ``chunk_overlap=k`` covers the other reading: each
+    chunk after an utterance's first starts ``k`` frames early; those
+    context frames warm the recurrent state up (mask=1, the model sees
+    them) but are excluded from the loss (label −1), so every frame is
+    supervised exactly once and emitted shapes stay static.
     """
 
     def __init__(
@@ -100,6 +103,7 @@ class ChunkDataloader:
         num_workers: int = 0,
         chunk_shuffle_buffer: int = 1024,
         extras_fn=None,
+        chunk_overlap: int = 0,
     ):
         """``chunk_shuffle_buffer``: when shuffling, chunks pass through a
         reservoir of this size so chunks of one utterance spread across
@@ -119,6 +123,10 @@ class ChunkDataloader:
         self.num_workers = num_workers
         self.chunk_shuffle_buffer = chunk_shuffle_buffer
         self.extras_fn = extras_fn
+        if not 0 <= chunk_overlap < chunk_len:
+            raise ValueError(f"chunk_overlap {chunk_overlap} must be in "
+                             f"[0, chunk_len={chunk_len})")
+        self.chunk_overlap = chunk_overlap
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -137,10 +145,12 @@ class ChunkDataloader:
             pc = sim.cfg.perturb
             if pc.use_speed:
                 shrink = 1.0 / max(pc.speed_choices)
+        stride = self.chunk_len - self.chunk_overlap
         chunks = 0
         for uid in ids:
             nf = int(self.ds.utt_num_frames(uid) * shrink)
-            chunks += -(-nf // self.chunk_len) if nf > 0 else 0
+            if nf > 0:
+                chunks += 1 + max(0, -(-(nf - self.chunk_len) // stride))
         if self.drop_last or conservative:
             return chunks // self.batch_size
         return -(-chunks // self.batch_size)
@@ -204,7 +214,10 @@ class ChunkDataloader:
         for utt in _iter_utts(self.ds, ordered_ids, self.seed, self.epoch, self.num_workers):
             x = utt.feats if feats_mode else utt.wave
             nf = utt.num_frames
-            for c0 in range(0, nf, T):
+            stride = T - self.chunk_overlap
+            n_chunks = 1 + max(0, -(-(nf - T) // stride)) if nf > 0 else 0
+            for k in range(n_chunks):
+                c0 = k * stride
                 clen = min(T, nf - c0)
                 if feats_mode:
                     xc = x[c0 : c0 + clen]
@@ -212,6 +225,9 @@ class ChunkDataloader:
                     s0 = c0 * fo.window_shift
                     xc = x[s0 : s0 + chunk_samples(clen, fo)]
                 lab = utt.labels[c0 : c0 + clen] if utt.labels is not None else None
+                if lab is not None and k > 0 and self.chunk_overlap:
+                    lab = lab.copy()
+                    lab[: self.chunk_overlap] = -1  # context frames: no loss
                 push((xc, lab, clen, utt.utt_id))
                 while len(buf) >= self.batch_size:
                     yield emit()

@@ -91,6 +91,43 @@ def test_dataset_and_chunk_loader(tmp_path):
     assert total_sup == expect  # every supervised frame appears exactly once
 
 
+def test_chunk_loader_overlap(tmp_path):
+    """chunk_overlap: context frames are model-visible but loss-masked;
+    every frame is supervised exactly once; num_batches stays truthful."""
+    paths = make_toy_corpus(str(tmp_path), num_utts=5, seed=3)
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"],
+                       frame_opts=FrameOpts(dither=0.0))
+    T, K = 50, 10
+    loader = ChunkDataloader(ds, batch_size=4, chunk_len=T, shuffle=False,
+                             chunk_overlap=K, drop_last=False)
+    n_batches = 0
+    sup = 0
+    ctx = 0
+    for batch in loader:
+        n_batches += 1
+        assert batch["labels"].shape == (4, T)
+        sup += int((batch["labels"] >= 0).sum())
+        # context frames: valid for the model, no supervision
+        ctx += int(((batch["labels"] < 0) & (batch["mask"] > 0)).sum())
+    expect = sum(ds.utt_num_frames(u) for u in ds.utt_ids)
+    assert sup == expect          # exactly-once supervision despite overlap
+    assert ctx > 0                # overlap actually produced context frames
+    assert n_batches == loader.num_batches()
+
+    # the context frames' waveform slices are bit-identical re-reads of the
+    # same utterance audio: total valid frames = supervised + K per extra
+    # chunk of each utterance
+    stride = T - K
+    extra_chunks = sum(
+        max(0, -(-(ds.utt_num_frames(u) - T) // stride))
+        for u in ds.utt_ids)
+    assert ctx == K * extra_chunks
+
+    # overlap=0 is the old stride exactly
+    base = ChunkDataloader(ds, batch_size=4, chunk_len=T, shuffle=False)
+    assert base.num_batches() <= loader.num_batches()
+
+
 def test_chunk_loader_rank_sharding(tmp_path):
     paths = make_toy_corpus(str(tmp_path), num_utts=8, seed=4)
     ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"], frame_opts=FrameOpts(dither=0.0))
