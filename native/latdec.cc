@@ -59,12 +59,28 @@ struct Token {
   std::vector<Link> alts;  // kept links, alts[0] is the best
 };
 
+struct Exp {                // one emitting-arc relaxation (pass-1 scratch)
+  float cost;
+  int prev;                 // token index in previous frame
+  int arc;                  // graph arc id
+};
+
 struct Decoder {
   Graph g;
   float beam = 16.0f;
   int max_active = 7000;
   float lattice_beam = 8.0f;
   std::vector<std::vector<Token>> frames;
+  std::vector<Exp> scratch;        // reused across frames/utterances
+  std::vector<float> state_cost;   // per-state best emitting cost this frame
+  std::vector<float> minima;       // nth_element scratch
+  // cached by latdec_search for latdec_emit_lattice (no re-search on
+  // capacity growth): lattice state ids per (frame, token), arc/state counts
+  std::vector<std::vector<int>> ids;
+  int search_T = -1;
+  int lat_states = 0;
+  int lat_arcs = 0;
+  float best_cost = kInf;
 };
 
 }  // namespace
@@ -190,9 +206,13 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
   // initial epsilon closure (graphs may have eps arcs out of the start)
   state_tok[g.start] = 0;
   touched.push_back(g.start);
-  EpsClosure(g, dec.frames[0], state_tok, touched, dec.beam, dec.lattice_beam);
+  EpsClosure(g, dec.frames[0], state_tok, touched, dec.beam,
+             dec.lattice_beam);
   for (int s : touched) state_tok[s] = -1;
   touched.clear();
+
+  if ((int)dec.state_cost.size() != g.num_states)
+    dec.state_cost.assign(g.num_states, kInf);
 
   for (int t = 0; t < T; ++t) {
     const std::vector<Token>& cur = dec.frames[t];
@@ -201,70 +221,105 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
     touched.clear();
     float frame_best = kInf;
 
+    // pass 1: relax every emitting arc into POD scratch, tracking per-state
+    // minima — no token/link allocation yet, so expansions doomed by the
+    // beam or max_active cutoffs cost only a 12-byte append
+    std::vector<Exp>& scratch = dec.scratch;
+    std::vector<float>& state_cost = dec.state_cost;
+    scratch.clear();
     for (int i = 0; i < (int)cur.size(); ++i) {
       const Token& tok = cur[i];
       for (int e = g.eps_end[tok.state]; e < g.row_off[tok.state + 1]; ++e) {
         int pdf = g.ilabel[e] - 1;
         if (pdf < 0 || pdf >= P) continue;  // guard corrupt negative ilabels
         float c = tok.cost + g.cost[e] - obs[pdf];
-        // running beam: once any good path exists this frame, skip hopeless
-        // expansions before they allocate tokens (Kaldi adaptive-cutoff-ish)
+        // running beam: skip hopeless expansions as soon as any good path
+        // exists this frame (Kaldi adaptive-cutoff-ish)
         if (c > frame_best + dec.beam) continue;
         int s2 = g.dst[e];
-        int ti = state_tok[s2];
-        if (ti < 0) {
-          state_tok[s2] = (int)nxt.size();
-          touched.push_back(s2);
-          nxt.push_back({c, s2, {{i, e, c, g.cost[e]}}});
-        } else {
-          Token& tk = nxt[ti];
-          tk.alts.push_back({i, e, c, g.cost[e]});
-          if (c < tk.cost) {
-            tk.cost = c;
-            std::swap(tk.alts.front(), tk.alts.back());
-          }
-        }
+        if (state_cost[s2] == kInf) touched.push_back(s2);
+        if (c < state_cost[s2]) state_cost[s2] = c;
+        scratch.push_back({c, i, e});
         if (c < frame_best) frame_best = c;
       }
     }
-    // epsilon closure before pruning so eps-reachable states compete fairly
-    EpsClosure(g, nxt, state_tok, touched, frame_best + dec.beam,
-               dec.lattice_beam);
-    float cutoff = frame_best + dec.beam;
+    // exact pre-closure max_active cutoff over per-state minima (Kaldi
+    // GetCutoff): states beyond it never materialize tokens at all
+    float cutoff_emit = frame_best + dec.beam;
+    if ((int)touched.size() > dec.max_active) {
+      std::vector<float>& minima = dec.minima;
+      minima.clear();
+      for (int s : touched) minima.push_back(state_cost[s]);
+      std::nth_element(minima.begin(), minima.begin() + dec.max_active - 1,
+                       minima.end());
+      cutoff_emit = std::min(cutoff_emit, minima[dec.max_active - 1]);
+    }
+    // pass 2: tokens for surviving states; links filtered by the lattice
+    // beam against the (final, pre-closure) per-state best
+    {
+      int w = 0;
+      for (int s : touched) {
+        if (state_cost[s] <= cutoff_emit) {
+          state_tok[s] = (int)nxt.size();
+          nxt.push_back({state_cost[s], s, {}});
+          touched[w++] = s;
+        } else {
+          state_cost[s] = kInf;  // reset dropped states now
+        }
+      }
+      touched.resize(w);
+    }
+    for (const Exp& x : scratch) {
+      int s2 = g.dst[x.arc];
+      int ti = state_tok[s2];
+      if (ti < 0 || x.cost > state_cost[s2] + dec.lattice_beam) continue;
+      Token& tk = nxt[ti];
+      tk.alts.push_back({x.prev, x.arc, x.cost, g.cost[x.arc]});
+      if (x.cost == tk.cost && tk.alts.size() > 1)
+        std::swap(tk.alts.front(), tk.alts.back());
+    }
+    for (int s : touched) state_cost[s] = kInf;
+    // epsilon closure before pruning so eps-reachable states compete
+    // fairly; bounded by the max_active-tightened emitting cutoff (Kaldi
+    // ProcessNonemitting reuses ProcessEmitting's cutoff the same way)
+    EpsClosure(g, nxt, state_tok, touched, cutoff_emit, dec.lattice_beam);
+    float cutoff = cutoff_emit;
     if ((int)nxt.size() > dec.max_active) {
-      std::vector<float> costs;
-      costs.reserve(nxt.size());
+      std::vector<float>& costs = dec.minima;
+      costs.clear();
       for (auto& tk : nxt) costs.push_back(tk.cost);
       std::nth_element(costs.begin(), costs.begin() + dec.max_active - 1, costs.end());
       cutoff = std::min(cutoff, costs[dec.max_active - 1]);
     }
-    std::vector<Token> kept;
-    kept.reserve(nxt.size());
-    for (auto& tk : nxt) {
-      if (tk.cost > cutoff) continue;
-      // prune link alternatives to the lattice beam, dedup by (prev, arc)
-      // keeping the cheapest (eps relaxation can produce duplicates)
-      std::vector<Link> keep_alts;
-      for (auto& l : tk.alts)
-        if (l.cost <= tk.cost + dec.lattice_beam) keep_alts.push_back(l);
-      std::sort(keep_alts.begin(), keep_alts.end(),
-                [](const Link& a, const Link& b) {
-                  if (a.prev != b.prev) return a.prev < b.prev;
-                  if (a.arc != b.arc) return a.arc < b.arc;
-                  return a.cost < b.cost;
-                });
-      keep_alts.erase(
-          std::unique(keep_alts.begin(), keep_alts.end(),
-                      [](const Link& a, const Link& b) {
-                        return a.prev == b.prev && a.arc == b.arc;
-                      }),
-          keep_alts.end());
-      std::sort(keep_alts.begin(), keep_alts.end(),
-                [](const Link& a, const Link& b) { return a.cost < b.cost; });
-      tk.alts.swap(keep_alts);
-      kept.push_back(std::move(tk));
+    {
+      std::vector<Token> kept;
+      kept.reserve(nxt.size());
+      for (auto& tk : nxt) {
+        if (tk.cost > cutoff) continue;
+        // prune link alternatives to the lattice beam, dedup by (prev, arc)
+        // keeping the cheapest (eps relaxation can produce duplicates)
+        std::vector<Link> keep_alts;
+        for (auto& l : tk.alts)
+          if (l.cost <= tk.cost + dec.lattice_beam) keep_alts.push_back(l);
+        std::sort(keep_alts.begin(), keep_alts.end(),
+                  [](const Link& a, const Link& b) {
+                    if (a.prev != b.prev) return a.prev < b.prev;
+                    if (a.arc != b.arc) return a.arc < b.arc;
+                    return a.cost < b.cost;
+                  });
+        keep_alts.erase(
+            std::unique(keep_alts.begin(), keep_alts.end(),
+                        [](const Link& a, const Link& b) {
+                          return a.prev == b.prev && a.arc == b.arc;
+                        }),
+            keep_alts.end());
+        std::sort(keep_alts.begin(), keep_alts.end(),
+                  [](const Link& a, const Link& b) { return a.cost < b.cost; });
+        tk.alts.swap(keep_alts);
+        kept.push_back(std::move(tk));
+      }
+      nxt.swap(kept);
     }
-    nxt.swap(kept);
     for (int s : touched) state_tok[s] = -1;
     if (nxt.empty()) return -1;
   }
@@ -312,54 +367,78 @@ int latdec_decode(void* h, const float* loglikes, int T, int P, int* out_words,
   return (int)words.size() <= max_words ? n : -2;
 }
 
-// Lattice decode: emits the pruned time-synchronous arc table (state 0 =
-// start). state_frame (if non-null, state_capacity ints) gets each lattice
-// state's frame index — states partition by frame, which the banded
-// [B, max_active] forward-backward kernels exploit (ops/fb_lattice.py).
-// Returns 0 ok, -1 search failure, -2 capacity too small.
-int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
-                          int* lat_src, int* lat_dst, int* lat_pdf,
-                          float* lat_weight, int arc_capacity,
-                          int* num_arcs_out, float* final_weights,
-                          int state_capacity, int* num_states_out,
-                          float* best_score, int* state_frame,
-                          int* lat_olabel) {
+// Run the search and size the pruned lattice WITHOUT emitting it: returns 0
+// (then *num_arcs_out / *num_states_out are the exact emit sizes) or -1 on
+// search failure. The search result stays cached in the handle so
+// latdec_emit_lattice never re-searches — capacity negotiation used to cost
+// 2-3 full extra searches per utterance through the old combined entry.
+int latdec_search(void* h, const float* loglikes, int T, int P,
+                  int* num_arcs_out, int* num_states_out, float* best_score) {
   auto* d = static_cast<Decoder*>(h);
-  float best_cost;
-  int best_i = RunSearch(d, loglikes, T, P, &best_cost);
+  int best_i = RunSearch(d, loglikes, T, P, &d->best_cost);
+  d->search_T = -1;
   if (best_i < 0) return -1;
-  *best_score = -best_cost;
+  *best_score = -d->best_cost;
 
   int next_id = 1;
-  std::vector<std::vector<int>> ids(T + 1);
-  ids[0].assign(d->frames[0].size(), 0);
-  if (state_frame != nullptr) state_frame[0] = 0;
+  d->ids.assign(T + 1, {});
+  d->ids[0].assign(d->frames[0].size(), 0);
+  int n_arcs = 0;
   for (int t = 1; t <= T; ++t) {
     float fb = kInf;
     for (auto& tk : d->frames[t]) fb = std::min(fb, tk.cost);
-    ids[t].assign(d->frames[t].size(), -1);
+    d->ids[t].assign(d->frames[t].size(), -1);
     for (int i = 0; i < (int)d->frames[t].size(); ++i) {
-      if (d->frames[t][i].cost <= fb + d->lattice_beam) {
-        if (next_id >= state_capacity) return -2;
-        if (state_frame != nullptr) state_frame[next_id] = t;
-        ids[t][i] = next_id++;
-      }
+      if (d->frames[t][i].cost <= fb + d->lattice_beam)
+        d->ids[t][i] = next_id++;
+    }
+    for (int i = 0; i < (int)d->frames[t].size(); ++i) {
+      if (d->ids[t][i] < 0) continue;
+      for (const Link& l : d->frames[t][i].alts)
+        if (d->ids[t - 1][l.prev] >= 0) ++n_arcs;
     }
   }
+  d->search_T = T;
+  d->lat_states = next_id;
+  d->lat_arcs = n_arcs;
   *num_states_out = next_id;
-  for (int s = 0; s < next_id; ++s) final_weights[s] = -kInf;
+  *num_arcs_out = n_arcs;
+  return 0;
+}
+
+// Emit the lattice cached by latdec_search: the pruned time-synchronous arc
+// table (state 0 = start). state_frame (if non-null, state_capacity ints)
+// gets each lattice state's frame index — states partition by frame, which
+// the banded [B, max_active] forward-backward kernels exploit
+// (ops/fb_lattice.py). Returns 0 ok, -2 capacity too small / no search.
+int latdec_emit_lattice(void* h, int* lat_src, int* lat_dst, int* lat_pdf,
+                        float* lat_weight, int arc_capacity,
+                        int* num_arcs_out, float* final_weights,
+                        int state_capacity, int* num_states_out,
+                        int* state_frame, int* lat_olabel) {
+  auto* d = static_cast<Decoder*>(h);
+  int T = d->search_T;
+  if (T < 0 || d->lat_arcs > arc_capacity || d->lat_states > state_capacity)
+    return -2;
+  if (state_frame != nullptr) {
+    state_frame[0] = 0;
+    for (int t = 1; t <= T; ++t)
+      for (int id : d->ids[t])
+        if (id >= 0) state_frame[id] = t;
+  }
+  *num_states_out = d->lat_states;
+  for (int s = 0; s < d->lat_states; ++s) final_weights[s] = -kInf;
 
   int n_arcs = 0;
   for (int t = 1; t <= T; ++t) {
     for (int i = 0; i < (int)d->frames[t].size(); ++i) {
-      if (ids[t][i] < 0) continue;
+      if (d->ids[t][i] < 0) continue;
       const Token& tok = d->frames[t][i];
       for (const Link& l : tok.alts) {
-        int prev = ids[t - 1][l.prev];
+        int prev = d->ids[t - 1][l.prev];
         if (prev < 0) continue;
-        if (n_arcs >= arc_capacity) return -2;
         lat_src[n_arcs] = prev;
-        lat_dst[n_arcs] = ids[t][i];
+        lat_dst[n_arcs] = d->ids[t][i];
         lat_pdf[n_arcs] = d->g.ilabel[l.arc] - 1;
         if (lat_olabel != nullptr) lat_olabel[n_arcs] = d->g.olabel[l.arc];
         // graph_cost folds in epsilon arcs taken after the emitting arc;
@@ -374,7 +453,7 @@ int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
   *num_arcs_out = n_arcs;
   bool any_final = false;
   for (int i = 0; i < (int)d->frames[T].size(); ++i) {
-    int id = ids[T][i];
+    int id = d->ids[T][i];
     if (id < 0) continue;
     float fc = d->g.final_cost[d->frames[T][i].state];
     if (!std::isinf(fc)) {
@@ -384,9 +463,27 @@ int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
   }
   if (!any_final) {  // fallback: every surviving end token is final, weight 0
     for (int i = 0; i < (int)d->frames[T].size(); ++i)
-      if (ids[T][i] >= 0) final_weights[ids[T][i]] = 0.0f;
+      if (d->ids[T][i] >= 0) final_weights[d->ids[T][i]] = 0.0f;
   }
   return 0;
+}
+
+// Combined entry (legacy ABI): search + emit in one call.
+// Returns 0 ok, -1 search failure, -2 capacity too small.
+int latdec_decode_lattice(void* h, const float* loglikes, int T, int P,
+                          int* lat_src, int* lat_dst, int* lat_pdf,
+                          float* lat_weight, int arc_capacity,
+                          int* num_arcs_out, float* final_weights,
+                          int state_capacity, int* num_states_out,
+                          float* best_score, int* state_frame,
+                          int* lat_olabel) {
+  int na, ns;
+  int rc = latdec_search(h, loglikes, T, P, &na, &ns, best_score);
+  if (rc != 0) return rc;
+  return latdec_emit_lattice(h, lat_src, lat_dst, lat_pdf, lat_weight,
+                             arc_capacity, num_arcs_out, final_weights,
+                             state_capacity, num_states_out, state_frame,
+                             lat_olabel);
 }
 
 }  // extern "C"

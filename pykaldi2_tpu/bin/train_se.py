@@ -79,6 +79,11 @@ def build_argparser():
     p.add_argument("-no_overlap", action="store_true",
                    help="disable the decode/train pipeline overlap in "
                         "-on_the_fly (lattices then use same-step params)")
+    p.add_argument("-obs_transfer", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="dtype of the device->host obs copy the -on_the_fly "
+                        "decoder reads (bf16 halves the transfer; decode "
+                        "beams dwarf the rounding)")
     p.add_argument("-generic_den", action="store_true",
                    help="force the generic arc-table den kernels instead of "
                         "the structured bigram kernels (mmi hot path)")
@@ -326,7 +331,8 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
         den_scale=cfg.trainer.den_scale, drop_frames=cfg.trainer.drop_frames,
         ce_ratio=cfg.trainer.ce_ratio, criterion=crit,
-        pdf_to_phone=pdf_to_phone, mesh=mesh)
+        pdf_to_phone=pdf_to_phone, mesh=mesh,
+        obs_transfer_dtype=args.obs_transfer)
 
     import jax
     from concurrent.futures import ThreadPoolExecutor
@@ -350,7 +356,9 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         """forward (device) → per-utterance lattice decode (host threads) →
         banded time-synchronous pack (activations stay [T, B, max_active],
         not [T, B, num_states] — ops/fb_lattice.py)."""
-        obs = np.asarray(forward_fn(p_snapshot, batch))
+        # the copy is bf16 by default (half the D2H bytes); the C++ decoder
+        # wants fp32 rows — upcast on host, cheap next to the transfer
+        obs = np.asarray(forward_fn(p_snapshot, batch)).astype(np.float32)
         nf = np.asarray(batch["num_frames"])
         lats = [None] * obs.shape[0]
 

@@ -49,6 +49,13 @@ def _load():
     lib.latdec_decode_lattice.argtypes = [
         ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int,
         ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int, ip, fp, ip, ip]
+    lib.latdec_search.restype = ctypes.c_int
+    lib.latdec_search.argtypes = [ctypes.c_void_p, fp, ctypes.c_int,
+                                  ctypes.c_int, ip, ip, fp]
+    lib.latdec_emit_lattice.restype = ctypes.c_int
+    lib.latdec_emit_lattice.argtypes = [
+        ctypes.c_void_p, ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int,
+        ip, ip, ip]
     _lib = lib
     return lib
 
@@ -155,33 +162,33 @@ class LatticeDecoder:
         """
         ll = np.ascontiguousarray(loglikes, np.float32)
         t, p = ll.shape
-        arc_cap, state_cap = max(4096, 64 * t), max(1024, 16 * t)
-        for _ in range(8):
-            src = np.zeros(arc_cap, np.int32)
-            dst = np.zeros(arc_cap, np.int32)
-            pdf = np.zeros(arc_cap, np.int32)
-            w = np.zeros(arc_cap, np.float32)
-            finals = np.zeros(state_cap, np.float32)
-            frames = np.zeros(state_cap, np.int32)
-            olabel = np.zeros(arc_cap, np.int32)
-            n_arcs = ctypes.c_int()
-            n_states = ctypes.c_int()
-            score = ctypes.c_float()
-            rc = self._lib.latdec_decode_lattice(
-                self._h, _fptr(ll), t, p, _iptr(src), _iptr(dst), _iptr(pdf),
-                _fptr(w), arc_cap, ctypes.byref(n_arcs), _fptr(finals),
-                state_cap, ctypes.byref(n_states), ctypes.byref(score),
-                _iptr(frames), _iptr(olabel))
-            if rc == 0:
-                na, ns = n_arcs.value, n_states.value
-                fsa = DenseFsa(ns, src[:na].copy(), dst[:na].copy(), pdf[:na].copy(),
-                               w[:na].copy(), finals[:ns].copy(), 0,
-                               olabel=olabel[:na].copy())
-                if with_frames:
-                    return fsa.validate(), frames[:ns].copy(), float(score.value)
-                return fsa.validate(), float(score.value)
-            if rc == -1:
-                raise RuntimeError("lattice decoding failed (no surviving tokens)")
-            arc_cap *= 4
-            state_cap *= 4
-        raise RuntimeError("lattice capacity still insufficient after retries")
+        # search once — it reports the exact lattice size, emit fills
+        # exactly-sized buffers (the old capacity-guess retry loop re-ran
+        # the whole search 2-3x per utterance on dense lattices)
+        n_arcs = ctypes.c_int()
+        n_states = ctypes.c_int()
+        score = ctypes.c_float()
+        rc = self._lib.latdec_search(self._h, _fptr(ll), t, p,
+                                     ctypes.byref(n_arcs),
+                                     ctypes.byref(n_states),
+                                     ctypes.byref(score))
+        if rc != 0:
+            raise RuntimeError("lattice decoding failed (no surviving tokens)")
+        na, ns = n_arcs.value, n_states.value
+        src = np.zeros(na, np.int32)
+        dst = np.zeros(na, np.int32)
+        pdf = np.zeros(na, np.int32)
+        w = np.zeros(na, np.float32)
+        finals = np.zeros(ns, np.float32)
+        frames = np.zeros(ns, np.int32)
+        olabel = np.zeros(na, np.int32)
+        rc = self._lib.latdec_emit_lattice(
+            self._h, _iptr(src), _iptr(dst), _iptr(pdf), _fptr(w), na,
+            ctypes.byref(n_arcs), _fptr(finals), ns, ctypes.byref(n_states),
+            _iptr(frames), _iptr(olabel))
+        if rc != 0:
+            raise RuntimeError(f"lattice emit failed (rc={rc})")
+        fsa = DenseFsa(ns, src, dst, pdf, w, finals, 0, olabel=olabel)
+        if with_frames:
+            return fsa.validate(), frames, float(score.value)
+        return fsa.validate(), float(score.value)

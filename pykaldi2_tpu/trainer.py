@@ -248,6 +248,7 @@ def make_se_lattice_steps(
     criterion: str = "mmi",
     pdf_to_phone=None,
     mesh: Optional[Mesh] = None,
+    obs_transfer_dtype: str = "bfloat16",
 ):
     """On-the-fly denominator-lattice training (the reference's signature
     mode, SURVEY.md §4.2): returns (forward_fn, train_fn).
@@ -256,6 +257,13 @@ def make_se_lattice_steps(
     from it); train_fn(params, opt_state, batch, den_graphs, key) applies the
     lattice update, recomputing the forward under autodiff. den_graphs is a
     BatchedGraphs whose bucketed shapes bound recompilation.
+
+    ``obs_transfer_dtype``: dtype of the returned obs — the device→host copy
+    the host decoder consumes. "bfloat16" (default) halves the transfer (an
+    on-the-fly-mode cost the reference pays too, SURVEY §4.2 "per-utterance
+    device→host copy"); rounding loglikes to bf16 (~2-3 significant digits)
+    is far inside the decode beam. The loss-side forward recomputes obs in
+    full precision under autodiff, so training math is unaffected.
 
     criterion: mmi (num alignment − lattice logZ) or smbr/mpfe (expected
     frame accuracy over the decoded lattice, Kaldi
@@ -287,7 +295,8 @@ def make_se_lattice_steps(
     def forward_fn(params, batch):
         feats = eval_feat_fn(batch)
         logits = model.apply(params, feats, batch["mask"])
-        return acoustic_scores(logits, lp, acoustic_scale)
+        obs = acoustic_scores(logits, lp, acoustic_scale)
+        return obs.astype(jnp.dtype(obs_transfer_dtype))
 
     def local_step(params, opt_state, batch, den_graphs, key):
         axis = "data" if mesh is not None else None
