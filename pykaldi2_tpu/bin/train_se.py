@@ -394,18 +394,52 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
             den_b = fut.result()
             if jax.process_count() > 1:
                 # all processes must compile the same psum-bearing program:
-                # equalize the (K, A) lattice paddings across hosts (on the
-                # MAIN thread, in lockstep with the equalized step counts)
+                # equalize the (K, A) lattice paddings AND the frame axis T
+                # across hosts (ranks draw batches from different buckets,
+                # so T differs per rank per step) — on the MAIN thread, in
+                # lockstep with the equalized step counts
                 from jax.experimental import multihost_utils
                 from pykaldi2_tpu.ops.fb_lattice import pad_time_sync
 
-                dims = np.asarray([den_b.num_slots, den_b.src.shape[2]])
+                t_loc = batch["labels"].shape[1]
+                dims = np.asarray([den_b.num_slots, den_b.src.shape[2],
+                                   t_loc])
                 gmax = np.asarray(multihost_utils.process_allgather(dims)
-                                  ).reshape(-1, 2).max(axis=0)
-                den_b = pad_time_sync(den_b, int(gmax[0]), int(gmax[1]))
+                                  ).reshape(-1, 3).max(axis=0)
+                k_g, a_g, t_g = int(gmax[0]), int(gmax[1]), int(gmax[2])
+                den_b = pad_time_sync(den_b, k_g, a_g, t_g)
+                if t_g > t_loc:
+                    from pykaldi2_tpu.data.dataloader import chunk_samples
+
+                    def _pad_t(k, v):
+                        if k in ("labels", "mask") or (
+                                k == "feats" and v.ndim >= 2):
+                            pad = [(0, 0), (0, t_g - v.shape[1])] + \
+                                  [(0, 0)] * (v.ndim - 2)
+                            fill = -1 if k == "labels" else 0
+                            return np.pad(np.asarray(v), pad,
+                                          constant_values=fill)
+                        if k == "wave":
+                            s_g = chunk_samples(t_g, dataset.frame_opts)
+                            return np.pad(np.asarray(v),
+                                          [(0, 0), (0, s_g - v.shape[1])])
+                        return v
+
+                    batch = {k: _pad_t(k, v) for k, v in batch.items()}
             if sharding is not None:
-                batch = jax.device_put(batch, sharding)
-                den_b = jax.device_put(den_b, sharding)
+                if jax.process_count() > 1:
+                    # local [B_local, ...] rows -> the global [B_global, ...]
+                    # array the psum-bearing program expects (device_put with
+                    # a global sharding rejects process-local shapes)
+                    def _glob(v):
+                        return jax.make_array_from_process_local_data(
+                            sharding, np.asarray(v))
+
+                    batch = jax.tree_util.tree_map(_glob, batch)
+                    den_b = jax.tree_util.tree_map(_glob, den_b)
+                else:
+                    batch = jax.device_put(batch, sharding)
+                    den_b = jax.device_put(den_b, sharding)
             key, sk = jax.random.split(key)
             params, opt_state, m = train_fn(params, opt_state, batch, den_b, sk)
             step_no += 1

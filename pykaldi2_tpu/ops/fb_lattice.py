@@ -130,19 +130,26 @@ def pack_time_sync(lattices: Sequence[Tuple[DenseFsa, np.ndarray]],
                            jnp.asarray(w), jnp.asarray(final))
 
 
-def pad_time_sync(lat: TimeSyncLattice, k: int, a: int) -> TimeSyncLattice:
-    """Grow a packed lattice's slot/arc paddings (exact no-op arcs).
+def pad_time_sync(lat: TimeSyncLattice, k: int, a: int,
+                  t: Optional[int] = None) -> TimeSyncLattice:
+    """Grow a packed lattice's slot/arc/frame paddings (exact no-op arcs).
 
     Multihost runs must compile identical psum-bearing step programs on
     every process, so each host pads its locally-packed lattices up to the
-    allgather-max (K, A) before the jitted step.
+    allgather-max (K, A) — and, when ranks draw batches from DIFFERENT
+    buckets, the frame axis T too — before the jitted step.  Frames past an
+    utterance's ``num_frames`` are skipped by the scan's active mask, so
+    T padding (NEG_INF arcs) never touches the math.
     """
-    k0, a0 = lat.num_slots, lat.src.shape[2]
-    if k < k0 or a < a0:
-        raise ValueError(f"cannot shrink padding ({k0},{a0}) → ({k},{a})")
-    if (k, a) == (k0, a0):
+    k0, a0, t0 = lat.num_slots, lat.src.shape[2], lat.src.shape[1]
+    if t is None:
+        t = t0
+    if k < k0 or a < a0 or t < t0:
+        raise ValueError(
+            f"cannot shrink padding ({k0},{a0},{t0}) → ({k},{a},{t})")
+    if (k, a, t) == (k0, a0, t0):
         return lat
-    pad_a = [(0, 0), (0, 0), (0, a - a0)]
+    pad_a = [(0, 0), (0, t - t0), (0, a - a0)]
     return TimeSyncLattice(
         jnp.pad(lat.src, pad_a), jnp.pad(lat.dst, pad_a), jnp.pad(lat.pdf, pad_a),
         jnp.pad(lat.weight, pad_a, constant_values=NEG_INF),
