@@ -218,3 +218,44 @@ def test_compare_posteriors_cli(tmp_path):
                 w.write(k, m + rng.randn(*m.shape).astype(np.float32) * noise)
     assert cmp_main([a, b, "-atol", "1e-3"]) == 0       # within tolerance
     assert cmp_main([a, c, "-atol", "1e-3"]) == 1       # grossly different
+
+
+def test_compute_feats_cli(tmp_path):
+    """compute-fbank-feats parity tool: dumped ark matches direct extraction
+    (to fp32 reduction-order noise) and feeds the feats_scp corpus mode."""
+    import jax.numpy as jnp
+
+    from pykaldi2_tpu.bin.compute_feats import main as cf
+    from pykaldi2_tpu.data import kaldi_io
+
+    paths = make_toy_corpus(str(tmp_path / "c"), num_utts=4, num_pdfs=3, seed=21)
+    dp = str(tmp_path / "data.yaml")
+    with open(dp, "w") as f:
+        f.write(f"""wav_scp: {paths['wav_scp']}
+feat:
+  fbank:
+    frame_opts: {{dither: 0.0}}
+    mel_opts: {{num_bins: 24}}
+""")
+    out = str(tmp_path / "feats.ark")
+    assert cf(["-data", dp, "-out", out]) == 0
+    feats = dict(kaldi_io.read_ark(out, kind="mat"))
+
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], frame_opts=FrameOpts(dither=0.0))
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                                          mel_opts=MelOpts(num_bins=24)))
+    feat_cfg.cmvn.norm_means = False  # the tool dumps BASE features
+    pipe = FeaturePipeline(feat_cfg)
+    assert set(feats) == set(ds.utt_ids)
+    for uid in ds.utt_ids:
+        utt = ds.get(uid)
+        ref = np.asarray(pipe({"wave": jnp.asarray(utt.wave[None])}))[0]
+        assert feats[uid].shape == (utt.num_frames, pipe.dim)
+        np.testing.assert_allclose(feats[uid], ref[: utt.num_frames],
+                                   atol=1e-4)
+
+    # the dumped scp is a working feats-mode corpus
+    ds2 = SpeechDataset(feats_scp=out[:-4] + ".scp")
+    assert set(ds2.utt_ids) == set(ds.utt_ids)
+    np.testing.assert_array_equal(ds2.get(ds.utt_ids[0]).feats,
+                                  feats[ds.utt_ids[0]])
