@@ -330,6 +330,84 @@ def _viterbi_words(start: int, n: int, order: List[int],
     return words
 
 
+def _prep(f: Fst, arc_times: Optional[ArcTimes]):
+    """Trim/flatten a lattice and precompute the alignment machinery."""
+    ft, times = _trim_with_times(f, arc_times)
+    src, dst, word, w, tb, te, sf, _t_end = _flatten(ft, times)
+    n = sf + 1
+    n_arc = len(src)
+    order = _topo_states(n, src, dst, ft.start)
+    in_arcs: List[List[int]] = [[] for _ in range(n)]
+    for e in range(n_arc):
+        in_arcs[int(dst[e])].append(e)
+
+    # forward log-probs → per-arc conditional weights cw(a) = P(a | reach dst):
+    # the backward Markov chain of the exact posterior path distribution.
+    alpha = np.full(n, -np.inf)
+    alpha[ft.start] = 0.0
+    for s in order:
+        for e in in_arcs[s]:
+            alpha[s] = np.logaddexp(alpha[s], alpha[src[e]] + w[e])
+    cw = np.exp(alpha[src] + w - alpha[dst])
+    topo_tail = [s for s in order if s != ft.start]
+    ins_cost = np.array([_l(int(word[e]), EPS) for e in range(n_arc)])
+    return (ft, src, dst, word, w, tb, te, sf, n, n_arc, order, in_arcs, cw,
+            topo_tail, ins_cost)
+
+
+def _forward_pass(rn, start, sf, n, n_arc, src, word, cw, topo_tail, in_arcs,
+                  ins_cost):
+    """One soft-Levenshtein forward pass of the lattice against rn.
+
+    Returns (expected edit distance, per-state rows, per-arc choices)."""
+    q_len = len(rn)
+    sub_cost = np.empty((n_arc, q_len + 1))
+    sub_cost[:, 0] = np.inf
+    for q in range(1, q_len + 1):
+        r = rn[q - 1]
+        sub_cost[:, q] = [_l(int(word[e]), r) for e in range(n_arc)]
+    del_cost = np.concatenate([[0.0], [_l(EPS, r) for r in rn]])
+    cumdel = np.cumsum(del_cost)
+
+    alpha_dash = np.zeros((n, q_len + 1))
+    alpha_dash[start] = cumdel
+    bchoice = np.zeros((n_arc, q_len + 1), np.int8)
+    for s in topo_tail:
+        acc = np.zeros(q_len + 1)
+        for e in in_arcs[s]:
+            m = int(src[e])
+            sub = np.empty(q_len + 1)
+            sub[0] = np.inf
+            sub[1:] = alpha_dash[m][:-1] + sub_cost[e, 1:]
+            ins = alpha_dash[m] + ins_cost[e]
+            c12 = np.minimum(sub, ins)
+            b12 = np.where(sub <= ins, 1, 2).astype(np.int8)
+            b12[0] = 2
+            # deletion closure: row[q] = min(c12[q], row[q-1]+del[q])
+            row = np.minimum.accumulate(c12 - cumdel) + cumdel
+            b = np.where(row < c12 - 1e-12, 3, b12)
+            acc += cw[e] * row
+            bchoice[e] = b
+        alpha_dash[s] = acc
+    return float(alpha_dash[sf][q_len]), alpha_dash, bchoice
+
+
+def expected_edit_distance(f: Fst, hyp: Sequence[int]) -> float:
+    """Lattice-expected edit distance of a fixed hypothesis.
+
+    The same recursion ``mbr_decode`` minimizes, evaluated once for ``hyp``
+    — e.g. to compare the consensus against the best path under the SAME
+    posterior measure, or to score an external hypothesis against a lattice
+    (confidence-style risk).
+    """
+    (ft, src, dst, word, w, tb, te, sf, n, n_arc, order, in_arcs, cw,
+     topo_tail, ins_cost) = _prep(f, None)
+    rn = _normalize_eps(list(hyp))
+    risk, _, _ = _forward_pass(rn, ft.start, sf, n, n_arc, src, word, cw,
+                               topo_tail, in_arcs, ins_cost)
+    return risk
+
+
 def mbr_decode(f: Fst, arc_times: Optional[ArcTimes] = None,
                max_iters: int = 20) -> MbrResult:
     """Consensus decoding of an acyclic word lattice (eps arcs allowed).
@@ -347,28 +425,10 @@ def mbr_decode(f: Fst, arc_times: Optional[ArcTimes] = None,
     rows (e.g. disjoint suffixes), a close estimate otherwise — the
     tests verify the *decisions* against brute-force expected WER.
     """
-    ft, times = _trim_with_times(f, arc_times)
-    src, dst, word, w, tb, te, sf, t_end = _flatten(ft, times)
-    n = sf + 1
-    n_arc = len(src)
-    order = _topo_states(n, src, dst, ft.start)
-    in_arcs: List[List[int]] = [[] for _ in range(n)]
-    for e in range(n_arc):
-        in_arcs[int(dst[e])].append(e)
-
-    # forward log-probs → per-arc conditional weights cw(a) = P(a | reach dst):
-    # the backward Markov chain of the exact posterior path distribution.
-    alpha = np.full(n, -np.inf)
-    alpha[ft.start] = 0.0
-    for s in order:
-        for e in in_arcs[s]:
-            alpha[s] = np.logaddexp(alpha[s], alpha[src[e]] + w[e])
-    cw = np.exp(alpha[src] + w - alpha[dst])
+    (ft, src, dst, word, w, tb, te, sf, n, n_arc, order, in_arcs, cw,
+     topo_tail, ins_cost) = _prep(f, arc_times)
 
     R = _viterbi_words(ft.start, n, order, in_arcs, src, word, w, sf)
-    topo_tail = [s for s in order if s != ft.start]
-
-    ins_cost = np.array([_l(int(word[e]), EPS) for e in range(n_arc)])
 
     gamma: List[Dict[int, float]] = []
     tau = None
@@ -378,37 +438,9 @@ def mbr_decode(f: Fst, arc_times: Optional[ArcTimes] = None,
     for _ in range(max(max_iters, 1)):
         rn = _normalize_eps(R)
         q_len = len(rn)
-        sub_cost = np.empty((n_arc, q_len + 1))
-        sub_cost[:, 0] = np.inf
-        for q in range(1, q_len + 1):
-            r = rn[q - 1]
-            sub_cost[:, q] = [_l(int(word[e]), r) for e in range(n_arc)]
-        del_cost = np.concatenate(
-            [[0.0], [_l(EPS, r) for r in rn]])
-        cumdel = np.cumsum(del_cost)
-
-        # ---- forward edit-distance accumulators --------------------------
-        alpha_dash = np.zeros((n, q_len + 1))
-        alpha_dash[ft.start] = cumdel
-        bchoice = np.zeros((n_arc, q_len + 1), np.int8)
-        for s in topo_tail:
-            acc = np.zeros(q_len + 1)
-            for e in in_arcs[s]:
-                m = int(src[e])
-                sub = np.empty(q_len + 1)
-                sub[0] = np.inf
-                sub[1:] = alpha_dash[m][:-1] + sub_cost[e, 1:]
-                ins = alpha_dash[m] + ins_cost[e]
-                c12 = np.minimum(sub, ins)
-                b12 = np.where(sub <= ins, 1, 2).astype(np.int8)
-                b12[0] = 2
-                # deletion closure: row[q] = min(c12[q], row[q-1]+del[q])
-                row = np.minimum.accumulate(c12 - cumdel) + cumdel
-                b = np.where(row < c12 - 1e-12, 3, b12)
-                acc += cw[e] * row
-                bchoice[e] = b
-            alpha_dash[s] = acc
-        risk = float(alpha_dash[sf][q_len])
+        risk, alpha_dash, bchoice = _forward_pass(
+            rn, ft.start, sf, n, n_arc, src, word, cw, topo_tail, in_arcs,
+            ins_cost)
 
         # ---- backward occupancy pass → sausage stats ---------------------
         beta_dash = np.zeros((n, q_len + 1))

@@ -122,6 +122,19 @@ def test_pad_time_sync_invariance(decoded):
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
 
+    # frame-axis padding too (ranks in different buckets): extra frames are
+    # inert — the scan's active mask skips them past each utt's num_frames
+    t0 = obs.shape[1]
+    big_t = pad_time_sync(lat, lat.num_slots * 2, lat.src.shape[2] + 96,
+                          t=t0 + 7)
+    obs_t = np.pad(obs, [(0, 0), (0, 7), (0, 0)])
+    z3, g3 = lattice_occupancies_ts(jnp.asarray(obs_t), big_t,
+                                    jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(z3), np.asarray(z1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g3)[:, :t0], np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(g3)[:, t0:]).max() == 0.0
+
 
 def test_banded_memory_shape(decoded):
     """The win itself: slot count ≤ per-frame tokens, not total states."""

@@ -249,3 +249,69 @@ def test_lattice_word_fst_timed_roundtrip():
     assert res.words == [A, B]
     assert res.times[0] == pytest.approx((0.0, 1.0))
     assert res.times[1] == pytest.approx((1.0, 2.0))
+
+
+@pytest.mark.slow
+def test_mbr_wer_at_scale_noisy():
+    """Consensus decoding under genuinely uncertain acoustics at word-LM
+    scale (held-out sentences, weak noisy acoustics, real decoded
+    lattices).  The hard guarantee checked per lattice: the consensus has
+    expected edit distance <= the best path UNDER THE LATTICE POSTERIOR
+    (the measure MBR minimizes).  Corpus WER against the true reference is
+    model-mismatch territory, so it only gets a loose sanity bound
+    (test_arpa's _sentences uses Python's per-process-randomized hash(),
+    making exact corpus WER non-deterministic across processes)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_arpa import _obs_for_words, _sentences, _toy_system
+
+    from pykaldi2_tpu.decode import LatticeDecoder, edit_distance
+    from pykaldi2_tpu.decode.lattice import best_path, lattice_word_fst
+    from pykaldi2_tpu.decode.mbr import (expected_edit_distance,
+                                         lattice_word_fst_timed, mbr_decode)
+    from pykaldi2_tpu.graph.arpa import train_arpa
+    from pykaldi2_tpu.graph.compile import make_word_decode_graph
+
+    rng = np.random.RandomState(23)
+    tm, vocab, word_ids, lexicon = _toy_system(
+        rng, n_phones=20, n_words=300, pron_len=(3, 6))
+    sents = _sentences(rng, vocab, n=400, lo=3, hi=7)
+    model = train_arpa(sents[:350], order=3)  # eval sentences held out
+    hclg = make_word_decode_graph(tm, lexicon, word_ids, model)
+    dec = LatticeDecoder(hclg, beam=14.0, max_active=2000, lattice_beam=7.0)
+
+    bp_errs = mbr_errs = total = 0
+    n_decoded = 0
+    r2 = np.random.RandomState(99)
+    for i in range(350, 375):
+        ref = sents[i][:5]
+        # weak signal + noise: lattices carry real competing hypotheses
+        obs = _obs_for_words(tm, lexicon, ref, r2, strength=1.4)
+        obs += r2.randn(*obs.shape).astype(np.float32) * 1.4
+        try:
+            lat, frames, _sc = dec.decode_lattice(obs, with_frames=True)
+        except RuntimeError:
+            continue
+        n_decoded += 1
+        ref_ids = [word_ids[w] for w in ref]
+        bp_words, _ = best_path(lattice_word_fst(lat, loglikes=obs,
+                                                 frames=frames))
+        twf, times = lattice_word_fst_timed(lat, loglikes=obs, frames=frames)
+        res = mbr_decode(twf, arc_times=times)
+        bp_errs += edit_distance(ref_ids, bp_words)["errors"]
+        mbr_errs += edit_distance(ref_ids, res.words)["errors"]
+        total += len(ref_ids)
+        # the MBR property, per lattice: iterating from the best path must
+        # not increase the expected edit distance — compare on the SAME
+        # (timed, eps-bearing) fst the consensus was derived from, since
+        # the recursion's estimate depends on the lattice representation
+        risk_bp = expected_edit_distance(twf, bp_words)
+        assert res.bayes_risk <= risk_bp + 1e-6, (res.bayes_risk, risk_bp)
+        # CTM sanity on real lattices: monotone times
+        begins = [b for b, _ in res.times]
+        assert begins == sorted(begins)
+    assert n_decoded >= 20
+    bp_wer, mbr_wer = bp_errs / total, mbr_errs / total
+    assert 0.1 < bp_wer < 1.5          # noise makes real errors
+    assert mbr_wer <= bp_wer + 0.1     # loose: corpus WER is mismatch-noisy
