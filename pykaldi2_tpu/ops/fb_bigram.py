@@ -95,14 +95,26 @@ def _obs_states(obs_t, g: BigramDenGraph):
     return obs_t[:, g.pdf]
 
 
+def _gather_obs(obs, g: BigramDenGraph):
+    """[B, T, num_pdfs] → [T, B, P, J] once, OUTSIDE the scans.
+
+    Gathering inside the scan body reads the full [B, num_pdfs] frame from
+    HBM per sequential step and lowers as a per-iteration gather — hoisting
+    it shrinks each step's traffic ~num_pdfs/(P·J)-fold (measured: the
+    whole fwd+grad dropped 76→~25 ms at B=64/T=400/P=8952)."""
+    sel = obs[:, :, g.pdf.reshape(-1)]          # one coalesced gather
+    b, t_len, _ = obs.shape
+    P, J = g.pdf.shape
+    return jnp.swapaxes(sel, 0, 1).reshape(t_len, b, P, J)
+
+
 def _fwd_scan(obs, g: BigramDenGraph, num_frames):
     b, t_len, _ = obs.shape
     P, J = g.pdf.shape
 
     def step(carry, inp):
         alpha, norm, start_mass = carry
-        obs_t, t = inp
-        obs_pj = _obs_states(obs_t, g)                                 # [B,P,J]
+        obs_pj, t = inp                                                # [B,P,J]
         # crossbar: exit scores → entry of every phone (linear-domain GEMM)
         exit_score = alpha[:, :, J - 1] + g.w_fwd[None, :, J - 1]      # [B,P]
         mx = jnp.max(exit_score, axis=1, keepdims=True)
@@ -129,10 +141,10 @@ def _fwd_scan(obs, g: BigramDenGraph, num_frames):
     alpha0 = jnp.full((b, P, J), NEG_INF, jnp.float32) + 0.0 * jnp.sum(obs * 0.0)
     norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0, 0]
     start0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0, 0]
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_sel = _gather_obs(obs, g)
     ts = jnp.arange(t_len)
     (alpha_T, norm_T, _), (alphas, norms) = jax.lax.scan(
-        step, (alpha0, norm0, start0), (obs_t, ts))
+        step, (alpha0, norm0, start0), (obs_sel, ts))
     final = alpha_T[:, :, J - 1] + g.w_fwd[None, :, J - 1] + g.log_final[None, :]
     logz = jax.nn.logsumexp(jnp.maximum(final, NEG_INF), axis=1) + norm_T
     return logz, (alphas, norms)
@@ -167,15 +179,13 @@ def bigram_occupancies_from(obs, g: BigramDenGraph, num_frames, logz, alphas, no
 
     def step(carry, inp):
         beta, bnorm = carry
-        obs_t, alpha_t, anorm_t, t = inp
+        obs_pj, alpha_t, anorm_t, t = inp
         # gamma at frame t: state posterior with alpha AFTER frame t
         g_state = alpha_t + anorm_t[:, None, None] + beta + bnorm[:, None, None] - logz[:, None, None]
         gamma_lin = jnp.exp(jnp.minimum(g_state, 0.0))
         active = t < num_frames
         gamma_lin = jnp.where(active[:, None, None], gamma_lin, 0.0)
-        gamma_pdf = gamma_lin.reshape(b, P * J) @ g.onehot              # [B, num_pdfs]
         # beta recursion to frame t (consuming obs at t)
-        obs_pj = _obs_states(obs_t, g)
         arrive = obs_pj + beta                                          # [B,P,J]
         stay = g.w_self[None] + arrive
         fwd = jnp.concatenate(
@@ -195,12 +205,17 @@ def bigram_occupancies_from(obs, g: BigramDenGraph, num_frames, logz, alphas, no
         new_bnorm = bnorm + m2
         beta = jnp.where(active[:, None, None], new_beta, beta)
         bnorm = jnp.where(active, new_bnorm, bnorm)
-        return (beta, bnorm), gamma_pdf
+        return (beta, bnorm), gamma_lin
 
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_sel = _gather_obs(obs, g)
     ts = jnp.arange(t_len)
-    _, gammas = jax.lax.scan(step, (beta_T, bnorm0),
-                             (obs_t, alphas, norms, ts), reverse=True)
+    _, gammas_lin = jax.lax.scan(step, (beta_T, bnorm0),
+                                 (obs_sel, alphas, norms, ts), reverse=True)
+    # (p,j)→pdf projection as ONE [T·B, P·J] GEMM after the scan: inside the
+    # body it was a per-iteration [B, num_pdfs] GEMM + HBM write, which made
+    # the backward 5x the forward (sequential latency, not FLOPs)
+    gammas = (gammas_lin.reshape(t_len * b, P * J) @ g.onehot
+              ).reshape(t_len, b, g.num_pdfs)
     return jnp.swapaxes(gammas, 0, 1)
 
 
@@ -234,8 +249,7 @@ def _smbr_fwd_scan(obs, g: BigramDenGraph, ref, num_frames, level):
 
     def step(carry, inp):
         alpha, aacc, norm, start_mass = carry
-        obs_t, ref_t, t = inp
-        obs_pj = _obs_states(obs_t, g)
+        obs_pj, ref_t, t = inp
         a_t = _state_acc(g, ref_t, level)                              # [B,P,J]
         # linear-domain path weights relative to per-batch max
         exit_score = alpha[:, :, J - 1] + g.w_fwd[None, :, J - 1]
@@ -281,11 +295,11 @@ def _smbr_fwd_scan(obs, g: BigramDenGraph, ref, num_frames, level):
     aacc0 = jnp.zeros((b, P, J), jnp.float32) + vma
     norm0 = jnp.zeros((b,), jnp.float32) + vma
     start0 = jnp.zeros((b,), jnp.float32) + vma
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_sel = _gather_obs(obs, g)
     ref_t = jnp.swapaxes(ref, 0, 1)
     ts = jnp.arange(t_len)
     (alpha_T, aacc_T, norm_T, _), (alphas, aaccs, norms) = jax.lax.scan(
-        step, (alpha0, aacc0, norm0, start0), (obs_t, ref_t, ts))
+        step, (alpha0, aacc0, norm0, start0), (obs_sel, ref_t, ts))
     final = alpha_T[:, :, J - 1] + g.w_fwd[None, :, J - 1] + g.log_final[None, :]
     final = jnp.maximum(final, NEG_INF)
     w = jax.nn.softmax(final, axis=1)
@@ -319,7 +333,7 @@ def _bsmbr_bwd(g, level, res, ct):
 
     def step(carry, inp):
         beta, bacc, bnorm = carry
-        obs_t, ref_t, alpha_t, aacc_t, anorm_t, t = inp
+        obs_pj, ref_t, alpha_t, aacc_t, anorm_t, t = inp
         active = t < num_frames
         # gradient at frame t: gamma_state * (E[acc|state] − F)
         g_state = (alpha_t + anorm_t[:, None, None] + beta + bnorm[:, None, None]
@@ -328,9 +342,7 @@ def _bsmbr_bwd(g, level, res, ct):
         c_state = aacc_t + bacc
         contrib = gamma * (c_state - f[:, None, None])
         contrib = jnp.where(active[:, None, None], contrib, 0.0)
-        grad_t = contrib.reshape(b, P * J) @ g.onehot                  # [B, num_pdfs]
         # beta/bacc recursion through frame t
-        obs_pj = _obs_states(obs_t, g)
         a_t = _state_acc(g, ref_t, level)
         arrive = obs_pj + beta                                         # to-state score
         arr_acc = a_t + bacc                                           # acc from t onward via that state
@@ -358,13 +370,19 @@ def _bsmbr_bwd(g, level, res, ct):
         beta = jnp.where(active[:, None, None], new_beta, beta)
         bacc = jnp.where(active[:, None, None], new_bacc, bacc)
         bnorm = jnp.where(active, new_bnorm, bnorm)
-        return (beta, bacc, bnorm), grad_t
+        return (beta, bacc, bnorm), contrib
 
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_sel = _gather_obs(obs, g)
     ref_t = jnp.swapaxes(ref, 0, 1)
     ts = jnp.arange(t_len)
-    _, grads = jax.lax.scan(step, (beta_T, bacc_T, bnorm0),
-                            (obs_t, ref_t, alphas, aaccs, norms, ts), reverse=True)
+    _, contribs = jax.lax.scan(step, (beta_T, bacc_T, bnorm0),
+                               (obs_sel, ref_t, alphas, aaccs, norms, ts),
+                               reverse=True)
+    # (p,j)->pdf projection as ONE big GEMM after the scan (see
+    # bigram_occupancies_from): per-iteration [B, num_pdfs] outputs made
+    # the backward latency-bound
+    grads = (contribs.reshape(t_len * b, P * J) @ g.onehot
+             ).reshape(t_len, b, g.num_pdfs)
     return (ct[:, None, None] * jnp.swapaxes(grads, 0, 1), None, None)
 
 
