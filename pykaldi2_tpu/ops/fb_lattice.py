@@ -161,6 +161,17 @@ def pad_time_sync(lat: TimeSyncLattice, k: int, a: int,
 _seg_sum_slots = _seg_sum_b
 
 
+def _obs_arcs_ts(obs, lat: TimeSyncLattice):
+    """[B, T, num_pdfs] → per-arc obs [T, B, A] once, OUTSIDE the scans.
+
+    Per-step take_along_axis from the full [B, num_pdfs] frame reads the
+    whole observation row from HBM every sequential iteration; one
+    vectorized gather here shrinks each step's traffic num_pdfs/A-fold
+    (same fix as ops/fb_bigram._gather_obs — measured 5.4x on the bigram
+    fwd+grad)."""
+    return jnp.swapaxes(jnp.take_along_axis(obs, lat.pdf, axis=2), 0, 1)
+
+
 def _alpha0_ts(lat: TimeSyncLattice, b, like):
     a = jnp.full((b, lat.num_slots), NEG_INF, jnp.float32).at[:, 0].set(0.0)
     return a + 0.0 * jnp.sum(like * 0.0)
@@ -172,9 +183,9 @@ def _logz_fwd_ts(obs, lat: TimeSyncLattice, num_frames):
 
     def step(carry, inp):
         alpha, norm = carry
-        obs_t, src_t, dst_t, pdf_t, w_t, t = inp
+        obs_arc, src_t, dst_t, w_t, t = inp
         score = (jnp.take_along_axis(alpha, src_t, axis=1) + w_t
-                 + jnp.take_along_axis(obs_t, pdf_t, axis=1))        # [B, A]
+                 + obs_arc)                                          # [B, A]
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
         summed = _seg_sum_slots(lin, dst_t, k)
@@ -190,9 +201,9 @@ def _logz_fwd_ts(obs, lat: TimeSyncLattice, num_frames):
         return (alpha, norm), (alpha, norm)
 
     alpha0 = _alpha0_ts(lat, b, obs)
-    xs = (jnp.swapaxes(obs, 0, 1),
+    xs = (_obs_arcs_ts(obs, lat),
           jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
-          jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
+          jnp.swapaxes(lat.weight, 0, 1),
           jnp.arange(t_len))
     (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
         step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), xs)
@@ -228,8 +239,7 @@ def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
 
     def step(carry, inp):
         beta, bnorm = carry
-        obs_t, src_t, dst_t, pdf_t, w_t, a_prev, an_prev, t = inp
-        obs_arc = jnp.take_along_axis(obs_t, pdf_t, axis=1)
+        obs_arc, src_t, dst_t, w_t, a_prev, an_prev, t = inp
         score = w_t + obs_arc + jnp.take_along_axis(beta, dst_t, axis=1)
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
@@ -246,16 +256,22 @@ def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
         gamma_arc = jnp.exp(jnp.minimum(log_gamma, 0.0))
         active = (t < num_frames)[:, None]
         gamma_arc = jnp.where(active, gamma_arc, 0.0)
-        gamma_t = _seg_sum_slots(gamma_arc, pdf_t, p_dim)
         beta = jnp.where(active, new_beta_n, beta)
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
-        return (beta, bnorm), gamma_t
+        return (beta, bnorm), gamma_arc
 
-    xs = (jnp.swapaxes(obs, 0, 1),
+    xs = (_obs_arcs_ts(obs, lat),
           jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
-          jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
+          jnp.swapaxes(lat.weight, 0, 1),
           alpha_prev, anorm_prev, jnp.arange(t_len))
-    _, gammas = jax.lax.scan(step, (beta0, bnorm0), xs, reverse=True)
+    _, gammas_arc = jax.lax.scan(step, (beta0, bnorm0), xs, reverse=True)
+    # arc→pdf scatter as ONE batched segment-sum after the scan (parallel
+    # in T) instead of a per-iteration [B, num_pdfs] scatter + HBM write
+    a_dim = gammas_arc.shape[2]
+    gammas = _seg_sum_slots(
+        gammas_arc.reshape(t_len * b, a_dim),
+        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
+        p_dim).reshape(t_len, b, p_dim)
     return jnp.swapaxes(gammas, 0, 1)
 
 
@@ -327,9 +343,9 @@ def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level, pdf_to_phone
 
     def step(carry, inp):
         alpha, aacc, norm = carry
-        obs_t, ref_t, src_t, dst_t, pdf_t, w_t, t = inp
+        obs_arc, ref_t, src_t, dst_t, pdf_t, w_t, t = inp
         score = (jnp.take_along_axis(alpha, src_t, axis=1) + w_t
-                 + jnp.take_along_axis(obs_t, pdf_t, axis=1))
+                 + obs_arc)
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
         arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone)
@@ -349,7 +365,7 @@ def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level, pdf_to_phone
         norm = jnp.where(active[:, 0], new_norm, norm)
         return (alpha, aacc, norm), (alpha, aacc, norm)
 
-    xs = (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
+    xs = (_obs_arcs_ts(obs, lat), jnp.swapaxes(ref, 0, 1),
           jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
           jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
           jnp.arange(t_len))
@@ -380,9 +396,8 @@ def _smbr_ts_bwd(level, res, ct):
 
     def step(carry, inp):
         beta, bacc, bnorm = carry
-        obs_t, ref_t, src_t, dst_t, pdf_t, w_t, a_prev, aa_prev, an_prev, t = inp
+        obs_arc, ref_t, src_t, dst_t, pdf_t, w_t, a_prev, aa_prev, an_prev, t = inp
         arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone)
-        obs_arc = jnp.take_along_axis(obs_t, pdf_t, axis=1)
         beta_dst = jnp.take_along_axis(beta, dst_t, axis=1)
         log_gamma = (jnp.take_along_axis(a_prev, src_t, axis=1) + an_prev[:, None]
                      + w_t + obs_arc + beta_dst + bnorm[:, None] - logz[:, None])
@@ -392,7 +407,6 @@ def _smbr_ts_bwd(level, res, ct):
         contrib = gamma * (c_arc - f[:, None])
         active = (t < num_frames)[:, None]
         contrib = jnp.where(active, contrib, 0.0)
-        grad_t = _seg_sum_slots(contrib, pdf_t, p_dim)
         score = w_t + obs_arc + beta_dst
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
@@ -409,13 +423,19 @@ def _smbr_ts_bwd(level, res, ct):
         beta = jnp.where(active, new_beta_n, beta)
         bacc = jnp.where(active, new_bacc, bacc)
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
-        return (beta, bacc, bnorm), grad_t
+        return (beta, bacc, bnorm), contrib
 
-    xs = (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
+    xs = (_obs_arcs_ts(obs, lat), jnp.swapaxes(ref, 0, 1),
           jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
           jnp.swapaxes(lat.pdf, 0, 1), jnp.swapaxes(lat.weight, 0, 1),
           alpha_prev, aacc_prev, anorm_prev, jnp.arange(t_len))
-    _, grads = jax.lax.scan(step, (beta0, bacc0, bnorm0), xs, reverse=True)
+    _, contribs = jax.lax.scan(step, (beta0, bacc0, bnorm0), xs, reverse=True)
+    # arc→pdf scatter hoisted out of the scan (see _occupancies_ts)
+    a_dim = contribs.shape[2]
+    grads = _seg_sum_slots(
+        contribs.reshape(t_len * b, a_dim),
+        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
+        p_dim).reshape(t_len, b, p_dim)
     return (ct[:, None, None] * jnp.swapaxes(grads, 0, 1), None, None, None, None)
 
 
