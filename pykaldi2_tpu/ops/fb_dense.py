@@ -153,15 +153,25 @@ def fsa_logz_dense(obs: jax.Array, graph: DenseStateGraph, num_frames: jax.Array
     return logz
 
 
+def _gather_obs_d(obs, g: DenseStateGraph):
+    """[B, T, num_pdfs] → per-state obs [T, B, S] once, OUTSIDE the scans.
+
+    The per-step jnp.take from the full [B, num_pdfs] frame reads the whole
+    observation row from HBM every sequential iteration (same fix as
+    fb_bigram._gather_obs / fb_lattice._obs_arcs_ts).  Costs a transient
+    [T, B, S] buffer — bounded by pack_graph_auto's 16k-state cap, and the
+    forward already stacks [T, B, S] alphas of the same size."""
+    return jnp.swapaxes(obs[:, :, g.state_pdf], 0, 1)
+
+
 def _logz_fwd_scan_d(obs, g: DenseStateGraph, num_frames):
     b, t_len, _p = obs.shape
     alpha0 = _alpha_init_d(g, b, obs)
 
     def step(carry, inp):
         alpha, norm = carry
-        obs_t, t = inp
-        new_alpha = (_log_matvec(alpha, g.w_exp)
-                     + jnp.take(obs_t, g.state_pdf, axis=1))
+        obs_s, t = inp
+        new_alpha = _log_matvec(alpha, g.w_exp) + obs_s
         m2 = jnp.max(new_alpha, axis=1, keepdims=True)
         m2 = jnp.maximum(m2, NEG_INF)
         new_alpha = new_alpha - m2
@@ -171,10 +181,10 @@ def _logz_fwd_scan_d(obs, g: DenseStateGraph, num_frames):
         norm = jnp.where(active[:, 0], new_norm, norm)
         return (alpha, norm), (alpha, norm)
 
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_s = _gather_obs_d(obs, g)
     ts = jnp.arange(t_len)
     (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
-        step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), (obs_t, ts))
+        step, (alpha0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]), (obs_s, ts))
     total = alpha_T + g.final[None, :]
     logz = jax.nn.logsumexp(jnp.maximum(total, NEG_INF), axis=1) + norm_T
     return logz, (alphas, norms)
@@ -201,18 +211,15 @@ def _occupancies_d(obs, g: DenseStateGraph, num_frames, logz, alphas, norms):
 
     def step(carry, inp):
         beta, bnorm = carry
-        obs_t, alpha_t, anorm_t, t = inp
+        obs_s, alpha_t, anorm_t, t = inp
         # state posterior at frame t: alpha (through t) · beta (after t)
         log_gamma = (alpha_t + anorm_t[:, None] + beta + bnorm[:, None]
                      - logz[:, None])
         gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
         active = (t < num_frames)[:, None]
         gamma_s = jnp.where(active, gamma_s, 0.0)
-        gamma_t = jax.vmap(
-            lambda row: jax.ops.segment_sum(row, g.state_pdf, num_segments=p_dim)
-        )(gamma_s)
         # beta recursion: beta'[s] = lse_d(w(s→d) + obs_t[pdf(d)] + beta[d])
-        y = jnp.take(obs_t, g.state_pdf, axis=1) + beta
+        y = obs_s + beta
         m = jnp.max(y, axis=1, keepdims=True)
         m = jnp.maximum(m, NEG_INF)
         new_beta = _log_matvec(y - m, w_exp_t) + m
@@ -222,12 +229,18 @@ def _occupancies_d(obs, g: DenseStateGraph, num_frames, logz, alphas, norms):
         new_bnorm = bnorm + m2[:, 0]
         beta = jnp.where(active, new_beta_n, beta)
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
-        return (beta, bnorm), gamma_t
+        return (beta, bnorm), gamma_s
 
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_s = _gather_obs_d(obs, g)
     ts = jnp.arange(t_len)
-    _, gammas = jax.lax.scan(
-        step, (beta0, bnorm0), (obs_t, alphas, norms, ts), reverse=True)
+    _, gammas_s = jax.lax.scan(
+        step, (beta0, bnorm0), (obs_s, alphas, norms, ts), reverse=True)
+    # state→pdf scatter as ONE batched segment-sum after the scan (parallel
+    # in T) instead of a per-iteration [B, num_pdfs] scatter + HBM write
+    s_dim = gammas_s.shape[2]
+    gammas = jax.vmap(
+        lambda row: jax.ops.segment_sum(row, g.state_pdf, num_segments=p_dim)
+    )(gammas_s.reshape(t_len * b, s_dim)).reshape(t_len, b, p_dim)
     return jnp.swapaxes(gammas, 0, 1)
 
 
@@ -278,14 +291,14 @@ def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level):
 
     def step(carry, inp):
         alpha, aacc, norm = carry
-        obs_t, ref_t, t = inp
+        obs_s, ref_t, t = inp
         ea = jnp.exp(jnp.maximum(alpha, NEG_INF))
         denom = jnp.dot(ea, g.w_exp, precision=_gemm_precision())
         numer = jnp.dot(ea * aacc, g.w_exp, precision=_gemm_precision())
         a_t = (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
         new_alpha = (jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)),
                                NEG_INF)
-                     + jnp.take(obs_t, g.state_pdf, axis=1))
+                     + obs_s)
         new_acc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0), 0.0) + a_t
         m2 = jnp.max(new_alpha, axis=1, keepdims=True)
         m2 = jnp.maximum(m2, NEG_INF)
@@ -297,12 +310,12 @@ def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level):
         norm = jnp.where(active[:, 0], new_norm, norm)
         return (alpha, aacc, norm), (alpha, aacc, norm)
 
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_s = _gather_obs_d(obs, g)
     ref_t = jnp.swapaxes(ref, 0, 1)
     ts = jnp.arange(t_len)
     (alpha_T, acc_T, norm_T), (alphas, aaccs, norms) = jax.lax.scan(
         step, (alpha0, acc0, jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]),
-        (obs_t, ref_t, ts))
+        (obs_s, ref_t, ts))
     total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
     w = jax.nn.softmax(total, axis=1)
     f = jnp.sum(w * acc_T, axis=1)
@@ -328,7 +341,7 @@ def _smbr_dense_bwd(graph, level, res, ct):
 
     def step(carry, inp):
         beta, bacc, bnorm = carry
-        obs_t, ref_t, alpha_t, aacc_t, anorm_t, t = inp
+        obs_s, ref_t, alpha_t, aacc_t, anorm_t, t = inp
         # gradient at frame t: gamma_state · (E[acc through t] + E[acc after t] − F)
         log_gamma = (alpha_t + anorm_t[:, None] + beta + bnorm[:, None]
                      - logz[:, None])
@@ -336,12 +349,9 @@ def _smbr_dense_bwd(graph, level, res, ct):
         active = (t < num_frames)[:, None]
         gamma_s = jnp.where(active, gamma_s, 0.0)
         contrib = gamma_s * (aacc_t + bacc - f[:, None])
-        grad_t = jax.vmap(
-            lambda row: jax.ops.segment_sum(row, g.state_pdf, num_segments=p_dim)
-        )(contrib)
         # beta/bacc recursion for frame t
         a_t = (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
-        y_log = jnp.take(obs_t, g.state_pdf, axis=1) + beta
+        y_log = obs_s + beta
         m = jnp.maximum(jnp.max(y_log, axis=1, keepdims=True), NEG_INF)
         y = jnp.exp(y_log - m)
         denom = jnp.dot(y, w_exp_t, precision=_gemm_precision())
@@ -355,14 +365,20 @@ def _smbr_dense_bwd(graph, level, res, ct):
         beta = jnp.where(active, new_beta_n, beta)
         bacc = jnp.where(active, new_bacc, bacc)
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
-        return (beta, bacc, bnorm), grad_t
+        return (beta, bacc, bnorm), contrib
 
-    obs_t = jnp.swapaxes(obs, 0, 1)
+    obs_s = _gather_obs_d(obs, g)
     ref_t = jnp.swapaxes(ref, 0, 1)
     ts = jnp.arange(t_len)
-    _, grads = jax.lax.scan(
+    _, contribs = jax.lax.scan(
         step, (beta0, bacc0, bnorm0),
-        (obs_t, ref_t, alphas, aaccs, norms, ts), reverse=True)
+        (obs_s, ref_t, alphas, aaccs, norms, ts), reverse=True)
+    # state→pdf scatter as ONE batched segment-sum after the scan (see
+    # _occupancies_d)
+    s_dim = contribs.shape[2]
+    grads = jax.vmap(
+        lambda row: jax.ops.segment_sum(row, g.state_pdf, num_segments=p_dim)
+    )(contribs.reshape(t_len * b, s_dim)).reshape(t_len, b, p_dim)
     grad = jnp.swapaxes(grads, 0, 1)
     return (ct[:, None, None] * grad, None, None)
 
