@@ -42,7 +42,7 @@ MEASURE_STEPS = 30
 # can't silently lose the Pallas/structured-kernel wins
 CHECK_FLOORS = {
     "ce": 350.0,       # 4x1024 LSTM CE, B=128 (measured ~410 r1)
-    "mmi": 260.0,      # structured bigram den, B=64, T=400 (measured ~293 r2:
+    "mmi": 300.0,      # structured bigram den, B=128, T=400 (measured ~334 r2:
                        # gather/GEMM hoisted out of the FB scan bodies)
     "blstm": 125.0,    # 4x1024 BLSTM CE, B=64 (measured ~140 r1)
     "blstmp": 195.0,   # 4x1024/512 BLSTMP CE, B=64, proj Pallas kernel (~226 r2)
@@ -164,8 +164,11 @@ def _measure_ce(model_type: str, batch_size: int, proj_size: int = 0,
     return frames_per_sec / FRAMES_PER_UTT
 
 
-def _measure_mmi(batch_size: int = 64, t_len: int = 400) -> float:
-    """Round-1 MMI workload: whole utterances, structured bigram den graph."""
+def _measure_mmi(batch_size: int = 128, t_len: int = 400) -> float:
+    """Round-1 MMI workload: whole utterances, structured bigram den graph.
+
+    B=128 default since round 2's FB hoisting: the bigram kernels no longer
+    bound the step, so MMI batches like CE (334 utt/s vs 293 at B=64)."""
     import jax
 
     from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
