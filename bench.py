@@ -44,6 +44,7 @@ CHECK_FLOORS = {
     "ce": 350.0,       # 4x1024 LSTM CE, B=128 (measured ~410 r1)
     "mmi": 300.0,      # structured bigram den, B=128, T=400 (measured ~334 r2:
                        # gather/GEMM hoisted out of the FB scan bodies)
+    "smbr": 320.0,     # bigram expected-accuracy kernels, B=128 (measured ~358 r2)
     "blstm": 125.0,    # 4x1024 BLSTM CE, B=64 (measured ~140 r1)
     "blstmp": 195.0,   # 4x1024/512 BLSTMP CE, B=64, proj Pallas kernel (~226 r2)
     # mesh-mode CE (shard_map over the local chips): same math as "ce" but
@@ -95,6 +96,7 @@ def _dispatch(args):
         "blstm": _measure_ce("blstm", 64),
         "blstmp": _measure_ce("blstm", 64, proj_size=512),
         "mmi": _measure_mmi(),
+        "smbr": _measure_mmi(criterion="smbr"),
     }
     ok = True
     for name, got in results.items():
@@ -164,7 +166,8 @@ def _measure_ce(model_type: str, batch_size: int, proj_size: int = 0,
     return frames_per_sec / FRAMES_PER_UTT
 
 
-def _measure_mmi(batch_size: int = 128, t_len: int = 400) -> float:
+def _measure_mmi(batch_size: int = 128, t_len: int = 400,
+                 criterion: str = "mmi") -> float:
     """Round-1 MMI workload: whole utterances, structured bigram den graph.
 
     B=128 default since round 2's FB hoisting: the bigram kernels no longer
@@ -199,7 +202,7 @@ def _measure_mmi(batch_size: int = 128, t_len: int = 400) -> float:
     opt = make_optimizer(OptimizerConfig(type="momentum", momentum=0.9, lr=1e-4))
     params = model.init(jax.random.PRNGKey(0))
     opt_state = opt.init(params)
-    step = make_se_train_step(model, feat_fn, opt, den, "mmi", mesh=None,
+    step = make_se_train_step(model, feat_fn, opt, den, criterion, mesh=None,
                               acoustic_scale=0.1, ce_ratio=0.1)
 
     fo = feat_cfg.fbank.frame_opts
