@@ -88,9 +88,24 @@ def main(argv=None):
                         "(Kaldi lattice-to-ctm-conf); implies -mbr")
     p.add_argument("-frame_shift", type=float, default=0.01,
                    help="seconds per frame for -ctm_out times")
+    p.add_argument("-lm_scale_sweep", default=None,
+                   help="'lo:hi[:step]' — score the lattices at each LM "
+                        "(graph) scale and report WER per scale + the best "
+                        "(Kaldi scoring-script lmwt sweep); needs -ref")
     args = p.parse_args(argv)
     if args.ctm_out:
         args.mbr = True
+    sweep_scales = []
+    if args.lm_scale_sweep:
+        parts = [float(x) for x in args.lm_scale_sweep.split(":")]
+        lo, hi = parts[0], parts[1]
+        step_sz = parts[2] if len(parts) > 2 else 1.0
+        s = lo
+        while s <= hi + 1e-9:
+            sweep_scales.append(round(s, 6))
+            s += step_sz
+        if not args.ref:
+            raise SystemExit("-lm_scale_sweep needs -ref to score")
 
     log = setup_logging(None)
     cfg = load_config(args.config)
@@ -119,7 +134,7 @@ def main(argv=None):
     decoders = []
     n_threads = max(args.num_threads, 1)
     lattice_mode = bool(args.lattice_out or args.nbest or args.oracle
-                        or args.mbr)
+                        or args.mbr or sweep_scales)
     if lattice_mode and args.on_device:
         raise SystemExit("-lattice_out/-nbest/-oracle/-mbr need the host "
                          "lattice decoder; drop -on_device")
@@ -156,6 +171,7 @@ def main(argv=None):
     hyps = {}
     word_fsts = {}
     mbr_results = {}
+    sweep_hyps = {}
     dump = None
     if args.dump_ark:
         from pykaldi2_tpu.data.kaldi_io import ArkWriter
@@ -191,10 +207,22 @@ def main(argv=None):
 
                     lat, frames, _sc = dec.decode_lattice(obs[i, : nf[i]],
                                                           with_frames=True)
-                    if args.lattice_out or args.nbest or args.oracle:
+                    wf = None
+                    if args.lattice_out or args.nbest or args.oracle \
+                            or not args.mbr:
                         wf = lattice_word_fst(lat, loglikes=obs[i, : nf[i]],
                                               frames=frames, acoustic_scale=1.0)
-                        word_fsts[uid] = wf
+                        if args.lattice_out or args.nbest or args.oracle:
+                            word_fsts[uid] = wf
+                    if sweep_scales:
+                        per_scale = {}
+                        for s in sweep_scales:
+                            wf_s = lattice_word_fst(
+                                lat, loglikes=obs[i, : nf[i]], frames=frames,
+                                acoustic_scale=1.0, graph_scale=s)
+                            ws, _ = best_path(wf_s)
+                            per_scale[s] = [id2w.get(w, f"<{w}>") for w in ws]
+                        sweep_hyps[uid] = per_scale
                     if args.mbr:
                         from pykaldi2_tpu.decode.mbr import (
                             lattice_word_fst_timed, mbr_decode)
@@ -285,6 +313,17 @@ def main(argv=None):
             if o_len:
                 print(f"%Oracle WER {100.0 * o_err / o_len:.2f} "
                       f"[ {o_err} / {o_len} ]")
+        if sweep_scales:
+            # Kaldi scoring-script lmwt sweep: WER per LM scale, best last
+            best = None
+            for s in sweep_scales:
+                hs = {u: per[s] for u, per in sweep_hyps.items()}
+                r = score_corpus(refs, hs)
+                print(f"lm_scale {s:g}: %WER {r['wer']:.2f} "
+                      f"[ {r['errors']} / {r['ref_len']} ]")
+                if best is None or r["wer"] < best[1]:
+                    best = (s, r["wer"])
+            print(f"best lm_scale {best[0]:g}: %WER {best[1]:.2f}")
     return 0
 
 

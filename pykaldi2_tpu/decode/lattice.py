@@ -35,6 +35,7 @@ def lattice_word_fst(
     loglikes: Optional[np.ndarray] = None,
     frames: Optional[np.ndarray] = None,
     acoustic_scale: float = 1.0,
+    graph_scale: float = 1.0,
 ) -> Fst:
     """Project a decoded lattice onto its word labels (epsilon-free acceptor).
 
@@ -42,6 +43,11 @@ def lattice_word_fst(
     into the arc weights (``decode_lattice(with_frames=True)`` provides
     frames); omit both to keep graph scores only. The lattice is acyclic, so
     the epsilon removal is exact.
+
+    ``graph_scale`` multiplies the lattice's graph (LM+transition) scores
+    before folding — the decoder lattice keeps graph and acoustic scores
+    separate, so Kaldi's ``lattice-scale --lm-scale`` / scoring-time LM
+    weight sweeps are a re-fold per scale, no re-decode.
     """
     if lat.olabel is None:
         raise ValueError("lattice has no word labels (olabel is None)")
@@ -49,7 +55,7 @@ def lattice_word_fst(
     for _ in range(lat.num_states):
         f.add_state()
     f.set_start(lat.start)
-    w = lat.weight.astype(np.float64).copy()
+    w = graph_scale * lat.weight.astype(np.float64)
     if loglikes is not None:
         if frames is None:
             raise ValueError("need per-state frames to fold acoustic scores")
@@ -60,7 +66,7 @@ def lattice_word_fst(
         f.add_arc(int(lat.src[e]), lab, lab, float(w[e]), int(lat.dst[e]))
     for s in range(lat.num_states):
         if np.isfinite(lat.final[s]):
-            f.set_final(s, float(lat.final[s]))
+            f.set_final(s, float(lat.final[s]) * graph_scale)
     return f.remove_input_epsilons().connect()
 
 

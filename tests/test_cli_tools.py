@@ -182,6 +182,21 @@ def test_decode_cli_with_dump_ark(tmp_path):
     for line in open(hyp3):
         assert _collapse(line) == h_best[line.split()[0]]
 
+    # LM-scale sweep (Kaldi scoring lmwt sweep): per-scale WER + a best pick
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert dec(["-config", cp, "-data", dp, "-model", ckpt,
+                    "-graph", g_out, "-words", w_out, "-ref", ref,
+                    "-acoustic_scale", "1.0",
+                    "-lm_scale_sweep", "0.5:2.0:0.5"]) == 0
+    out_text = buf.getvalue()
+    assert len([l for l in out_text.splitlines()
+                if l.startswith("lm_scale ")]) == 4
+    assert "best lm_scale " in out_text
+
 
 def test_tdnn_and_transformer_training(tmp_path):
     paths = make_toy_corpus(str(tmp_path), num_utts=6, num_pdfs=4, seed=17)
