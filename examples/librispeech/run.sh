@@ -68,4 +68,9 @@ if [ "$stage" -le 5 ]; then
   #                -words exp/words.txt -nbest 10 -nbest_out exp/dev_clean.nbest
   #   rescoring: ... -arpa_old lm.arpa -arpa_new lm4.arpa -lm_scale 1.0 \
   #                -rescored_out exp/dev_clean.lat4.ark -ref data/dev_clean/text
+  #   consensus: add -mbr -ctm_out exp/dev_clean.ctm to the decode above
+  #              (MBR transcripts + per-word confidences/times)
+  #   lm sweep:  add -lm_scale_sweep 5:17 to the decode above (WER per LM
+  #              weight, Kaldi scoring-script style; no re-decode)
+  #   pruning:   lattice_tool ... -prune_beam 4 -pruned_out exp/dev_clean.latp.ark
 fi
