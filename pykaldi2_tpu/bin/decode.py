@@ -66,6 +66,8 @@ def main(argv=None):
     p.add_argument("-dump_ark", default=None,
                    help="also dump scaled pseudo-log-likelihood matrices to this "
                         "ark (+.scp) for external/Kaldi decoders")
+    p.add_argument("-compress", action="store_true",
+                   help="compress -dump_ark records (Kaldi CompressedMatrix)")
     p.add_argument("-lattice_beam", type=float, default=8.0,
                    help="lattice pruning beam (lattice modes only)")
     p.add_argument("-lattice_out", default=None,
@@ -176,7 +178,8 @@ def main(argv=None):
     if args.dump_ark:
         from pykaldi2_tpu.data.kaldi_io import ArkWriter
 
-        dump = ArkWriter(args.dump_ark, args.dump_ark + ".scp", kind="mat")
+        dump = ArkWriter(args.dump_ark, args.dump_ark + ".scp",
+                         kind="cmat" if args.compress else "mat")
     loader = SeqDataloader(dataset, BucketSpec(boundaries=(200, 400, 800, 1600, 3200),
                                                batch_sizes=8), shuffle=False,
                            extras_fn=(feat_fn.batch_extras

@@ -158,7 +158,18 @@ def main(argv=None):
     if args.nbest:
         f = open(args.nbest_out, "w") if args.nbest_out else sys.stdout
         for uid in sorted(lats):
-            for k, (ws, score) in enumerate(nbest(lats[uid], args.nbest)):
+            lat = lats[uid]
+            try:
+                entries = nbest(lat, args.nbest)
+            except ValueError:
+                # external Kaldi lattices can carry word-0 (eps) silence
+                # arcs; unique N-best needs an eps-free acceptor
+                try:
+                    entries = nbest(lat.remove_input_epsilons(), args.nbest)
+                except ValueError as e:
+                    log.warning("nbest failed for %s: %s", uid, e)
+                    continue
+            for k, (ws, score) in enumerate(entries):
                 text = " ".join(id2w.get(w, f"<{w}>") for w in ws)
                 f.write(f"{uid}-{k + 1} {score:.4f} {text}\n")
         if args.nbest_out:

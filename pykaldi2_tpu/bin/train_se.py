@@ -87,6 +87,12 @@ def build_argparser():
     p.add_argument("-generic_den", action="store_true",
                    help="force the generic arc-table den kernels instead of "
                         "the structured bigram kernels (mmi hot path)")
+    p.add_argument("-silence_phones", default=None,
+                   help="colon-separated silence phone ids (Kaldi "
+                        "MpeVariants accuracy rules for smbr/mpfe; ignored "
+                        "for mmi, as in Kaldi)")
+    p.add_argument("-one_silence_class", action="store_true",
+                   help="collapse all silence phones into one accuracy class")
     return p
 
 
@@ -133,6 +139,11 @@ def main(argv=None):
             setattr(cfg.trainer, name, getattr(args, name))
     if args.no_drop_frames:
         cfg.trainer.drop_frames = False
+    if args.silence_phones is not None:
+        cfg.trainer.silence_phones = tuple(
+            int(x) for x in args.silence_phones.split(":") if x)
+    if args.one_silence_class:
+        cfg.trainer.one_silence_class = True
     cfg.trainer.exp_dir = args.exp_dir
 
     if args.multihost and not jax.distributed.is_initialized():
@@ -157,6 +168,24 @@ def main(argv=None):
     if cfg.model.output_size < tm.num_pdfs:
         raise SystemExit(f"model output {cfg.model.output_size} < num pdfs {tm.num_pdfs}")
     crit = {"mpe": "mpfe"}.get(cfg.trainer.criterion, cfg.trainer.criterion)
+    silence = None
+    if cfg.trainer.silence_phones:
+        from pykaldi2_tpu.ops.fb import make_silence_opts
+
+        unknown = [p for p in cfg.trainer.silence_phones
+                   if p not in set(tm.topo.phones)]
+        if unknown:
+            raise SystemExit(f"silence_phones {unknown} not in the "
+                             f"transition model's phone set")
+        silence = make_silence_opts(tm, cfg.trainer.silence_phones,
+                                    cfg.trainer.one_silence_class)
+        if crit == "mmi":
+            log.warning("silence_phones is ignored for mmi (Kaldi "
+                        "LatticeForwardBackwardMmi has no silence handling)")
+        else:
+            log.info("silence phones %s (one_silence_class=%s)",
+                     sorted(cfg.trainer.silence_phones),
+                     cfg.trainer.one_silence_class)
     den_packed = None
     if (not args.generic_den and not args.on_the_fly
             and not (args.den_graph or cfg.trainer.den_graph)):
@@ -220,12 +249,13 @@ def main(argv=None):
                                optimizer, tm, den, pdf_to_phone, log_prior,
                                params, opt_state, start_epoch, key,
                                resume_meta=resume_meta, crit=crit, mesh=mesh,
-                               extras_fn=extras_fn)
+                               extras_fn=extras_fn, silence=silence)
     step = make_se_train_step(
         model, feat_fn, optimizer, den_packed, crit, mesh,
         log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
         den_scale=cfg.trainer.den_scale, drop_frames=cfg.trainer.drop_frames,
         ce_ratio=cfg.trainer.ce_ratio, pdf_to_phone=pdf_to_phone,
+        silence=silence,
     )
     sharding = None if mesh is None else local_batch_sharding(mesh)
     annealer = PlateauAnnealer(cfg.optimizer.anneal_factor, cfg.optimizer.anneal_patience)
@@ -276,7 +306,8 @@ def main(argv=None):
 def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                     optimizer, tm, den, pdf_to_phone, log_prior,
                     params, opt_state, start_epoch, key,
-                    resume_meta=None, crit="mmi", mesh=None, extras_fn=None):
+                    resume_meta=None, crit="mmi", mesh=None, extras_fn=None,
+                    silence=None):
     """Reference train_se semantics: per-utterance denominator lattices
     decoded on the host per batch, forward-backward on device.
 
@@ -331,7 +362,7 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         log_prior=log_prior, acoustic_scale=cfg.trainer.acoustic_scale,
         den_scale=cfg.trainer.den_scale, drop_frames=cfg.trainer.drop_frames,
         ce_ratio=cfg.trainer.ce_ratio, criterion=crit,
-        pdf_to_phone=pdf_to_phone, mesh=mesh,
+        pdf_to_phone=pdf_to_phone, silence=silence, mesh=mesh,
         obs_transfer_dtype=args.obs_transfer)
 
     import jax

@@ -253,7 +253,11 @@ class TrainerConfig:
     den_scale: float = 1.0
     drop_frames: bool = True
     ce_ratio: float = 0.1         # CE smoothing weight for SE (f-smoothing)
+    # Kaldi MpeVariants silence handling (sMBR/MPE accuracy): silence frames
+    # never score correct; with one_silence_class all silence phones count
+    # as one class (silence-vs-silence is correct)
     silence_phones: tuple = ()
+    one_silence_class: bool = False
     # sequence-mode bucket inventory (SeqDataloader): max frame counts
     bucket_boundaries: tuple = (200, 400, 800, 1600)
     # lattice decode opts for on-the-fly denominator mode

@@ -106,21 +106,70 @@ def _read_compressed_matrix(f, tok: str) -> np.ndarray:
 
 
 def write_compressed_matrix(f, mat: np.ndarray, fmt: str = "CM2"):
-    """Write CM2/CM3 (uniform quantization) — round-trips with read_matrix."""
+    """Write a Kaldi CompressedMatrix — round-trips with read_matrix.
+
+    fmt: "CM" (percentile-coded u8 per element + per-column headers — what
+    Kaldi's default ``--compress=true`` feature pipelines emit for feature
+    matrices), "CM2" (u16 uniform), "CM3" (u8 uniform), or "auto" (Kaldi's
+    kAutomaticMethod: CM when rows > 8, else CM2). CM semantics transcribed
+    from kaldi/src/matrix/compressed-matrix.cc (ComputeColHeader /
+    FloatToChar, including the percentile monotonicity clamps and the
+    fewer-than-5-rows branch).
+    """
     mat = np.asarray(mat, np.float64)
     rows, cols = mat.shape
+    if fmt == "auto":
+        fmt = "CM" if rows > 8 else "CM2"
     min_v = float(mat.min())
-    rng = float(max(mat.max() - min_v, 1e-10))
+    rng = float(mat.max()) - min_v
+    if rng <= 0.0:
+        rng = 1e-5 if fmt == "CM" else 1e-10
     f.write(fmt.encode() + b" ")
     f.write(struct.pack("<ffii", min_v, rng, rows, cols))
     if fmt == "CM2":
         u = np.clip(np.rint((mat - min_v) * (65535.0 / rng)), 0, 65535).astype("<u2")
         f.write(u.tobytes())
-    elif fmt == "CM3":
+        return
+    if fmt == "CM3":
         u = np.clip(np.rint((mat - min_v) * (255.0 / rng)), 0, 255).astype(np.uint8)
         f.write(u.tobytes())
-    else:
-        raise ValueError("write supports CM2/CM3 (CM percentile coding is read-only)")
+        return
+    if fmt != "CM":
+        raise ValueError(f"unknown compressed format {fmt!r}")
+
+    def ftu(vals):  # FloatToUint16: truncating +0.499 round, clamped [0,1]
+        frac = np.clip((vals - min_v) / rng, 0.0, 1.0)
+        return (frac * 65535 + 0.499).astype(np.int64)
+
+    sdata = np.sort(mat, axis=0)                              # [rows, cols]
+    if rows >= 5:
+        q = rows // 4
+        u0 = np.minimum(ftu(sdata[0]), 65532)
+        u25 = np.minimum(np.maximum(ftu(sdata[q]), u0 + 1), 65533)
+        u75 = np.minimum(np.maximum(ftu(sdata[3 * q]), u25 + 1), 65534)
+        u100 = np.maximum(ftu(sdata[rows - 1]), u75 + 1)
+    else:  # fewer than 5 rows: use what exists, keep monotone (Kaldi branch)
+        u0 = np.minimum(ftu(sdata[0]), 65532)
+        u25 = np.minimum(np.maximum(
+            ftu(sdata[1]) if rows > 1 else u0 + 1, u0 + 1), 65533)
+        u75 = np.minimum(np.maximum(
+            ftu(sdata[2]) if rows > 2 else u25 + 1, u25 + 1), 65534)
+        u100 = np.maximum(ftu(sdata[3]) if rows > 3 else u75 + 1, u75 + 1)
+    heads = np.stack([u0, u25, u75, u100], axis=1).astype("<u2")   # [cols, 4]
+    f.write(heads.tobytes())
+    # per-column decode anchors (Uint16ToFloat), then piecewise-linear encode
+    p = min_v + heads.astype(np.float64) * (rng / 65535.0)         # [cols, 4]
+    p0, p25, p75, p100 = (p[:, i:i + 1] for i in range(4))         # [cols, 1]
+    v = mat.T                                                       # [cols, rows]
+    lo = np.clip(np.floor((v - p0) / (p25 - p0) * 64 + 0.5), 0, 64)
+    mid = np.clip(64 + np.floor((v - p25) / (p75 - p25) * 128 + 0.5), 64, 192)
+    hi = np.clip(192 + np.floor((v - p75) / (p100 - p75) * 63 + 0.5), 192, 255)
+    codes = np.where(v < p25, lo, np.where(v < p75, mid, hi)).astype(np.uint8)
+    f.write(codes.tobytes())
+
+
+def _write_compressed_auto(f, mat: np.ndarray):
+    write_compressed_matrix(f, mat, fmt="auto")
 
 
 def write_vector(f, vec: np.ndarray):
@@ -164,7 +213,8 @@ def read_int_vector(f) -> np.ndarray:
     return np.frombuffer(f.read(4 * n), dtype="<i4").copy()
 
 
-_WRITERS = {"mat": write_matrix, "vec": write_vector, "ivec": write_int_vector}
+_WRITERS = {"mat": write_matrix, "vec": write_vector, "ivec": write_int_vector,
+            "cmat": _write_compressed_auto}
 _READERS = {"mat": read_matrix, "vec": read_vector, "ivec": read_int_vector}
 
 

@@ -281,7 +281,11 @@ def lmrescore(word_fst: Fst, g_old: Optional[Fst], g_new: Fst,
         out = out.compose(neg)
     if lm_scale != 1.0:
         g_new = _scale_fst(g_new, lm_scale)
-    return out.compose(g_new).connect()
+    # Composition with an ARPA G emits eps-labeled arcs for backoff
+    # transitions; fold them away so downstream consumers (unique N-best
+    # needs an eps-free acceptor) keep working. The backoff eps subgraph is
+    # acyclic (backoff strictly lowers the n-gram order), so this is exact.
+    return out.compose(g_new).remove_input_epsilons()
 
 
 def _scale_fst(f: Fst, scale: float) -> Fst:
@@ -372,11 +376,17 @@ def read_lattices_text(path: str) -> Dict[str, Fst]:
                 s, ns, w_lab = int(parts[0]), int(parts[1]), int(parts[2])
                 need(max(s, ns))
                 cur.add_arc(s, w_lab, w_lab, weight_of(parts[3]), ns)
+            elif len(parts) == 3:
+                # 'src dst word' — legal OpenFst/Kaldi text arc with the
+                # weight omitted, meaning Weight::One (zero cost)
+                s, ns, w_lab = int(parts[0]), int(parts[1]), int(parts[2])
+                need(max(s, ns))
+                cur.add_arc(s, w_lab, w_lab, 0.0, ns)
             elif len(parts) == 2:
                 s = int(parts[0])
                 need(s)
                 cur.set_final(s, weight_of(parts[1]))
-            else:
+            else:  # single token: final state with Weight::One
                 s = int(parts[0])
                 need(s)
                 cur.set_final(s, 0.0)

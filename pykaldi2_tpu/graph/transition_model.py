@@ -113,6 +113,31 @@ class TransitionModel:
             out[tid] = self.topo.states_for(p)[j].transitions[k][0] == j
         return out
 
+    def pdf_silence_mask(self, silence_phones: Sequence[int]) -> np.ndarray:
+        """[num_pdfs] bool: pdf belongs to a silence phone.
+
+        Stands in for Kaldi's per-transition-id "phone is silence" test
+        (kaldi/src/lat/lattice-functions.cc MpeVariants; SURVEY.md:234):
+        equivalent whenever silence pdfs are not tree-shared with speech
+        phones, which holds for every tree Kaldi recipes build (silence gets
+        its own roots). A pdf shared across both is conservatively silence.
+        """
+        sil = {int(p) for p in silence_phones}
+        out = np.zeros(self.num_pdfs, bool)
+        for (p, _j, pdf) in self.tuples:
+            if p in sil:
+                out[pdf] = True
+        return out
+
+    def phone_silence_mask(self, silence_phones: Sequence[int]) -> np.ndarray:
+        """[max_phone+1] bool: phone id is a silence phone."""
+        sil = {int(p) for p in silence_phones}
+        out = np.zeros(max(self.topo.phones) + 1, bool)
+        for p in self.topo.phones:
+            if p in sil:
+                out[p] = True
+        return out
+
     def tids_for_state(self, phone: int, hmm_state: int) -> List[int]:
         i = self._tuple_index[(phone, hmm_state)]
         p, j, _ = self.tuples[i]

@@ -22,7 +22,7 @@ normalizer) so fp32 never overflows regardless of T.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -31,6 +31,61 @@ import jax.numpy as jnp
 from pykaldi2_tpu.ops.fsa import DenseFsa
 
 NEG_INF = -1e30
+
+
+class SilenceOpts(NamedTuple):
+    """Kaldi silence-phone handling for the sMBR/MPE frame accuracies.
+
+    Reference behavior: LatticeForwardBackwardMpeVariants
+    (kaldi/src/lat/lattice-functions.cc; SURVEY.md:234). With
+    ``one_silence_class=False`` (the Kaldi default) a frame is correct iff
+    its label matches the reference AND the hypothesis phone is NOT silence;
+    with ``one_silence_class=True`` iff the label matches OR both hypothesis
+    and reference are silence (all silence phones collapse into one class).
+
+    ``sil_pdf`` [num_pdfs] / ``sil_phone`` [max_phone+1] are f32 {0,1}
+    indicators in the label space each accuracy level compares (pdf for
+    sMBR, phone for MPE/MPFE). Build via ``make_silence_opts``. Passed to
+    the kernels as a nondiff argument — construct ONCE per run (arrays hash
+    by identity; a fresh object per step would retrace).
+    """
+
+    sil_pdf: Optional[jax.Array]
+    sil_phone: Optional[jax.Array]
+    one_silence_class: bool = False
+
+
+def make_silence_opts(tm, silence_phones,
+                      one_silence_class: bool = False) -> Optional[SilenceOpts]:
+    """SilenceOpts from a TransitionModel + silence phone ids (None if empty)."""
+    sp = tuple(int(p) for p in (silence_phones or ()))
+    if not sp:
+        return None
+    return SilenceOpts(
+        sil_pdf=jnp.asarray(tm.pdf_silence_mask(sp), jnp.float32),
+        sil_phone=jnp.asarray(tm.phone_silence_mask(sp), jnp.float32),
+        one_silence_class=bool(one_silence_class))
+
+
+def frame_accuracy(lab, ref, level: str, silence: Optional[SilenceOpts]):
+    """Per-frame accuracy of hypothesis labels vs reference labels.
+
+    ``lab``/``ref`` are broadcastable int arrays in the ``level`` label space
+    (pdf or phone). Without ``silence`` this is plain equality; with it, the
+    Kaldi MpeVariants silence rules apply (see SilenceOpts). Shared by all
+    five expected-accuracy kernel families.
+    """
+    match = (lab == ref).astype(jnp.float32)
+    if silence is None:
+        return match
+    tbl = silence.sil_pdf if level == "pdf" else silence.sil_phone
+    if tbl is None:
+        raise ValueError(f"SilenceOpts lacks the {level!r}-level table")
+    hyp_sil = tbl[jnp.maximum(lab, 0)]
+    ref_sil = tbl[jnp.maximum(ref, 0)]
+    if silence.one_silence_class:
+        return jnp.maximum(match, hyp_sil * ref_sil)
+    return match * (1.0 - hyp_sil)
 
 
 class GraphArrays(NamedTuple):
@@ -253,7 +308,7 @@ def fsa_viterbi(obs, graph: GraphArrays, num_frames):
 # ---------------------------------------------------------------------------
 
 
-def _arc_acc(g: GraphArrays, ref_t, level: str):
+def _arc_acc(g: GraphArrays, ref_t, level: str, silence=None):
     """[B, E] per-arc frame accuracy vs reference labels ref_t [B]."""
     if level == "pdf":       # sMBR
         lab = g.pdf
@@ -263,21 +318,24 @@ def _arc_acc(g: GraphArrays, ref_t, level: str):
         lab = g.phone
     else:
         raise ValueError(level)
-    return (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
+    return frame_accuracy(lab[None, :], ref_t[:, None], level, silence)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
-def fsa_expected_accuracy(obs, graph: GraphArrays, ref, num_frames, level: str = "pdf"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def fsa_expected_accuracy(obs, graph: GraphArrays, ref, num_frames,
+                          level: str = "pdf",
+                          silence: Optional[SilenceOpts] = None):
     """E[#correct frames] under the graph posterior: [B].
 
     ref: [B, T] int32 reference pdf (level='pdf') or phone (level='phone') per
-    frame (the numerator alignment, as in Kaldi's sMBR/MPFE).
+    frame (the numerator alignment, as in Kaldi's sMBR/MPFE). ``silence``
+    applies Kaldi's MpeVariants silence-phone rules (see SilenceOpts).
     """
-    f, _ = _smbr_fwd_scan(obs, graph, ref, num_frames, level)
+    f, _ = _smbr_fwd_scan(obs, graph, ref, num_frames, level, silence)
     return f
 
 
-def _smbr_fwd_scan(obs, graph, ref, num_frames, level):
+def _smbr_fwd_scan(obs, graph, ref, num_frames, level, silence=None):
     b, t_len, _ = obs.shape
     g = graph
     alpha0 = _alpha_init(g, b, obs)
@@ -289,7 +347,7 @@ def _smbr_fwd_scan(obs, graph, ref, num_frames, level):
         score = alpha[:, g.src] + g.weight[None, :] + obs_t[:, g.pdf]      # [B, E]
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)                                          # [B, E]
-        arc_acc = _arc_acc(g, ref_t, level)                                # [B, E]
+        arc_acc = _arc_acc(g, ref_t, level, silence)                       # [B, E]
         # expected accumulated accuracy arriving via each arc
         acc_in = aacc[:, g.src] + arc_acc                                  # [B, E]
         denom = _seg_sum(lin.T, g.dst, g.num_states).T                     # [B, S]
@@ -318,12 +376,12 @@ def _smbr_fwd_scan(obs, graph, ref, num_frames, level):
     return f, (alphas, aaccs, norms, logz, f)
 
 
-def _smbr_fwd(obs, graph, ref, num_frames, level):
-    f, res = _smbr_fwd_scan(obs, graph, ref, num_frames, level)
+def _smbr_fwd(obs, graph, ref, num_frames, level, silence):
+    f, res = _smbr_fwd_scan(obs, graph, ref, num_frames, level, silence)
     return f, (obs, ref, num_frames) + res
 
 
-def _smbr_bwd(graph, level, res, ct):
+def _smbr_bwd(graph, level, silence, res, ct):
     obs, ref, num_frames, alphas, aaccs, norms, logz, f = res
     g = graph
     b, t_len, p_dim = obs.shape
@@ -339,7 +397,7 @@ def _smbr_bwd(graph, level, res, ct):
     def step(carry, inp):
         beta, bacc, bnorm = carry
         obs_t, ref_t, a_prev, aa_prev, an_prev, t = inp
-        arc_acc = _arc_acc(g, ref_t, level)                                # [B, E]
+        arc_acc = _arc_acc(g, ref_t, level, silence)                       # [B, E]
         # gamma over arcs at frame t
         log_gamma = (
             a_prev[:, g.src] + an_prev[:, None] + g.weight[None, :] + obs_t[:, g.pdf]

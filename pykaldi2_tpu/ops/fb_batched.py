@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from pykaldi2_tpu.ops.fsa import DenseFsa
-from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fb import NEG_INF, frame_accuracy
 
 
 class BatchedGraphs(NamedTuple):
@@ -223,10 +223,11 @@ mmi_objective_lattice.defvjp(_mmi_lat_fwd, _mmi_lat_bwd)
 # pdfs through pdf_to_phone since decoded lattices label arcs by pdf.
 
 
-def _arc_acc_b(pdf, ref_t, level: str, pdf_to_phone):
+def _arc_acc_b(pdf, ref_t, level: str, pdf_to_phone, silence=None):
     """[B, E] per-arc frame accuracy of arc labels ``pdf`` vs ref_t [B].
 
     Shared with the banded time-sync kernels (ops/fb_lattice.py).
+    ``silence`` applies Kaldi's MpeVariants silence rules (fb.SilenceOpts).
     """
     if level == "pdf":
         lab = pdf
@@ -236,21 +237,25 @@ def _arc_acc_b(pdf, ref_t, level: str, pdf_to_phone):
         lab = pdf_to_phone[jnp.maximum(pdf, 0)]
     else:
         raise ValueError(level)
-    return (lab == ref_t[:, None]).astype(jnp.float32)
+    return frame_accuracy(lab, ref_t[:, None], level, silence)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6))
 def batched_expected_accuracy(obs, graphs: BatchedGraphs, ref, num_frames,
-                              level: str = "pdf", pdf_to_phone=None):
+                              level: str = "pdf", pdf_to_phone=None,
+                              silence=None):
     """E[#correct frames] under each utterance's lattice posterior: [B].
 
     ref: [B, T] reference pdf (level='pdf') or phone (level='phone') ids.
+    ``silence`` applies Kaldi's MpeVariants silence rules (fb.SilenceOpts).
     """
-    f, _ = _smbr_fwd_scan_b(obs, graphs, ref, num_frames, level, pdf_to_phone)
+    f, _ = _smbr_fwd_scan_b(obs, graphs, ref, num_frames, level, pdf_to_phone,
+                            silence)
     return f
 
 
-def _smbr_fwd_scan_b(obs, g: BatchedGraphs, ref, num_frames, level, pdf_to_phone):
+def _smbr_fwd_scan_b(obs, g: BatchedGraphs, ref, num_frames, level,
+                     pdf_to_phone, silence=None):
     b, t_len, _ = obs.shape
     alpha0 = _alpha0(g, obs)
     acc0 = jnp.zeros((b, g.num_states), jnp.float32) + 0.0 * alpha0
@@ -262,7 +267,7 @@ def _smbr_fwd_scan_b(obs, g: BatchedGraphs, ref, num_frames, level, pdf_to_phone
                  + jnp.take_along_axis(obs_t, g.pdf, axis=1))               # [B, E]
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
-        arc_acc = _arc_acc_b(g.pdf, ref_t, level, pdf_to_phone)
+        arc_acc = _arc_acc_b(g.pdf, ref_t, level, pdf_to_phone, silence)
         acc_in = _gather_state(aacc, g.src) + arc_acc
         denom = _seg_sum_b(lin, g.dst, g.num_states)
         numer = _seg_sum_b(lin * acc_in, g.dst, g.num_states)
@@ -290,12 +295,13 @@ def _smbr_fwd_scan_b(obs, g: BatchedGraphs, ref, num_frames, level, pdf_to_phone
     return f, (alphas, aaccs, norms, logz, f)
 
 
-def _smbr_b_fwd(obs, graphs, ref, num_frames, level, pdf_to_phone):
-    f, res = _smbr_fwd_scan_b(obs, graphs, ref, num_frames, level, pdf_to_phone)
+def _smbr_b_fwd(obs, graphs, ref, num_frames, level, pdf_to_phone, silence):
+    f, res = _smbr_fwd_scan_b(obs, graphs, ref, num_frames, level,
+                              pdf_to_phone, silence)
     return f, (obs, graphs, ref, num_frames, pdf_to_phone) + res
 
 
-def _smbr_b_bwd(level, res, ct):
+def _smbr_b_bwd(level, silence, res, ct):
     obs, g, ref, num_frames, pdf_to_phone, alphas, aaccs, norms, logz, f = res
     b, t_len, p_dim = obs.shape
 
@@ -309,7 +315,7 @@ def _smbr_b_bwd(level, res, ct):
     def step(carry, inp):
         beta, bacc, bnorm = carry
         obs_t, ref_t, a_prev, aa_prev, an_prev, t = inp
-        arc_acc = _arc_acc_b(g.pdf, ref_t, level, pdf_to_phone)
+        arc_acc = _arc_acc_b(g.pdf, ref_t, level, pdf_to_phone, silence)
         obs_arc = jnp.take_along_axis(obs_t, g.pdf, axis=1)
         log_gamma = (_gather_state(a_prev, g.src) + an_prev[:, None] + g.weight
                      + obs_arc + _gather_state(beta, g.dst) + bnorm[:, None]

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from pykaldi2_tpu.graph.transition_model import TransitionModel
-from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fb import NEG_INF, frame_accuracy
 
 
 class BigramDenGraph(NamedTuple):
@@ -232,25 +232,25 @@ def bigram_occupancies(obs, graph: BigramDenGraph, num_frames):
 # ---------------------------------------------------------------------------
 
 
-def _state_acc(g: BigramDenGraph, ref_t, level: str):
+def _state_acc(g: BigramDenGraph, ref_t, level: str, silence=None):
     """[B, P, J] per-frame accuracy of being in each state vs ref labels."""
     if level == "pdf":
         lab = g.pdf[None]                              # [1, P, J]
-        return (lab == ref_t[:, None, None]).astype(jnp.float32)
-    if level == "phone":
+    elif level == "phone":
         lab = g.phone_ids[None, :, None]
-        return (lab == ref_t[:, None, None]).astype(jnp.float32)
-    raise ValueError(level)
+    else:
+        raise ValueError(level)
+    return frame_accuracy(lab, ref_t[:, None, None], level, silence)
 
 
-def _smbr_fwd_scan(obs, g: BigramDenGraph, ref, num_frames, level):
+def _smbr_fwd_scan(obs, g: BigramDenGraph, ref, num_frames, level, silence=None):
     b, t_len, _ = obs.shape
     P, J = g.pdf.shape
 
     def step(carry, inp):
         alpha, aacc, norm, start_mass = carry
         obs_pj, ref_t, t = inp
-        a_t = _state_acc(g, ref_t, level)                              # [B,P,J]
+        a_t = _state_acc(g, ref_t, level, silence)                     # [B,P,J]
         # linear-domain path weights relative to per-batch max
         exit_score = alpha[:, :, J - 1] + g.w_fwd[None, :, J - 1]
         stay = alpha + g.w_self[None]
@@ -308,18 +308,23 @@ def _smbr_fwd_scan(obs, g: BigramDenGraph, ref, num_frames, level):
     return f, (alphas, aaccs, norms, logz, f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
-def bigram_expected_accuracy(obs, graph: BigramDenGraph, ref, num_frames, level: str = "pdf"):
-    """E[#correct frames] under the structured den posterior: [B]."""
-    return _smbr_fwd_scan(obs, graph, ref, num_frames, level)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def bigram_expected_accuracy(obs, graph: BigramDenGraph, ref, num_frames,
+                             level: str = "pdf", silence=None):
+    """E[#correct frames] under the structured den posterior: [B].
+
+    ``silence`` applies Kaldi's MpeVariants silence-phone rules
+    (ops/fb.SilenceOpts).
+    """
+    return _smbr_fwd_scan(obs, graph, ref, num_frames, level, silence)[0]
 
 
-def _bsmbr_fwd(obs, graph, ref, num_frames, level):
-    f, res = _smbr_fwd_scan(obs, graph, ref, num_frames, level)
+def _bsmbr_fwd(obs, graph, ref, num_frames, level, silence):
+    f, res = _smbr_fwd_scan(obs, graph, ref, num_frames, level, silence)
     return f, (obs, ref, num_frames) + res
 
 
-def _bsmbr_bwd(g, level, res, ct):
+def _bsmbr_bwd(g, level, silence, res, ct):
     obs, ref, num_frames, alphas, aaccs, norms, logz, f = res
     b, t_len, p_dim = obs.shape
     P, J = g.pdf.shape
@@ -343,7 +348,7 @@ def _bsmbr_bwd(g, level, res, ct):
         contrib = gamma * (c_state - f[:, None, None])
         contrib = jnp.where(active[:, None, None], contrib, 0.0)
         # beta/bacc recursion through frame t
-        a_t = _state_acc(g, ref_t, level)
+        a_t = _state_acc(g, ref_t, level, silence)
         arrive = obs_pj + beta                                         # to-state score
         arr_acc = a_t + bacc                                           # acc from t onward via that state
         m = jnp.maximum(jnp.max(arrive.reshape(b, -1), axis=1), NEG_INF)[:, None, None]

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fb import NEG_INF, SilenceOpts, frame_accuracy
 from pykaldi2_tpu.ops.fsa import DenseFsa
 
 
@@ -275,15 +275,20 @@ def _state_labels(g: DenseStateGraph, level: str):
     raise ValueError(level)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
 def fsa_expected_accuracy_dense(obs, graph: DenseStateGraph, ref, num_frames,
-                                level: str = "pdf"):
-    """E[#correct frames] under the graph posterior: [B] (dense form)."""
-    f, _ = _smbr_fwd_scan_dense(obs, graph, ref, num_frames, level)
+                                level: str = "pdf",
+                                silence: Optional[SilenceOpts] = None):
+    """E[#correct frames] under the graph posterior: [B] (dense form).
+
+    ``silence`` applies Kaldi's MpeVariants silence-phone rules (fb.SilenceOpts).
+    """
+    f, _ = _smbr_fwd_scan_dense(obs, graph, ref, num_frames, level, silence)
     return f
 
 
-def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level):
+def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level,
+                         silence=None):
     b, t_len, _p = obs.shape
     lab = _state_labels(g, level)
     alpha0 = _alpha_init_d(g, b, obs)
@@ -295,7 +300,7 @@ def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level):
         ea = jnp.exp(jnp.maximum(alpha, NEG_INF))
         denom = jnp.dot(ea, g.w_exp, precision=_gemm_precision())
         numer = jnp.dot(ea * aacc, g.w_exp, precision=_gemm_precision())
-        a_t = (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
+        a_t = frame_accuracy(lab[None, :], ref_t[:, None], level, silence)
         new_alpha = (jnp.where(denom > 0, jnp.log(jnp.where(denom > 0, denom, 1.0)),
                                NEG_INF)
                      + obs_s)
@@ -323,12 +328,12 @@ def _smbr_fwd_scan_dense(obs, g: DenseStateGraph, ref, num_frames, level):
     return f, (alphas, aaccs, norms, logz, f)
 
 
-def _smbr_dense_fwd(obs, graph, ref, num_frames, level):
-    f, res = _smbr_fwd_scan_dense(obs, graph, ref, num_frames, level)
+def _smbr_dense_fwd(obs, graph, ref, num_frames, level, silence):
+    f, res = _smbr_fwd_scan_dense(obs, graph, ref, num_frames, level, silence)
     return f, (obs, ref, num_frames) + res
 
 
-def _smbr_dense_bwd(graph, level, res, ct):
+def _smbr_dense_bwd(graph, level, silence, res, ct):
     g = graph
     obs, ref, num_frames, alphas, aaccs, norms, logz, f = res
     b, t_len, p_dim = obs.shape
@@ -350,7 +355,7 @@ def _smbr_dense_bwd(graph, level, res, ct):
         gamma_s = jnp.where(active, gamma_s, 0.0)
         contrib = gamma_s * (aacc_t + bacc - f[:, None])
         # beta/bacc recursion for frame t
-        a_t = (lab[None, :] == ref_t[:, None]).astype(jnp.float32)
+        a_t = frame_accuracy(lab[None, :], ref_t[:, None], level, silence)
         y_log = obs_s + beta
         m = jnp.maximum(jnp.max(y_log, axis=1, keepdims=True), NEG_INF)
         y = jnp.exp(y_log - m)

@@ -327,15 +327,21 @@ mmi_objective_lattice_ts.defvjp(_mmi_ts_fwd, _mmi_ts_bwd)
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6))
 def lattice_expected_accuracy_ts(obs, lat: TimeSyncLattice, ref, num_frames,
-                                 level: str = "pdf", pdf_to_phone=None):
-    """E[#correct frames] under the banded lattice posterior: [B]."""
-    f, _ = _smbr_fwd_ts(obs, lat, ref, num_frames, level, pdf_to_phone)
+                                 level: str = "pdf", pdf_to_phone=None,
+                                 silence=None):
+    """E[#correct frames] under the banded lattice posterior: [B].
+
+    ``silence`` applies Kaldi's MpeVariants silence rules (fb.SilenceOpts).
+    """
+    f, _ = _smbr_fwd_ts(obs, lat, ref, num_frames, level, pdf_to_phone,
+                        silence)
     return f
 
 
-def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level, pdf_to_phone):
+def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level,
+                 pdf_to_phone, silence=None):
     b, t_len, _p = obs.shape
     k = lat.num_slots
     alpha0 = _alpha0_ts(lat, b, obs)
@@ -348,7 +354,7 @@ def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level, pdf_to_phone
                  + obs_arc)
         mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
         lin = jnp.exp(score - mx)
-        arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone)
+        arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone, silence)
         acc_in = jnp.take_along_axis(aacc, src_t, axis=1) + arc_acc
         denom = _seg_sum_slots(lin, dst_t, k)
         numer = _seg_sum_slots(lin * acc_in, dst_t, k)
@@ -378,12 +384,13 @@ def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level, pdf_to_phone
     return f, (alphas, aaccs, norms, logz, f)
 
 
-def _smbr_ts_fwd(obs, lat, ref, num_frames, level, pdf_to_phone):
-    f, res = _smbr_fwd_ts(obs, lat, ref, num_frames, level, pdf_to_phone)
+def _smbr_ts_fwd(obs, lat, ref, num_frames, level, pdf_to_phone, silence):
+    f, res = _smbr_fwd_ts(obs, lat, ref, num_frames, level, pdf_to_phone,
+                          silence)
     return f, (obs, lat, ref, num_frames, pdf_to_phone) + res
 
 
-def _smbr_ts_bwd(level, res, ct):
+def _smbr_ts_bwd(level, silence, res, ct):
     obs, lat, ref, num_frames, pdf_to_phone, alphas, aaccs, norms, logz, f = res
     b, t_len, p_dim = obs.shape
     k = lat.num_slots
@@ -397,7 +404,7 @@ def _smbr_ts_bwd(level, res, ct):
     def step(carry, inp):
         beta, bacc, bnorm = carry
         obs_arc, ref_t, src_t, dst_t, pdf_t, w_t, a_prev, aa_prev, an_prev, t = inp
-        arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone)
+        arc_acc = _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone, silence)
         beta_dst = jnp.take_along_axis(beta, dst_t, axis=1)
         log_gamma = (jnp.take_along_axis(a_prev, src_t, axis=1) + an_prev[:, None]
                      + w_t + obs_arc + beta_dst + bnorm[:, None] - logz[:, None])

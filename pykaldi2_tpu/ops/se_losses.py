@@ -133,14 +133,17 @@ def mmi_loss(logits, ali, mask, den_graph: GraphArrays, num_frames,
 
 
 def smbr_loss(logits, ref, mask, den_graph: GraphArrays, num_frames,
-              log_prior=None, acoustic_scale: float = 0.1, level: str = "pdf"):
+              log_prior=None, acoustic_scale: float = 0.1, level: str = "pdf",
+              silence=None):
     """Mean −E[frame accuracy] per supervised frame.
 
     level='pdf' → sMBR; level='phone' → MPE/MPFE (ref must then hold phone
-    ids and den_graph must carry arc phones).
+    ids and den_graph must carry arc phones). ``silence`` (fb.SilenceOpts)
+    applies Kaldi's MpeVariants silence-phone accuracy rules.
     """
     obs = acoustic_scores(logits, log_prior, acoustic_scale)
-    f = fsa_expected_accuracy(obs, den_graph, jnp.maximum(ref, 0), num_frames, level)
+    f = fsa_expected_accuracy(obs, den_graph, jnp.maximum(ref, 0), num_frames,
+                              level, silence)
     frames = jnp.maximum(jnp.sum(mask), 1.0)
     total = jnp.sum(f)
     return -total / frames, {"expected_acc_per_frame": total / frames}

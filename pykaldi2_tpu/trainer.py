@@ -139,6 +139,7 @@ def make_se_train_step(
     drop_frames: bool = True,
     ce_ratio: float = 0.0,
     pdf_to_phone=None,
+    silence=None,
     donate: bool = True,
 ) -> Callable:
     """Sequence-discriminative train step (reference train_se hot loop,
@@ -146,6 +147,9 @@ def make_se_train_step(
 
     batch needs: wave|feats, labels (pdf alignment), mask, num_frames.
     criterion: mmi | smbr | mpfe (mpe). ce_ratio adds f-smoothing CE.
+    ``silence`` (ops/fb.SilenceOpts) applies Kaldi's MpeVariants
+    silence-phone rules to the sMBR/MPE frame accuracies (ignored for MMI,
+    as in Kaldi).
     """
     from pykaldi2_tpu.ops.se_losses import acoustic_scores, mmi_objective
     from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
@@ -189,7 +193,8 @@ def make_se_train_step(
                     acc_fn = fsa_expected_accuracy_dense
                 else:
                     acc_fn = fsa_expected_accuracy
-                obj_rows = acc_fn(obs, den_graph, jnp.maximum(ref, 0), nf, level)
+                obj_rows = acc_fn(obs, den_graph, jnp.maximum(ref, 0), nf,
+                                  level, silence)
             # zero-length padded rows would contribute num − logZ(dead) ≈ +1e30
             obj = jnp.sum(jnp.where(nf > 0, obj_rows, 0.0))
             count = jnp.sum(sup)
@@ -247,6 +252,7 @@ def make_se_lattice_steps(
     ce_ratio: float = 0.0,
     criterion: str = "mmi",
     pdf_to_phone=None,
+    silence=None,
     mesh: Optional[Mesh] = None,
     obs_transfer_dtype: str = "bfloat16",
 ):
@@ -324,7 +330,8 @@ def make_se_lattice_steps(
                     level = "phone"
                 acc_fn = (lattice_expected_accuracy_ts if banded
                           else batched_expected_accuracy)
-                obj_rows = acc_fn(obs, den_graphs, jnp.maximum(ref, 0), nf, level, p2p)
+                obj_rows = acc_fn(obs, den_graphs, jnp.maximum(ref, 0), nf,
+                                  level, p2p, silence)
             obj = jnp.sum(jnp.where(nf > 0, obj_rows, 0.0))
             count = jnp.sum(sup)
             gcount = jax.lax.psum(count, axis) if axis else count

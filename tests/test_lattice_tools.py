@@ -254,3 +254,49 @@ def test_lattice_binary_ark_fixture(tmp_path):
     (a,) = lat.arcs[0]
     assert (a.ilabel, a.olabel, a.nextstate) == (7, 7, 1)
     assert abs(a.weight + 1.75) < 1e-6  # graph+acoustic summed
+
+
+def test_lmrescore_with_backoff_eps_is_nbest_safe():
+    """ARPA-backoff G arcs are eps-labeled; lmrescore output must stay
+    epsilon-free so unique N-best keeps working (ADVICE r2 item 1)."""
+    f = _word_fst([((1, 2), -1.0)])
+    # G with a backoff-style eps arc: after word 1 (bigram state), word 2 is
+    # reachable only by backing off (eps) to the unigram state
+    g = Fst()
+    uni = g.add_state()
+    big = g.add_state()
+    g.set_start(uni)
+    g.add_arc(uni, 1, 1, -0.5, big)        # P(1)
+    g.add_arc(big, EPS, EPS, -0.3, uni)    # backoff(1)
+    g.add_arc(uni, 2, 2, -0.7, uni)        # P(2 | backoff)
+    g.set_final(uni, 0.0)
+    r = lmrescore(f, None, g)
+    for s in range(r.num_states):
+        for a in r.arcs[s]:
+            assert a.ilabel != EPS, "lmrescore output must be epsilon-free"
+    top = nbest(r, 5)   # must not raise 'needs an epsilon-free acceptor'
+    assert [tuple(w) for w, _ in top] == [(1, 2)]
+    np.testing.assert_allclose(top[0][1], -1.0 - 0.5 - 0.3 - 0.7, atol=1e-6)
+
+
+def test_read_lattices_text_weightless_arc_lines(tmp_path):
+    """'src dst word' (weight omitted = Weight::One) is a legal OpenFst/Kaldi
+    text arc; it must parse as an arc, not corrupt into a final state
+    (ADVICE r2 item 2)."""
+    path = str(tmp_path / "lat.txt")
+    with open(path, "w") as f:
+        f.write("utt1\n")
+        f.write("0 1 5\n")            # arc, weight omitted
+        f.write("1 2 6 1.5,0.5,\n")   # arc with graph,acoustic weight
+        f.write("2\n")                # final, weight omitted
+        f.write("\n")
+    lat = read_lattices_text(path)["utt1"]
+    assert lat.start == 0
+    assert len(lat.arcs[0]) == 1
+    a = lat.arcs[0][0]
+    assert (a.ilabel, a.nextstate, a.weight) == (5, 1, 0.0)
+    assert 0 not in lat.finals          # state 0 must NOT become final
+    assert lat.finals[2] == 0.0
+    words, score = best_path(lat)
+    assert words == [5, 6]
+    np.testing.assert_allclose(score, -2.0, atol=1e-6)
