@@ -50,6 +50,15 @@ CHECK_FLOORS = {
     # mesh-mode CE (shard_map over the local chips): same math as "ce" but
     # exercises the pallas-in-shard_map path (vma plumbing) every round
     "ce_mesh": 330.0,
+    # dense state-matmul FB (ops/fb_dense.py): grad(logZ) at the 79k-arc /
+    # 5.2k-state bigram den, B=64, T=400, P=8952 — the loaded -den_graph
+    # path's 11.9x cumulative win (BASELINE.md r2 session-2: 101.4 ms/step
+    # ≈ 205 utt/s); floor set from the r3 on-chip measurement minus ~10%
+    "dense_fb": 180.0,
+    # banded time-sync lattice MMI fwd+grad (ops/fb_lattice.py) at the
+    # worst-case on-the-fly shape B=32/T=448/K=A=256/P=8952 (BASELINE.md r2
+    # session-2: 277 ms/step ≈ 42 utt/s)
+    "lat_mmi": 37.0,
 }
 
 
@@ -76,11 +85,30 @@ def main(argv=None):
 def _dispatch(args):
     if not args.check:
         utt_per_sec = _measure_ce("lstm", BATCH)
+        # VERDICT r2 item 5: the driver JSON must capture every measured axis,
+        # not just the headline CE. Extras are best-effort (null on failure)
+        # so a single broken path can't lose the whole benchmark line.
+        extras = {}
+        for name, fn in (
+            ("mmi", lambda: _measure_mmi()),
+            ("smbr", lambda: _measure_mmi(criterion="smbr")),
+            ("blstmp", lambda: _measure_ce("blstm", 64, proj_size=512)),
+            ("dense_fb", _measure_dense_fb),
+            ("lat_mmi", _measure_banded_lattice),
+        ):
+            try:
+                extras[name] = round(fn(), 3)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+                extras[name] = None
         print(json.dumps({
             "metric": "ce_train_utt_per_sec_per_chip",
             "value": round(utt_per_sec, 3),
             "unit": "utt/sec/chip (LibriSpeech-960-normalized, 4x1024 LSTM CE)",
             "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+            **extras,
         }))
         return 0
 
@@ -97,6 +125,8 @@ def _dispatch(args):
         "blstmp": _measure_ce("blstm", 64, proj_size=512),
         "mmi": _measure_mmi(),
         "smbr": _measure_mmi(criterion="smbr"),
+        "dense_fb": _measure_dense_fb(),
+        "lat_mmi": _measure_banded_lattice(),
     }
     ok = True
     for name, got in results.items():
@@ -227,6 +257,77 @@ def _measure_mmi(batch_size: int = 128, t_len: int = 400,
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
     assert np.isfinite(obj)
+    return n * batch_size * t_len / dt / FRAMES_PER_UTT
+
+
+def _measure_dense_fb(batch_size: int = 64, t_len: int = 400) -> float:
+    """grad(logZ) through the dense state-matmul kernels (ops/fb_dense.py)
+    at the 79k-arc / 5.2k-state bigram den — the loaded -den_graph hot path
+    whose 11.9x win over the arc tables had no regression guard (VERDICT r2
+    weak #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pykaldi2_tpu.graph import (HmmTopology, TransitionModel,
+                                    estimate_phone_bigram, make_den_graph)
+    from pykaldi2_tpu.ops.fb_dense import fsa_logz_dense, pack_graph_dense
+
+    n_phones = 41
+    tm = TransitionModel(HmmTopology.three_state(range(1, n_phones + 1)))
+    rng = np.random.RandomState(0)
+    seqs = [rng.randint(1, n_phones + 1, rng.randint(20, 60)).astype(np.int32)
+            for _ in range(100)]
+    lm = estimate_phone_bigram(seqs, tm.topo.phones)
+    den = pack_graph_dense(make_den_graph(tm, lm))
+
+    obs = jax.device_put(rng.randn(batch_size, t_len, NUM_PDFS).astype(np.float32) * 0.1)
+    nf = jax.device_put(np.full(batch_size, t_len, np.int32))
+    fn = jax.jit(jax.grad(lambda o: jnp.sum(fsa_logz_dense(o, den, nf))))
+    g = fn(obs)
+    float(jnp.sum(g))  # hard host sync (see _measure_ce note)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        g = fn(obs)
+    s = float(jnp.sum(g))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    return n * batch_size * t_len / dt / FRAMES_PER_UTT
+
+
+def _measure_banded_lattice(batch_size: int = 32, t_len: int = 448,
+                            k: int = 256, a: int = 256) -> float:
+    """Banded time-sync lattice MMI fwd+grad (ops/fb_lattice.py) at the
+    worst-case on-the-fly shape: fully dense [B, T, A] arc bands, K slots
+    (BASELINE.md r2 session-2: 277 ms = 42 utt/s; VERDICT r2 weak #4/#7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pykaldi2_tpu.ops.fb_lattice import TimeSyncLattice, mmi_objective_lattice_ts
+
+    rng = np.random.RandomState(0)
+    lat = TimeSyncLattice(
+        src=jax.device_put(rng.randint(0, k, (batch_size, t_len, a)).astype(np.int32)),
+        dst=jax.device_put(rng.randint(0, k, (batch_size, t_len, a)).astype(np.int32)),
+        pdf=jax.device_put(rng.randint(0, NUM_PDFS, (batch_size, t_len, a)).astype(np.int32)),
+        weight=jax.device_put((rng.randn(batch_size, t_len, a) * 0.1).astype(np.float32)),
+        final=jax.device_put(np.zeros((batch_size, k), np.float32)),
+    )
+    obs = jax.device_put(rng.randn(batch_size, t_len, NUM_PDFS).astype(np.float32) * 0.1)
+    ali = jax.device_put(rng.randint(0, NUM_PDFS, (batch_size, t_len)).astype(np.int32))
+    mask = jax.device_put(np.ones((batch_size, t_len), np.float32))
+    nf = jax.device_put(np.full(batch_size, t_len, np.int32))
+    fn = jax.jit(jax.grad(lambda o: jnp.sum(
+        mmi_objective_lattice_ts(o, ali, lat, nf, mask, True, 1.0))))
+    g = fn(obs)
+    float(jnp.sum(g))
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        g = fn(obs)
+    s = float(jnp.sum(g))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
     return n * batch_size * t_len / dt / FRAMES_PER_UTT
 
 

@@ -19,3 +19,34 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+# ---------------------------------------------------------------------------
+# Skip hygiene (VERDICT r2 weak #8): every skip in the default run must be a
+# KNOWN env-gated one. A broken import or typo that silently skips a test
+# fails the session instead of masquerading as expected.
+# ---------------------------------------------------------------------------
+
+EXPECTED_SKIPS = (
+    # 50k-word HCLG build, ~1 min: gated on PK2_SLOW_TESTS=1 (see CLAUDE.md)
+    "test_arpa.py::test_graph_build_50k_words",
+    # compiled pallas-in-shard_map has no interpret-mode path (upstream vma
+    # limitation); runs on the real chip via `bench.py --check` ce_mesh
+    "test_parallel.py::test_pallas_lstm_inside_shard_map",
+)
+
+_unexpected_skips = []
+
+
+def pytest_runtest_logreport(report):
+    if report.skipped and not any(p in report.nodeid for p in EXPECTED_SKIPS):
+        _unexpected_skips.append(f"{report.nodeid}: {report.longrepr}")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _unexpected_skips:
+        print("\nUNEXPECTED SKIPS — env-gated skips must be allowlisted in "
+              "tests/conftest.py EXPECTED_SKIPS:")
+        for n in _unexpected_skips:
+            print("  " + n)
+        session.exitstatus = 1
