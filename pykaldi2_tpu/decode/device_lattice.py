@@ -6,36 +6,44 @@ VERDICT r2 item 1): where the reference ships [B, T, P] posteriors to the CPU
 and runs Kaldi's LatticeFasterDecoder per utterance, this module runs the
 beam-pruned search for the WHOLE batch on the TPU and emits the banded
 ``ops/fb_lattice.TimeSyncLattice`` directly in HBM — no device→host copy, no
-host decode, and the same-step parameters (the host pipeline had to use
+host decode, and same-step parameters (the host pipeline had to use
 one-step-stale ones to overlap).
 
 The TPU-idiomatic shape of "beam search": on a CPU, beams exist to SKIP work
-(tokens never materialize). On a TPU, the dense relaxation over all E arcs
-per frame is regular, vectorized work the VPU does well at denominator-graph
-scale (~100k arcs) — so the search relaxes EVERYTHING densely in the max
-semiring, and the beam / max_active / lattice_beam prune what becomes
-LATTICE STRUCTURE, exactly mirroring the host decoder's emitted lattices
-(native/latdec.cc):
+(tokens never materialize). On a TPU the per-frame work must be regular, and
+— the hard-won, measured-on-chip parts —
+  (a) no big scatters: a first cut that stream-compacted kept links with
+      cumsum+scatter spent ~60 ms/frame in serialized scatter updates;
+  (b) no DYNAMIC-index gathers on the hot shapes: gathers whose indices
+      come from data (the top-K frontier) run ~50x slower than gathers
+      with COMPILE-TIME-CONSTANT indices (which XLA lowers to static DMA
+      patterns) — a [B,275k] dynamic gather cost ~0.5 ms while the
+      [B,7M] constant gather in the alpha recursion is essentially free.
+Hence everything per frame is dense over [B, S(, D)] with constant-index
+gathers, and compaction is exact lax.top_k (cheap: ~0.25 ms at n=222k):
 
+  pack time:   arcs are laid out CSR by DESTINATION state, padded to the
+               graph's max in-degree D → in_src/in_w [S, D] (the dual of
+               cuDNN-style padding: bounded irregularity becomes a dense
+               axis). Emissions sit on the destination state
+               (dst-emission invariant), so per-arc pdfs are state pdfs.
   per frame t (one ``lax.scan`` step, all static shapes):
-    relax[b,e]     = alpha[b, src[e]] + w[e]                (graph relaxation)
-    newalpha[b,s]  = max_e→s relax + obs_t[b, pdf(s)]       (dst-emission
-                     invariant: compiler graphs put the pdf on the dst state)
-    frontier       = top-K states by newalpha, within `beam` of the best
-                     (K = max_active)
-    kept links     = arcs into frontier states whose path score is within
-                     `lattice_beam` of the state's best, from live prev-frame
-                     slots → compacted into an [B, A] arc band
-    alpha          = newalpha masked to the frontier (pruning shapes the
-                     search, as in the host decoder)
+    relax[b,s,d] = alpha[b, in_src[s,d]] + in_w[s,d]        (constant idx)
+    newalpha     = max_d relax + obs_t[:, state_pdf]
+    frontier     = top-K states within `beam` of the best (K = max_active)
+    links        = ALL S·D arc scores relax + obs, kept within
+                   `lattice_beam` of the dst state's best with both
+                   endpoints on emitted slots (slot maps: two tiny [B, K]
+                   scatters); band = top-A of the S·D scores by ONE exact
+                   top_k — overflow drops the WORST links, counted
 
 Graphs must be input-epsilon-free with the destination-emission invariant —
 what ``graph/compile.expand_to_pdf_fst`` / ``make_decode_graph`` emit (their
 junctions are collapsed); graphs with eps arcs are folded offline by
 ``remove_input_epsilons`` in ``pack_decode_graph`` (source-side folding
 preserves the invariant). Intended scale: denominator/phone-loop HCLGs (the
-on-the-fly SE hot path). Word-HCLG eval decoding at millions of states stays
-on the host C++ decoder.
+on-the-fly SE hot path), where max in-degree D stays ~#phones. Word-HCLG
+eval decoding at millions of states stays on the host C++ decoder.
 """
 
 from __future__ import annotations
@@ -48,42 +56,47 @@ import jax
 import jax.numpy as jnp
 
 from pykaldi2_tpu.graph.fst import EPS, Fst
-from pykaldi2_tpu.ops.fb import NEG_INF, _seg_max
+from pykaldi2_tpu.ops.fb import NEG_INF
 from pykaldi2_tpu.ops.fb_lattice import TimeSyncLattice
 
 
 class DeviceDecodeGraph(NamedTuple):
-    """Arc tables + per-state emissions for the on-device search.
+    """Destination-CSR arc tables + per-state emissions for the search.
 
-    ``start``/``num_states`` are static metadata (they shape the compiled
-    program), so the pytree flattening below keeps them out of the traced
-    leaves — one compilation per graph topology, as with bucketed shapes.
+    ``start``/``num_states``/``in_degree`` are static metadata (they shape
+    the compiled program); the pytree registration below keeps them out of
+    the traced leaves — one compilation per graph topology, as with
+    bucketed shapes.
     """
 
-    src: jax.Array        # [E] int32
-    dst: jax.Array        # [E] int32
-    weight: jax.Array     # [E] f32 log-prob graph score (incl. word penalty)
-    arc_pdf: jax.Array    # [E] int32 == state_pdf[dst] (emission of the arc)
-    state_pdf: jax.Array  # [S] int32
+    in_src: jax.Array     # [S, D] int32 source state of each in-arc (pad 0)
+    in_w: jax.Array       # [S, D] f32 log-prob graph score (pad NEG_INF)
+    state_pdf: jax.Array  # [S] int32 pdf emitted by arcs INTO the state
     final: jax.Array      # [S] f32 log-prob, NEG_INF where non-final
     start: int
     num_states: int
+    in_degree: int        # D
 
 
 jax.tree_util.register_pytree_node(
     DeviceDecodeGraph,
-    lambda g: ((g.src, g.dst, g.weight, g.arc_pdf, g.state_pdf, g.final),
-               (g.start, g.num_states)),
+    lambda g: ((g.in_src, g.in_w, g.state_pdf, g.final),
+               (g.start, g.num_states, g.in_degree)),
     lambda aux, leaves: DeviceDecodeGraph(*leaves, *aux))
 
 
-def pack_decode_graph(fst: Fst, word_penalty: float = 0.0) -> DeviceDecodeGraph:
+def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
+                      max_in_degree: int = 1024) -> DeviceDecodeGraph:
     """pdf-level decode FST (ilabel = pdf+1, olabel = word) → device tables.
 
     Input-epsilon arcs (word-LM backoff/junction arcs in HCLG-scale graphs)
     are folded away offline — `remove_input_epsilons` folds the closure on
     the SOURCE side (s --eps*--> c --emit--> x  ⇒  s --emit--> x), which
     keeps the destination-emission invariant the search relies on.
+
+    ``max_in_degree`` guards the [S, D] padding: a graph where one state
+    collects thousands of in-arcs would make every frame pay D-wide gathers
+    — that is host-decoder territory, not a denominator graph.
     """
     if any(a.ilabel == EPS for s in range(fst.num_states) for a in fst.arcs[s]):
         fst = fst.remove_input_epsilons()
@@ -97,17 +110,32 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0) -> DeviceDecodeGraph:
             "decode graph violates the destination-emission invariant "
             "(arcs into one state carry different pdfs); the device search "
             "needs compiler-emitted graphs (expand_to_pdf_fst)")
+    S = int(dense.num_states)
+    src = np.asarray(dense.src, np.int64)
+    dst = np.asarray(dense.dst, np.int64)
     w = np.nan_to_num(np.asarray(dense.weight, np.float32),
                       neginf=NEG_INF, posinf=NEG_INF)
+    counts = np.bincount(dst, minlength=S)
+    d_max = int(counts.max()) if len(counts) else 1
+    if d_max > max_in_degree:
+        raise ValueError(
+            f"graph max in-degree {d_max} exceeds {max_in_degree}; the "
+            "[S, D] padded search would be dominated by dead lanes — use "
+            "the host decoder for this graph")
+    order = np.argsort(dst, kind="stable")
+    starts = np.cumsum(counts) - counts
+    rank = np.arange(len(dst)) - starts[dst[order]]
+    in_src = np.zeros((S, d_max), np.int32)
+    in_w = np.full((S, d_max), NEG_INF, np.float32)
+    in_src[dst[order], rank] = src[order]
+    in_w[dst[order], rank] = w[order]
     final = np.nan_to_num(np.asarray(dense.final, np.float32),
                           neginf=NEG_INF, posinf=NEG_INF)
     return DeviceDecodeGraph(
-        src=jnp.asarray(dense.src), dst=jnp.asarray(dense.dst),
-        weight=jnp.asarray(w),
-        arc_pdf=jnp.asarray(state_pdf[np.asarray(dense.dst)]),
+        in_src=jnp.asarray(in_src), in_w=jnp.asarray(in_w),
         state_pdf=jnp.asarray(state_pdf),
         final=jnp.asarray(final),
-        start=int(dense.start), num_states=int(dense.num_states))
+        start=int(dense.start), num_states=S, in_degree=d_max)
 
 
 @functools.partial(jax.jit, static_argnames=("max_active", "max_arcs",
@@ -129,8 +157,9 @@ def device_lattice_generate(
     K = max_active, A = max_arcs per frame), the best end-to-end path
     log-score per utterance (final weights folded, host-decoder fallback
     when no final state survives), and the number of lattice links dropped
-    to the [B, A] band cap (0 everywhere ⇒ the band was wide enough; callers
-    should widen ``max_arcs`` or tighten ``lattice_beam`` otherwise).
+    to the [B, A] band cap (overflow drops the LOWEST-scoring links; 0
+    everywhere ⇒ the band was wide enough — otherwise widen ``max_arcs`` or
+    tighten ``lattice_beam``).
 
     Differentiation: lattice STRUCTURE is data, not a differentiable
     quantity — call under ``stop_gradient``-ed obs (the SE loss re-folds obs
@@ -138,77 +167,97 @@ def device_lattice_generate(
     """
     b, t_len, _p = obs.shape
     g = graph
-    S = g.num_states
-    K, A = min(max_active, S), max_arcs
+    S, D = g.num_states, g.in_degree
+    K = min(max_active, S)
+    A = min(max_arcs, K * D)
     bi = jnp.arange(b, dtype=jnp.int32)[:, None]
 
+    # ---- the search scan. Everything per frame is DENSE over [B, S(, D)]
+    # with CONSTANT-index gathers (g.in_src / g.state_pdf are compile-time
+    # constants — XLA turns those into fast static DMA patterns, ~50x the
+    # throughput of dynamic-index gathers), one exact top_k over S for the
+    # frontier, one over S*D for the band, and two tiny [B, K] scatters.
+    # Dynamic-index gathers are confined to [B, A]-sized lookups. ----
     alpha0 = jnp.full((b, S), NEG_INF, jnp.float32).at[:, g.start].set(0.0)
-    slot_of0 = jnp.full((b, S), -1, jnp.int32).at[:, g.start].set(0)
-    slot_alpha0 = jnp.full((b, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-    final_slots0 = jnp.full((b, K), NEG_INF, jnp.float32).at[:, 0].set(g.final[g.start])
-    emit0 = jnp.zeros((b, K), bool).at[:, 0].set(True)
+    slot0 = jnp.full((b, S), -1, jnp.int32).at[:, g.start].set(0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, K), 1)
+    w_flat = g.in_w.reshape(-1)                                   # [S*D]
 
     def step(carry, inp):
-        alpha, slot_of_prev, slot_alpha, final_slots, emitted = carry
+        alpha, slot_prev = carry
         obs_t, t = inp                                            # [B, P]
-        relax = jnp.maximum(alpha[:, g.src] + g.weight[None, :], NEG_INF)
-        m = _seg_max(relax.T, g.dst, S).T                         # [B, S]
+        # graph relaxation: every state reads its D in-arcs (constant idx)
+        relax_all = (jnp.maximum(alpha[:, g.in_src.reshape(-1)]
+                                 .reshape(b, S, D)
+                                 + g.in_w[None, :, :], NEG_INF))  # [B, S, D]
+        m = jnp.max(relax_all, axis=2)                            # [B, S]
         live_s = m > 0.5 * NEG_INF
-        new_alpha = jnp.where(live_s, m + obs_t[:, g.state_pdf], NEG_INF)
-        best = jnp.max(new_alpha, axis=1, keepdims=True)          # [B, 1]
+        obs_s = obs_t[:, g.state_pdf]                             # [B, S]
+        new_alpha = jnp.where(live_s, m + obs_s, NEG_INF)
+        best = jnp.max(new_alpha, axis=1)                         # [B]
         vals, idx = jax.lax.top_k(new_alpha, K)                   # [B, K]
-        # search frontier: top-K within the search beam (shapes the alpha
-        # recursion); lattice nodes: the subset within lattice_beam of the
-        # frame best (host decoder: latdec_search's per-frame `ids` rule)
-        keep_k = (vals >= best - beam) & (vals > 0.5 * NEG_INF)
-        emit_k = keep_k & (vals >= best - lattice_beam)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, K), 1)
-        slot_of = (jnp.full((b, S), -1, jnp.int32)
-                   .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
+        # search frontier: top-K within the search beam shapes the alpha
+        # recursion; lattice nodes are the subset within lattice_beam of
+        # the frame best (host decoder: latdec_search's per-frame rule)
+        keep_k = (vals >= best[:, None] - beam) & (vals > 0.5 * NEG_INF)
+        emit_k = keep_k & (vals >= best[:, None] - lattice_beam)
         alpha_next = (jnp.full((b, S), NEG_INF, jnp.float32)
                       .at[bi, idx].set(jnp.where(keep_k, vals, NEG_INF)))
-        # lattice links: within lattice_beam of the dst state's (pre-prune)
-        # best, endpoints on emitted lattice nodes
-        link_score = relax + obs_t[:, g.arc_pdf]                  # [B, E]
-        dst_slot = slot_of[:, g.dst]
-        src_slot = slot_of_prev[:, g.src]
-        active = (t < num_frames)[:, None]                        # [B, 1]
-        keep_e = ((link_score >= new_alpha[:, g.dst] - lattice_beam)
+        slot_cur = (jnp.full((b, S), -1, jnp.int32)
+                    .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
+        # link candidates, dense: all S*D arcs scored at once; kept within
+        # lattice_beam of the dst state's (pre-prune) best, endpoints on
+        # emitted lattice nodes (emitted ⇔ a slot was assigned)
+        link_score = relax_all + obs_s[:, :, None]                # [B, S, D]
+        src_slot = slot_prev[:, g.in_src.reshape(-1)].reshape(b, S, D)
+        active = (t < num_frames)[:, None, None]
+        keep_e = ((link_score >= new_alpha[:, :, None] - lattice_beam)
                   & (link_score > 0.5 * NEG_INF)
-                  & (dst_slot >= 0) & (src_slot >= 0) & active)
-        pos = jnp.cumsum(keep_e.astype(jnp.int32), axis=1) - 1    # [B, E]
-        n_kept = pos[:, -1] + 1
-        dropped_t = jnp.maximum(n_kept - A, 0)
-        write = jnp.where(keep_e & (pos < A), pos, A)
-
-        def emit(vals_e, fill, dt):
-            out = jnp.full((b, A + 1), fill, dt)
-            return out.at[bi, write].set(vals_e.astype(dt),
-                                         mode="drop")[:, :A]
-
-        e_src = emit(jnp.maximum(src_slot, 0), 0, jnp.int32)
-        e_dst = emit(jnp.maximum(dst_slot, 0), 0, jnp.int32)
-        e_pdf = emit(jnp.broadcast_to(g.arc_pdf[None, :], (b, relax.shape[1])),
-                     0, jnp.int32)
-        e_w = emit(jnp.where(keep_e, g.weight[None, :], NEG_INF),
-                   NEG_INF, jnp.float32)
-        # freeze everything past each utterance's last frame
-        alpha = jnp.where(active, alpha_next, alpha)
-        slot_of_out = jnp.where(active, slot_of, slot_of_prev)
-        slot_alpha = jnp.where(active, jnp.where(keep_k, vals, NEG_INF), slot_alpha)
-        final_slots = jnp.where(active,
-                                jnp.where(keep_k, g.final[idx], NEG_INF),
-                                final_slots)
-        emitted = jnp.where(active, emit_k, emitted)
-        return ((alpha, slot_of_out, slot_alpha, final_slots, emitted),
-                (e_src, e_dst, e_pdf, e_w, dropped_t))
+                  & (slot_cur[:, :, None] >= 0) & (src_slot >= 0) & active)
+        # band compaction: ONE exact top_k over the S*D arc scores (best
+        # links first — overflow drops the worst, counted in `dropped`)
+        keys = jnp.where(keep_e, link_score, NEG_INF).reshape(b, S * D)
+        kvals, kidx = jax.lax.top_k(keys, A)                      # [B, A]
+        valid = kvals > 0.5 * NEG_INF
+        dst_state = jnp.minimum(kidx // D, S - 1)
+        # two-level small lookup instead of gathering from the [B, S*D]
+        # src_slot array (dynamic gathers scale with INPUT size on TPU):
+        # constant-table arc→src-state, then [B, S]-input slot lookup
+        src_state = g.in_src.reshape(-1)[kidx]                    # [B, A]
+        e_src = jnp.where(valid, slot_prev[bi, src_state], 0)
+        e_dst = jnp.where(valid, slot_cur[bi, dst_state], 0)
+        e_pdf = jnp.where(valid, g.state_pdf[dst_state], 0)
+        e_w = jnp.where(valid, w_flat[kidx], NEG_INF)
+        dropped_t = jnp.maximum(
+            jnp.sum(keep_e.astype(jnp.int32), axis=(1, 2)) - A, 0)
+        act1 = active[:, :, 0]
+        alpha = jnp.where(act1, alpha_next, alpha)
+        slot_prev = jnp.where(act1, slot_cur, slot_prev)
+        return ((alpha, slot_prev),
+                (idx, vals, best, e_src, e_dst, e_pdf, e_w, dropped_t))
 
     obs_t = jnp.swapaxes(obs, 0, 1)                               # [T, B, P]
     ts = jnp.arange(t_len)
-    (_, _, slot_alpha, final_slots, emitted), (src_f, dst_f, pdf_f, w_f, dropped) = \
-        jax.lax.scan(step, (alpha0, slot_of0, slot_alpha0, final_slots0, emit0),
-                     (obs_t, ts))
+    _, (idxs, valss, bests, src_f, dst_f, pdf_f, w_f, dropped) = \
+        jax.lax.scan(step, (alpha0, slot0), (obs_t, ts))
 
+    # ---- finals/scores: each utterance's LAST active frontier (nf == 0
+    # degenerates to the initial start token at slot 0) ----
+    last_t = jnp.maximum(num_frames - 1, 0)                       # [B]
+    has_frames = (num_frames > 0)[:, None]
+
+    def at_last(arr):
+        a = jnp.swapaxes(arr, 0, 1)                               # [B, T, K]
+        return jnp.take_along_axis(a, last_t[:, None, None], axis=1)[:, 0]
+
+    vals_T = jnp.where(has_frames, at_last(valss),
+                       jnp.full((b, K), NEG_INF).at[:, 0].set(0.0))
+    idx_T = jnp.where(has_frames, at_last(idxs), g.start)
+    best_T = jnp.max(vals_T, axis=1)
+    keep_T = (vals_T >= best_T[:, None] - beam) & (vals_T > 0.5 * NEG_INF)
+    emit_T = keep_T & (vals_T >= best_T[:, None] - lattice_beam)
+    slot_alpha = jnp.where(keep_T, vals_T, NEG_INF)
+    final_slots = jnp.where(keep_T, g.final[idx_T], NEG_INF)
     # host-decoder final semantics: best score = max(alpha + final) over the
     # SEARCH tokens, falling back to max(alpha) when no token is final; the
     # emitted lattice's finals live on emitted end slots, all weight-0 when
@@ -217,10 +266,10 @@ def device_lattice_generate(
     has_final = jnp.max(with_final, axis=1) > 0.5 * NEG_INF
     scores = jnp.where(has_final, jnp.max(with_final, axis=1),
                        jnp.max(slot_alpha, axis=1))
-    emit_final = jnp.where(emitted, final_slots, NEG_INF)
+    emit_final = jnp.where(emit_T, final_slots, NEG_INF)
     emit_has_final = jnp.max(emit_final, axis=1) > 0.5 * NEG_INF
     final_out = jnp.where(emit_has_final[:, None], emit_final,
-                          jnp.where(emitted, 0.0, NEG_INF))
+                          jnp.where(emit_T, 0.0, NEG_INF))
     lat = TimeSyncLattice(
         src=jnp.swapaxes(src_f, 0, 1), dst=jnp.swapaxes(dst_f, 0, 1),
         pdf=jnp.swapaxes(pdf_f, 0, 1), weight=jnp.swapaxes(w_f, 0, 1),
