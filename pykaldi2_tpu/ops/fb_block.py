@@ -1,0 +1,505 @@
+"""Block-sparse forward-backward for graphs too big for the dense [S, S] form.
+
+SURVEY.md §8 hard-part-1, third act (VERDICT r2 item 3). The dense
+state-matmul kernels (ops/fb_dense.py) cap at 16k states — the [S, S] fp32
+transition matrix is ~1 GB there, and a 12k-word HCLG already has 349k
+states. Beyond the cap the generic arc-table kernels take over at ~7x the
+cost (per-frame O(E) gathers/scatters, latency-bound). This module is the
+middle path:
+
+  * the [S, S] exp-space transition matrix is tiled into (k x k) blocks
+    (k = 128, lane-aligned) and only NONZERO blocks are kept — compiler
+    graphs are chain-structured, so after a BFS reordering of states most
+    arcs sit on the (block) diagonal and the block count stays ~O(S/k);
+  * the alpha/beta recursions run the same exp-space renormalized form as
+    fb_dense, but each matvec is a gather -> batched [B,k]x[k,k] GEMM over
+    blocks -> segment-sum, i.e. MXU work proportional to nnz blocks, not S^2;
+  * activations do NOT materialize [T, B, S] (10 GB at 100k states, B=64,
+    T=400): the forward is a two-level scan that saves alphas only at
+    segment boundaries (seg_len frames apart) and the backward recomputes
+    each segment's interior — O(sqrt(T)) memory, the standard remat
+    trade (SURVEY.md "jax.checkpoint / rematerialisation").
+
+State-emission invariant required (arcs into a state share its pdf), as for
+fb_dense; `pack_graph_auto` routes: dense <= 16k states < block-sparse, with
+the arc tables as the fallback for graphs violating the invariant or whose
+block structure degenerates (wb memory cap).
+
+Reference behavior: kaldi/src/lat/lattice-functions.cc forward-backward over
+denominator graphs (SURVEY.md §3.2 "Kaldi lattice functions"), at loaded
+`-den_graph` scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pykaldi2_tpu.ops.fb import NEG_INF, SilenceOpts, frame_accuracy
+from pykaldi2_tpu.ops.fb_dense import _gemm_precision, state_emission_pdfs
+from pykaldi2_tpu.ops.fsa import DenseFsa
+
+
+class BlockSparseGraph(NamedTuple):
+    """Nonzero (k x k) tiles of the exp-space transition matrix, both
+    orientations (wbt holds the transposed tiles for the beta recursion),
+    over BFS-reordered, k-padded states."""
+
+    bi: jax.Array          # [nb] int32 source block row of each tile
+    bj: jax.Array          # [nb] int32 destination block col (sorted by bj)
+    wb: jax.Array          # [nb, k, k] f32 e^{w}, 0 = no arc
+    bit: jax.Array         # [nb] transposed-list source block (== some bj)
+    bjt: jax.Array         # [nb] transposed-list dest block (sorted)
+    wbt: jax.Array         # [nb, k, k] transposed tiles
+    state_pdf: jax.Array   # [Sp] int32 (padded states -> 0, never reached)
+    final: jax.Array       # [Sp] f32 log-prob, NEG_INF on pads
+    start: int             # state index in the reordered space
+    num_states: int        # original S
+    num_padded: int        # Sp = ceil(S / k) * k
+    block: int             # k
+    seg_len: int           # remat segment length (frames)
+    state_phone: Optional[jax.Array] = None  # [Sp] int32 (MPE accuracy)
+
+
+def _bfs_order(num_states: int, src: np.ndarray, dst: np.ndarray,
+               start: int) -> np.ndarray:
+    """perm[new] = old, BFS levels from start (stable within a level).
+
+    Chains come out contiguous, so arcs concentrate near the block
+    diagonal; unreachable states (connect() normally removed them) go last.
+    """
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    row_start = np.searchsorted(s_sorted, np.arange(num_states))
+    row_end = np.searchsorted(s_sorted, np.arange(num_states) + 1)
+    level = np.full(num_states, -1, np.int64)
+    level[start] = 0
+    frontier = [start]
+    lv = 0
+    while frontier:
+        nxt = []
+        for s in frontier:
+            for d in d_sorted[row_start[s]:row_end[s]]:
+                if level[d] < 0:
+                    level[d] = lv + 1
+                    nxt.append(int(d))
+        frontier = sorted(nxt)
+        lv += 1
+    level[level < 0] = lv + 1
+    return np.lexsort((np.arange(num_states), level))
+
+
+def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
+                      max_wb_bytes: int = 2 << 30) -> BlockSparseGraph:
+    """DenseFsa -> BlockSparseGraph. Raises ValueError when the graph
+    violates the state-emission invariant or the nonzero-block count blows
+    past ``max_wb_bytes`` (callers fall back to the arc tables)."""
+    fsa.validate()
+    state_pdf = state_emission_pdfs(fsa)
+    if state_pdf is None:
+        raise ValueError("graph violates the state-emission invariant "
+                         "(arcs into one state carry different pdfs)")
+    S = int(fsa.num_states)
+    src = np.asarray(fsa.src, np.int64)
+    dst = np.asarray(fsa.dst, np.int64)
+    perm = _bfs_order(S, src, dst, int(fsa.start))      # perm[new] = old
+    inv = np.empty(S, np.int64)
+    inv[perm] = np.arange(S)
+    src, dst = inv[src], inv[dst]
+    state_pdf = state_pdf[perm]
+    final = np.nan_to_num(np.asarray(fsa.final, np.float64)[perm],
+                          neginf=NEG_INF, posinf=NEG_INF)
+    state_phone = None
+    if fsa.phone is not None:
+        ph = np.asarray(fsa.phone)
+        sp = np.full(S, -1, np.int64)
+        sp[np.asarray(fsa.dst)] = ph
+        if not np.any(sp[np.asarray(fsa.dst)] != ph):
+            sp[sp < 0] = 0
+            state_phone = sp[perm].astype(np.int32)
+
+    Sp = -(-S // block) * block
+    w = np.nan_to_num(np.asarray(fsa.weight, np.float64),
+                      neginf=NEG_INF, posinf=NEG_INF)
+    probs = np.where(w <= 0.5 * NEG_INF, 0.0,
+                     np.exp(np.minimum(w, 80.0))).astype(np.float32)
+    b_src, b_dst = src // block, dst // block
+    pair = b_src * (Sp // block) + b_dst
+    uniq, pair_idx = np.unique(pair, return_inverse=True)
+    nb = len(uniq)
+    if nb * block * block * 4 * 2 > max_wb_bytes:
+        raise ValueError(
+            f"block structure too dense: {nb} nonzero {block}x{block} blocks "
+            f"({nb * block * block * 8 / 1e9:.1f} GB for both orientations)")
+    wb = np.zeros((nb, block, block), np.float32)
+    # duplicate arcs between one state pair add in prob space (exact lse)
+    np.add.at(wb, (pair_idx, src % block, dst % block), probs)
+    bi = (uniq // (Sp // block)).astype(np.int32)
+    bj = (uniq % (Sp // block)).astype(np.int32)
+    order = np.argsort(bj, kind="stable")       # segment-sum over bj
+    bi, bj, wb = bi[order], bj[order], wb[order]
+    t_order = np.argsort(bi, kind="stable")     # transposed: segment over bi
+    bit, bjt = bj[t_order], bi[t_order]
+    wbt = np.ascontiguousarray(wb[t_order].transpose(0, 2, 1))
+
+    pad = Sp - S
+    state_pdf = np.concatenate([state_pdf, np.zeros(pad, np.int64)])
+    final = np.concatenate([final, np.full(pad, NEG_INF)])
+    if state_phone is not None:
+        state_phone = jnp.asarray(
+            np.concatenate([state_phone, np.zeros(pad, np.int32)]))
+    return BlockSparseGraph(
+        bi=jnp.asarray(bi), bj=jnp.asarray(bj), wb=jnp.asarray(wb),
+        bit=jnp.asarray(bit), bjt=jnp.asarray(bjt), wbt=jnp.asarray(wbt),
+        state_pdf=jnp.asarray(state_pdf.astype(np.int32)),
+        final=jnp.asarray(final, jnp.float32),
+        start=int(inv[int(fsa.start)]), num_states=S, num_padded=Sp,
+        block=block, seg_len=seg_len, state_phone=state_phone)
+
+
+def _block_matvec(lin: jax.Array, g: BlockSparseGraph,
+                  transpose: bool) -> jax.Array:
+    """[B, Sp] nonneg linear values -> lin @ W (or @ W^T): gather block rows,
+    batched [B,k]x[k,k] GEMM per tile, segment-sum into block cols."""
+    b = lin.shape[0]
+    k, nblk = g.block, g.num_padded // g.block
+    xb = lin.reshape(b, nblk, k)
+    i_idx, j_idx, tiles = ((g.bit, g.bjt, g.wbt) if transpose
+                           else (g.bi, g.bj, g.wb))
+    x = jnp.take(xb, i_idx, axis=1)                           # [B, nb, k]
+    y = jnp.einsum("bnk,nkl->bnl", x, tiles,
+                   precision=_gemm_precision())               # [B, nb, k]
+    out = jax.ops.segment_sum(jnp.swapaxes(y, 0, 1), j_idx,
+                              num_segments=nblk,
+                              indices_are_sorted=True)        # [nblk, B, k]
+    return jnp.moveaxis(out, 0, 1).reshape(b, g.num_padded)
+
+
+def _log_matvec_b(x_log, g: BlockSparseGraph, transpose: bool = False):
+    lin = jnp.exp(jnp.maximum(x_log, NEG_INF))
+    s = _block_matvec(lin, g, transpose)
+    return jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), NEG_INF)
+
+
+def _alpha_init_b(g: BlockSparseGraph, batch: int, like: jax.Array):
+    a = jnp.full((batch, g.num_padded), NEG_INF, jnp.float32)
+    a = a.at[:, g.start].set(0.0)
+    return a + 0.0 * jnp.sum(like * 0.0)
+
+
+def _segmented_xs(obs, g: BlockSparseGraph) -> Tuple[jax.Array, jax.Array, int]:
+    """[B,T,P] -> (obs [n_seg,C,B,P], ts [n_seg,C], n_seg), T padded to
+    n_seg*C (padded frames are masked off by t < num_frames downstream)."""
+    b, t_len, p = obs.shape
+    c = g.seg_len
+    n_seg = -(-t_len // c)
+    tp = n_seg * c
+    obs_t = jnp.swapaxes(obs, 0, 1)
+    if tp > t_len:
+        obs_t = jnp.pad(obs_t, [(0, tp - t_len), (0, 0), (0, 0)])
+    ts = jnp.arange(tp).reshape(n_seg, c)
+    return obs_t.reshape(n_seg, c, b, p), ts, n_seg
+
+
+def _fwd_frame(g: BlockSparseGraph, num_frames, carry, inp):
+    """One alpha frame (shared by the outer fwd and the per-segment remat)."""
+    alpha, norm = carry
+    obs_f, t = inp
+    obs_s = obs_f[:, g.state_pdf]                         # [B, Sp]
+    new_alpha = _log_matvec_b(alpha, g) + obs_s
+    m2 = jnp.maximum(jnp.max(new_alpha, axis=1, keepdims=True), NEG_INF)
+    new_alpha = new_alpha - m2
+    new_norm = norm + m2[:, 0]
+    active = (t < num_frames)[:, None]
+    alpha = jnp.where(active, new_alpha, alpha)
+    norm = jnp.where(active[:, 0], new_norm, norm)
+    return alpha, norm
+
+
+def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
+    b = obs.shape[0]
+    alpha0 = _alpha_init_b(g, b, obs)
+    norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]
+    xs, ts, _ = _segmented_xs(obs, g)
+
+    def inner(carry, inp):
+        return _fwd_frame(g, num_frames, carry, inp), None
+
+    def outer(carry, inp):
+        new_carry, _ = jax.lax.scan(inner, carry, inp)
+        return new_carry, carry        # save each segment's ENTRY state
+
+    (alpha_T, norm_T), (seg_alphas, seg_norms) = jax.lax.scan(
+        outer, (alpha0, norm0), (xs, ts))
+    total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
+    logz = jax.nn.logsumexp(total, axis=1) + norm_T
+    return logz, (seg_alphas, seg_norms)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def fsa_logz_block(obs: jax.Array, graph: BlockSparseGraph,
+                   num_frames: jax.Array) -> jax.Array:
+    """log partition per batch element: [B] (block-sparse recursion)."""
+    return _logz_fwd_block(obs, graph, num_frames)[0]
+
+
+def _fsa_logz_b_fwd(obs, graph, num_frames):
+    logz, (seg_alphas, seg_norms) = _logz_fwd_block(obs, graph, num_frames)
+    return logz, (obs, num_frames, logz, seg_alphas, seg_norms)
+
+
+def _fsa_logz_b_bwd(graph, res, ct):
+    obs, num_frames, logz, seg_alphas, seg_norms = res
+    gamma = _occupancies_block(obs, graph, num_frames, logz, seg_alphas,
+                               seg_norms)
+    return (ct[:, None, None] * gamma, None)
+
+
+def _recompute_segment(g: BlockSparseGraph, num_frames, alpha_in, norm_in,
+                       obs_seg, ts_seg):
+    """Re-run one segment's alpha recursion, saving every frame's POST-frame
+    (alpha, norm) — the [C, B, Sp] transient the remat trades FLOPs for."""
+
+    def inner(carry, inp):
+        new = _fwd_frame(g, num_frames, carry, inp)
+        return new, new
+
+    _, (alphas, norms) = jax.lax.scan(inner, (alpha_in, norm_in),
+                                      (obs_seg, ts_seg))
+    return alphas, norms
+
+
+def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
+                       seg_alphas, seg_norms):
+    """gamma [B, T, P]: recompute alphas per segment, run beta backwards."""
+    b, t_len, p_dim = obs.shape
+    xs, ts, n_seg = _segmented_xs(obs, g)
+    beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
+             + 0.0 * seg_alphas[0])
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * seg_norms[0]
+
+    def bwd_frame(carry, inp):
+        beta, bnorm = carry
+        obs_f, alpha_t, anorm_t, t = inp
+        obs_s = obs_f[:, g.state_pdf]
+        log_gamma = (alpha_t + anorm_t[:, None] + beta + bnorm[:, None]
+                     - logz[:, None])
+        gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_s = jnp.where(active, gamma_s, 0.0)
+        y = obs_s + beta
+        m = jnp.maximum(jnp.max(y, axis=1, keepdims=True), NEG_INF)
+        new_beta = _log_matvec_b(y - m, g, transpose=True) + m
+        m2 = jnp.maximum(jnp.max(new_beta, axis=1, keepdims=True), NEG_INF)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        beta = jnp.where(active, new_beta_n, beta)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bnorm), gamma_s
+
+    def outer(carry, inp):
+        beta, bnorm = carry
+        obs_seg, ts_seg, alpha_in, norm_in = inp
+        alphas, norms = _recompute_segment(g, num_frames, alpha_in, norm_in,
+                                           obs_seg, ts_seg)
+        (beta, bnorm), gammas_s = jax.lax.scan(
+            bwd_frame, (beta, bnorm), (obs_seg, alphas, norms, ts_seg),
+            reverse=True)
+        # state -> pdf scatter per segment, outside the frame scan (parallel
+        # in C; [C, B, Sp] never leaves this segment's scope)
+        c = gammas_s.shape[0]
+        gam = jax.vmap(lambda row: jax.ops.segment_sum(
+            row, g.state_pdf, num_segments=p_dim))(
+                gammas_s.reshape(c * b, g.num_padded)).reshape(c, b, p_dim)
+        return (beta, bnorm), gam
+
+    _, gammas = jax.lax.scan(outer, (beta0, bnorm0),
+                             (xs, ts, seg_alphas, seg_norms), reverse=True)
+    gam = gammas.reshape(n_seg * g.seg_len, b, p_dim)[:t_len]
+    return jnp.swapaxes(gam, 0, 1)
+
+
+fsa_logz_block.defvjp(_fsa_logz_b_fwd, _fsa_logz_b_bwd)
+
+
+def fsa_occupancies_block(obs, graph: BlockSparseGraph, num_frames):
+    logz, (seg_alphas, seg_norms) = _logz_fwd_block(obs, graph, num_frames)
+    gamma = _occupancies_block(obs, graph, num_frames, logz, seg_alphas,
+                               seg_norms)
+    return logz, gamma
+
+
+# ---------------------------------------------------------------------------
+# Expected accuracy (sMBR / MPE) in block-sparse form — the fb_dense
+# factorization (accuracy sits on the destination state) with block matvecs
+# and the same segmented remat.
+# ---------------------------------------------------------------------------
+
+
+def _state_labels_b(g: BlockSparseGraph, level: str):
+    if level == "pdf":
+        return g.state_pdf
+    if level == "phone":
+        if g.state_phone is None:
+            raise ValueError("graph has no phone labels; cannot do "
+                             "phone-level accuracy")
+        return g.state_phone
+    raise ValueError(level)
+
+
+def _smbr_fwd_frame(g, lab, level, silence, num_frames, carry, inp):
+    alpha, aacc, norm = carry
+    obs_f, ref_t, t = inp
+    obs_s = obs_f[:, g.state_pdf]
+    ea = jnp.exp(jnp.maximum(alpha, NEG_INF))
+    denom = _block_matvec(ea, g, transpose=False)
+    numer = _block_matvec(ea * aacc, g, transpose=False)
+    a_t = frame_accuracy(lab[None, :], ref_t[:, None], level, silence)
+    new_alpha = (jnp.where(denom > 0,
+                           jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF)
+                 + obs_s)
+    new_acc = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0),
+                        0.0) + a_t
+    m2 = jnp.maximum(jnp.max(new_alpha, axis=1, keepdims=True), NEG_INF)
+    new_alpha = new_alpha - m2
+    new_norm = norm + m2[:, 0]
+    active = (t < num_frames)[:, None]
+    alpha = jnp.where(active, new_alpha, alpha)
+    aacc = jnp.where(active, new_acc, aacc)
+    norm = jnp.where(active[:, 0], new_norm, norm)
+    return alpha, aacc, norm
+
+
+def _smbr_fwd_block(obs, g: BlockSparseGraph, ref, num_frames, level,
+                    silence=None):
+    b = obs.shape[0]
+    lab = _state_labels_b(g, level)
+    alpha0 = _alpha_init_b(g, b, obs)
+    acc0 = jnp.zeros((b, g.num_padded), jnp.float32) + 0.0 * alpha0
+    norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]
+    xs, ts, n_seg = _segmented_xs(obs, g)
+    c = g.seg_len
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    tp = n_seg * c
+    if tp > ref_t.shape[0]:
+        ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
+                        constant_values=-1)
+    refs = ref_t.reshape(n_seg, c, b)
+
+    def inner(carry, inp):
+        return _smbr_fwd_frame(g, lab, level, silence, num_frames,
+                               carry, inp), None
+
+    def outer(carry, inp):
+        new_carry, _ = jax.lax.scan(inner, carry, inp)
+        return new_carry, carry
+
+    (alpha_T, acc_T, norm_T), segs = jax.lax.scan(
+        outer, (alpha0, acc0, norm0), (xs, refs, ts))
+    total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
+    w = jax.nn.softmax(total, axis=1)
+    f = jnp.sum(w * acc_T, axis=1)
+    logz = jax.nn.logsumexp(total, axis=1) + norm_T
+    return f, segs + (logz, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def fsa_expected_accuracy_block(obs, graph: BlockSparseGraph, ref, num_frames,
+                                level: str = "pdf",
+                                silence: Optional[SilenceOpts] = None):
+    """E[#correct frames] under the graph posterior: [B] (block form).
+
+    ``silence`` applies Kaldi's MpeVariants silence-phone rules."""
+    f, _ = _smbr_fwd_block(obs, graph, ref, num_frames, level, silence)
+    return f
+
+
+def _smbr_b_fwd(obs, graph, ref, num_frames, level, silence):
+    f, res = _smbr_fwd_block(obs, graph, ref, num_frames, level, silence)
+    return f, (obs, ref, num_frames) + res
+
+
+def _smbr_b_bwd(graph, level, silence, res, ct):
+    g = graph
+    (obs, ref, num_frames, seg_alphas, seg_aaccs, seg_norms, logz, f) = res
+    b, t_len, p_dim = obs.shape
+    lab = _state_labels_b(g, level)
+    xs, ts, n_seg = _segmented_xs(obs, g)
+    c = g.seg_len
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    tp = n_seg * c
+    if tp > ref_t.shape[0]:
+        ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
+                        constant_values=-1)
+    refs = ref_t.reshape(n_seg, c, b)
+    beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
+             + 0.0 * seg_alphas[0])
+    bacc0 = jnp.zeros((b, g.num_padded), jnp.float32) + 0.0 * seg_alphas[0]
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * seg_norms[0]
+
+    def bwd_frame(carry, inp):
+        beta, bacc, bnorm = carry
+        obs_f, ref_f, alpha_t, aacc_t, anorm_t, t = inp
+        obs_s = obs_f[:, g.state_pdf]
+        log_gamma = (alpha_t + anorm_t[:, None] + beta + bnorm[:, None]
+                     - logz[:, None])
+        gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_s = jnp.where(active, gamma_s, 0.0)
+        contrib = gamma_s * (aacc_t + bacc - f[:, None])
+        a_t = frame_accuracy(lab[None, :], ref_f[:, None], level, silence)
+        y_log = obs_s + beta
+        m = jnp.maximum(jnp.max(y_log, axis=1, keepdims=True), NEG_INF)
+        y = jnp.exp(y_log - m)
+        denom = _block_matvec(y, g, transpose=True)
+        numer = _block_matvec(y * (a_t + bacc), g, transpose=True)
+        new_beta = (jnp.where(denom > 0,
+                              jnp.log(jnp.where(denom > 0, denom, 1.0)),
+                              NEG_INF) + m)
+        new_bacc = jnp.where(denom > 0,
+                             numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.maximum(jnp.max(new_beta, axis=1, keepdims=True), NEG_INF)
+        new_beta_n = new_beta - m2
+        new_bnorm = bnorm + m2[:, 0]
+        beta = jnp.where(active, new_beta_n, beta)
+        bacc = jnp.where(active, new_bacc, bacc)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (beta, bacc, bnorm), contrib
+
+    def recompute(alpha_in, acc_in, norm_in, obs_seg, refs_seg, ts_seg):
+        def inner(carry, inp):
+            new = _smbr_fwd_frame(g, lab, level, silence, num_frames,
+                                  carry, inp)
+            return new, new
+
+        _, saved = jax.lax.scan(inner, (alpha_in, acc_in, norm_in),
+                                (obs_seg, refs_seg, ts_seg))
+        return saved
+
+    def outer(carry, inp):
+        beta, bacc, bnorm = carry
+        obs_seg, refs_seg, ts_seg, alpha_in, acc_in, norm_in = inp
+        alphas, aaccs, norms = recompute(alpha_in, acc_in, norm_in,
+                                         obs_seg, refs_seg, ts_seg)
+        (beta, bacc, bnorm), contribs = jax.lax.scan(
+            bwd_frame, (beta, bacc, bnorm),
+            (obs_seg, refs_seg, alphas, aaccs, norms, ts_seg), reverse=True)
+        cc = contribs.shape[0]
+        gam = jax.vmap(lambda row: jax.ops.segment_sum(
+            row, g.state_pdf, num_segments=p_dim))(
+                contribs.reshape(cc * b, g.num_padded)).reshape(cc, b, p_dim)
+        return (beta, bacc, bnorm), gam
+
+    seg_alphas_, seg_aaccs_, seg_norms_ = seg_alphas, seg_aaccs, seg_norms
+    _, grads = jax.lax.scan(
+        outer, (beta0, bacc0, bnorm0),
+        (xs, refs, ts, seg_alphas_, seg_aaccs_, seg_norms_), reverse=True)
+    grad = grads.reshape(n_seg * c, b, p_dim)[:t_len]
+    return (ct[:, None, None] * jnp.swapaxes(grad, 0, 1), None, None)
+
+
+fsa_expected_accuracy_block.defvjp(_smbr_b_fwd, _smbr_b_bwd)

@@ -117,15 +117,25 @@ def pack_graph_dense(fsa: DenseFsa) -> DenseStateGraph:
 
 def pack_graph_auto(fsa: DenseFsa, num_pdfs: Optional[int] = None,
                     max_states: int = 16384):
-    """Dense-matmul graph when possible, else arc tables.
+    """Route by state count: dense state-matmul (≤ max_states), block-sparse
+    tiles above that (ops/fb_block.py — O(nnz-blocks) MXU work, O(√T)
+    activation memory), generic arc tables as the last resort (invariant
+    violations, degenerate block structure).
 
     num_pdfs is accepted for API stability (the dense form needs only
     per-state pdfs; obs width comes from the observations themselves).
     """
     from pykaldi2_tpu.ops.fb import pack_graph
 
-    if fsa.num_states <= max_states and state_emission_pdfs(fsa) is not None:
-        return pack_graph_dense(fsa)
+    if state_emission_pdfs(fsa) is not None:
+        if fsa.num_states <= max_states:
+            return pack_graph_dense(fsa)
+        from pykaldi2_tpu.ops.fb_block import pack_graph_blocks
+
+        try:
+            return pack_graph_blocks(fsa)
+        except ValueError:
+            pass  # degenerate block structure → arc tables
     return pack_graph(fsa)
 
 

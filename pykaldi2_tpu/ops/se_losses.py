@@ -58,25 +58,33 @@ def mmi_objective(obs, ali, den_graph: GraphArrays, num_frames, mask,
 
 
 def _graph_logz(obs, graph, num_frames):
-    """Dispatch: structured bigram / dense state-matmul / generic arc tables."""
+    """Dispatch: structured bigram / dense state-matmul / block-sparse /
+    generic arc tables."""
     from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph, bigram_logz
+    from pykaldi2_tpu.ops.fb_block import BlockSparseGraph, fsa_logz_block
     from pykaldi2_tpu.ops.fb_dense import DenseStateGraph, fsa_logz_dense
 
     if isinstance(graph, BigramDenGraph):
         return bigram_logz(obs, graph, num_frames)
     if isinstance(graph, DenseStateGraph):
         return fsa_logz_dense(obs, graph, num_frames)
+    if isinstance(graph, BlockSparseGraph):
+        return fsa_logz_block(obs, graph, num_frames)
     return fsa_logz(obs, graph, num_frames)
 
 
 def _graph_occupancies(obs, graph, num_frames):
     from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph, bigram_occupancies
+    from pykaldi2_tpu.ops.fb_block import (BlockSparseGraph,
+                                           fsa_occupancies_block)
     from pykaldi2_tpu.ops.fb_dense import DenseStateGraph, fsa_occupancies_dense
 
     if isinstance(graph, BigramDenGraph):
         return bigram_occupancies(obs, graph, num_frames)
     if isinstance(graph, DenseStateGraph):
         return fsa_occupancies_dense(obs, graph, num_frames)
+    if isinstance(graph, BlockSparseGraph):
+        return fsa_occupancies_block(obs, graph, num_frames)
     return fsa_occupancies(obs, graph, num_frames)
 
 

@@ -153,6 +153,8 @@ def make_se_train_step(
     """
     from pykaldi2_tpu.ops.se_losses import acoustic_scores, mmi_objective
     from pykaldi2_tpu.ops.fb import fsa_expected_accuracy
+    from pykaldi2_tpu.ops.fb_block import (BlockSparseGraph,
+                                           fsa_expected_accuracy_block)
     from pykaldi2_tpu.ops.fb_dense import DenseStateGraph, fsa_expected_accuracy_dense
 
     from pykaldi2_tpu.ops.fb_bigram import BigramDenGraph, bigram_expected_accuracy
@@ -191,6 +193,8 @@ def make_se_train_step(
                     acc_fn = bigram_expected_accuracy
                 elif isinstance(den_graph, DenseStateGraph):
                     acc_fn = fsa_expected_accuracy_dense
+                elif isinstance(den_graph, BlockSparseGraph):
+                    acc_fn = fsa_expected_accuracy_block
                 else:
                     acc_fn = fsa_expected_accuracy
                 obj_rows = acc_fn(obs, den_graph, jnp.maximum(ref, 0), nf,

@@ -128,9 +128,12 @@ def test_pack_graph_auto_fallbacks():
     mixed = DenseFsa(2, src, dst, pdf, w, final, 0).validate()
     assert state_emission_pdfs(mixed) is None
     assert isinstance(pack_graph_auto(mixed), GraphArrays)
-    # size gate → arc tables
+    # size gate → block-sparse middle path (arc tables only for invariant
+    # violations / degenerate block structure — test_fb_block.py)
+    from pykaldi2_tpu.ops.fb_block import BlockSparseGraph
+
     big = _state_graph(0, num_states=64, num_arcs=256)
-    assert isinstance(pack_graph_auto(big, max_states=32), GraphArrays)
+    assert isinstance(pack_graph_auto(big, max_states=32), BlockSparseGraph)
     assert isinstance(pack_graph_auto(big), DenseStateGraph)
 
 
