@@ -59,6 +59,16 @@ CHECK_FLOORS = {
     # worst-case on-the-fly shape B=32/T=448/K=A=256/P=8952 (BASELINE.md r2
     # session-2: 277 ms/step ≈ 42 utt/s)
     "lat_mmi": 37.0,
+    # FULL on-the-fly SE step with the ON-DEVICE decoder (forward + batched
+    # beam search over the 79k-arc den HCLG + banded train step; VERDICT r2
+    # item 1): measured r3 2.70 s/batch at B=32/T=448 = 4.3 utt/s. NOTE:
+    # ~18 min compile through the remote tunnel — excluded from the plain
+    # bench JSON extras for that reason, guarded here only.
+    "dev_otf": 3.5,
+    # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
+    # (ops/fb_block.py; measured r3 447 ms/step = 11.6 utt/s = 2.1x the
+    # arc tables, which OOM outright at B=16/T=300)
+    "block_fb": 9.0,
 }
 
 
@@ -95,6 +105,7 @@ def _dispatch(args):
             ("blstmp", lambda: _measure_ce("blstm", 64, proj_size=512)),
             ("dense_fb", _measure_dense_fb),
             ("lat_mmi", _measure_banded_lattice),
+            ("block_fb", _measure_block_fb),
         ):
             try:
                 extras[name] = round(fn(), 3)
@@ -127,6 +138,8 @@ def _dispatch(args):
         "smbr": _measure_mmi(criterion="smbr"),
         "dense_fb": _measure_dense_fb(),
         "lat_mmi": _measure_banded_lattice(),
+        "block_fb": _measure_block_fb(),
+        "dev_otf": _measure_device_otf(),
     }
     ok = True
     for name, got in results.items():

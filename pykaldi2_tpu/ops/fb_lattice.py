@@ -177,9 +177,28 @@ def _alpha0_ts(lat: TimeSyncLattice, b, like):
     return a + 0.0 * jnp.sum(like * 0.0)
 
 
+def _active_ts(lat: TimeSyncLattice, t_len, num_frames):
+    ts = jnp.arange(t_len)
+    return (ts[:, None] < num_frames[None, :]).astype(jnp.float32)[:, :, None]
+
+
 def _logz_fwd_ts(obs, lat: TimeSyncLattice, num_frames):
     b, t_len, _p = obs.shape
     k = lat.num_slots
+
+    from pykaldi2_tpu.ops.fb_lattice_pallas import make_logz_fwd, use_pallas_latfb
+
+    if use_pallas_latfb(b, k, lat.src.shape[2]):
+        # fused Mosaic step: VMEM-resident alpha carry, one kernel per frame
+        # instead of the scan's per-iteration dispatch chain (VERDICT r2
+        # item 6); identical math/masking as the scan below
+        alphas, norms = make_logz_fwd(k)(
+            _obs_arcs_ts(obs, lat),
+            jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+            jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames))
+        total = jnp.maximum(alphas[-1] + lat.final, NEG_INF)
+        logz = jax.nn.logsumexp(total, axis=1) + norms[-1]
+        return logz, (alphas, norms)
 
     def step(carry, inp):
         alpha, norm = carry
@@ -236,6 +255,22 @@ def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
     bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
     alpha_prev = jnp.concatenate([_alpha0_ts(lat, b, obs)[None], alphas[:-1]], axis=0)
     anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
+
+    from pykaldi2_tpu.ops.fb_lattice_pallas import (make_occupancies_bwd,
+                                                    use_pallas_latfb)
+
+    if use_pallas_latfb(b, k, lat.src.shape[2]):
+        gammas_arc = make_occupancies_bwd(k)(
+            _obs_arcs_ts(obs, lat),
+            jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+            jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames),
+            alpha_prev, anorm_prev[:, :, None], lat.final, logz[:, None])
+        a_dim = gammas_arc.shape[2]
+        gammas = _seg_sum_slots(
+            gammas_arc.reshape(t_len * b, a_dim),
+            jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
+            p_dim).reshape(t_len, b, p_dim)
+        return jnp.swapaxes(gammas, 0, 1)
 
     def step(carry, inp):
         beta, bnorm = carry

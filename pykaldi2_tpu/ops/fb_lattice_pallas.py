@@ -1,0 +1,201 @@
+"""Pallas kernels for the banded time-synchronous lattice FB (MMI path).
+
+VERDICT r2 item 6 / weak #4: the banded kernels' per-step work — a slot
+gather, an exp, and a segment-sum over the [B, A] arc band — is tiny
+(B=32, A=K=256 ⇒ ~50k elements), so the XLA scan pays per-iteration op
+DISPATCH latency, not compute: the fwd+grad measured 277 ms at the
+worst-case on-the-fly shape. These kernels fuse each step into one Mosaic
+program with the alpha/beta carries resident in VMEM across the grid
+(the ``ops/lstm_pallas.py`` sequence-kernel pattern: TPU grid steps run
+sequentially and scratch persists), so a step costs a single kernel
+invocation streaming only the [B, A] band blocks.
+
+Covers the logZ forward and the occupancy backward that
+``fb_lattice.lattice_logz_ts`` / ``mmi_objective_lattice_ts`` consume
+(the MMI on-the-fly hot path); the sMBR/MPE expected-accuracy scans keep
+the XLA path. Gating: ``PK2_PALLAS_LATFB=1`` opt-in ONLY — fb_lattice.py
+consults ``use_pallas_latfb`` per call and silently falls back for
+unsupported shapes (B % 8, K/A % 128).
+
+STATUS (round 3, probed on-chip): **defaults OFF — the kernels are
+interpret-verified groundwork, blocked on this image's Mosaic lowering.**
+On the real chip (Mosaic via the axon remote-compile tunnel):
+``take_along_axis`` along lanes fails to compile; ``.at[].add`` scatter,
+``dynamic_slice`` with a traced lane offset, and ``optimization_barrier``
+are "Unimplemented primitive"; batched one-hot einsums
+(``'bak,bk->ba'`` gather, ``'bka,ba->bk'`` scatter) each compile ALONE
+but any elementwise op consuming a dot result trips "only constant
+accumulators supported"; and a pallas-call-in-scan compile takes ~10 min
+through the tunnel, making further iteration uneconomical this round.
+The XLA scan reference for the fused gather+exp+scatter step measures
+101 ms / 448 frames on chip, so the headroom a working kernel buys is
+bounded (~0.2 ms/frame of dispatch latency per scan). Revisit on a
+newer Mosaic.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.lstm_pallas import _match_vma, _sds
+
+
+def use_pallas_latfb(b: int, k: int, a: int) -> bool:
+    env = os.environ.get("PK2_PALLAS_LATFB")
+    if env is not None and env not in ("0", "1"):
+        raise ValueError(f"PK2_PALLAS_LATFB={env!r}: expected 0 or 1")
+    # opt-in only: the kernels do not lower on this image's Mosaic (see
+    # module docstring); interpret-mode tests keep them correct meanwhile
+    enabled = env == "1"
+    return (enabled and b % 8 == 0 and k % 128 == 0 and a % 128 == 0
+            # carries + one band block comfortably inside VMEM
+            and (4 * b * (2 * k + 4 * a) + 8 * b) < 8 * 1024 * 1024)
+
+
+def _gather_slots(vals, idx):
+    """vals [B, K] f32, idx [B, A] int32 → vals[b, idx[b, a]]."""
+    return jnp.take_along_axis(vals, idx, axis=1)
+
+
+def _scatter_add_slots(vals, idx, k):
+    """vals [B, A] f32, idx [B, A] → [B, K] segment sum per row."""
+    b = vals.shape[0]
+    bi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
+    return jnp.zeros((b, k), jnp.float32).at[bi, idx].add(vals)
+
+
+# ---------------------------------------------------------------------------
+# forward: alpha recursion (logZ residuals)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref,
+                alphas_ref, norms_ref, alpha_s, norm_s, *, k):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, alpha_s.shape, 1)
+        alpha_s[:] = jnp.where(lane == 0, 0.0, NEG_INF)
+        norm_s[:] = jnp.zeros_like(norm_s)
+
+    alpha = alpha_s[:]                                   # [B, K]
+    score = (_gather_slots(alpha, src_ref[0]) + w_ref[0] + obs_ref[0])
+    mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+    lin = jnp.exp(score - mx)
+    summed = _scatter_add_slots(lin, dst_ref[0], k)
+    new_alpha = jnp.where(summed > 0,
+                          jnp.log(jnp.where(summed > 0, summed, 1.0)),
+                          NEG_INF) + mx
+    m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+    new_alpha = new_alpha - m2
+    act = act_ref[0]                                     # [B, 1]
+    alpha_s[:] = act * new_alpha + (1.0 - act) * alpha
+    norm_s[:] = norm_s[:] + act * m2
+    alphas_ref[0] = alpha_s[:]
+    norms_ref[0] = norm_s[:]
+
+
+def make_logz_fwd(k: int):
+    """obs_arc/w [T,B,A] f32, src/dst [T,B,A] i32, active [T,B,1] f32 →
+    (alphas [T,B,k], norms [T,B]); k = the lattice's slot count."""
+    def run(obs_arc, src, dst, w, active):
+        obs_arc, src, dst, w, active = _match_vma(obs_arc, src, dst, w, active)
+        t_len, b, a = obs_arc.shape
+        io = lambda t: (t, 0, 0)
+        alphas, norms = pl.pallas_call(
+            functools.partial(_fwd_kernel, k=k),
+            grid=(t_len,),
+            in_specs=[pl.BlockSpec((1, b, a), io, memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec((1, b, 1), io, memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((1, b, k), io, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 1), io, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                _sds((t_len, b, k), jnp.float32, obs_arc),
+                _sds((t_len, b, 1), jnp.float32, obs_arc),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, 1), jnp.float32),
+            ],
+        )(obs_arc, src, dst, w, active)
+        return alphas, norms[:, :, 0]
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# backward: beta recursion + per-arc occupancies
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref, aprev_ref,
+                anorm_ref, final_ref, logz_ref, gamma_ref, beta_s, bnorm_s,
+                *, k):
+    t = pl.program_id(0)  # reversed via index maps
+
+    @pl.when(t == 0)
+    def _():
+        beta_s[:] = final_ref[:]
+        bnorm_s[:] = jnp.zeros_like(bnorm_s)
+
+    beta = beta_s[:]
+    bnorm = bnorm_s[:]
+    obs_w = w_ref[0] + obs_ref[0]
+    beta_dst = _gather_slots(beta, dst_ref[0])
+    score = obs_w + beta_dst
+    mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+    lin = jnp.exp(score - mx)
+    summed = _scatter_add_slots(lin, src_ref[0], k)
+    new_beta = jnp.where(summed > 0,
+                         jnp.log(jnp.where(summed > 0, summed, 1.0)),
+                         NEG_INF) + mx
+    m2 = jnp.max(new_beta, axis=1, keepdims=True)
+    new_beta_n = new_beta - m2
+    log_gamma = (_gather_slots(aprev_ref[0], src_ref[0]) + anorm_ref[0]
+                 + obs_w + beta_dst + bnorm - logz_ref[:])
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+    act = act_ref[0]
+    gamma_ref[0] = act * gamma
+    beta_s[:] = act * new_beta_n + (1.0 - act) * beta
+    bnorm_s[:] = bnorm + act * m2
+
+
+def make_occupancies_bwd(k: int):
+    def run(obs_arc, src, dst, w, active, alpha_prev, anorm_prev, final, logz):
+        """→ gamma_arc [T, B, A] (per-arc posteriors; pdf scatter outside)."""
+        (obs_arc, src, dst, w, active, alpha_prev, anorm_prev, final,
+         logz) = _match_vma(obs_arc, src, dst, w, active, alpha_prev,
+                           anorm_prev, final, logz)
+        t_len, b, a = obs_arc.shape
+        rev = lambda t: (t_len - 1 - t, 0, 0)
+        fin = lambda t: (0, 0)
+        (gamma,) = pl.pallas_call(
+            functools.partial(_bwd_kernel, k=k),
+            grid=(t_len,),
+            in_specs=[pl.BlockSpec((1, b, a), rev, memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((1, b, k), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((b, k), fin, memory_space=pltpu.VMEM),
+               pl.BlockSpec((b, 1), fin, memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((1, b, a), rev, memory_space=pltpu.VMEM)],
+            out_shape=[_sds((t_len, b, a), jnp.float32, obs_arc)],
+            scratch_shapes=[
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, 1), jnp.float32),
+            ],
+        )(obs_arc, src, dst, w, active, alpha_prev, anorm_prev, final, logz)
+        return gamma
+
+    return run
