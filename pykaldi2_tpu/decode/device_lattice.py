@@ -181,7 +181,6 @@ def device_lattice_generate(
     alpha0 = jnp.full((b, S), NEG_INF, jnp.float32).at[:, g.start].set(0.0)
     slot0 = jnp.full((b, S), -1, jnp.int32).at[:, g.start].set(0)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, K), 1)
-    w_flat = g.in_w.reshape(-1)                                   # [S*D]
 
     def step(carry, inp):
         alpha, slot_prev = carry
@@ -198,11 +197,18 @@ def device_lattice_generate(
         vals, idx = jax.lax.top_k(new_alpha, K)                   # [B, K]
         # search frontier: top-K within the search beam shapes the alpha
         # recursion; lattice nodes are the subset within lattice_beam of
-        # the frame best (host decoder: latdec_search's per-frame rule)
+        # the frame best (host decoder: latdec_search's per-frame rule).
+        # The alpha cutoff applies as a DENSE threshold (min of beam and
+        # the Kth-best value) rather than a scatter of the top-K — ties at
+        # the Kth value then survive, exactly like the host's inclusive
+        # nth-element cutoff, and the [B, S] scatter (plus its layout
+        # copies) disappears from the scan.
         keep_k = (vals >= best[:, None] - beam) & (vals > 0.5 * NEG_INF)
         emit_k = keep_k & (vals >= best[:, None] - lattice_beam)
-        alpha_next = (jnp.full((b, S), NEG_INF, jnp.float32)
-                      .at[bi, idx].set(jnp.where(keep_k, vals, NEG_INF)))
+        cutoff = jnp.maximum(best - beam,
+                             jnp.where(keep_k[:, K - 1], vals[:, K - 1],
+                                       best - beam))[:, None]
+        alpha_next = jnp.where(new_alpha >= cutoff, new_alpha, NEG_INF)
         slot_cur = (jnp.full((b, S), -1, jnp.int32)
                     .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
         # link candidates, dense: all S*D arcs scored at once; kept within
@@ -214,20 +220,27 @@ def device_lattice_generate(
         keep_e = ((link_score >= new_alpha[:, :, None] - lattice_beam)
                   & (link_score > 0.5 * NEG_INF)
                   & (slot_cur[:, :, None] >= 0) & (src_slot >= 0) & active)
-        # band compaction: ONE exact top_k over the S*D arc scores (best
-        # links first — overflow drops the worst, counted in `dropped`)
-        keys = jnp.where(keep_e, link_score, NEG_INF).reshape(b, S * D)
-        kvals, kidx = jax.lax.top_k(keys, A)                      # [B, A]
+        # band compaction in the K*D frontier domain: a top_k over the full
+        # S*D scores lowers to multi-stage sorts + shard DMAs (~6 ms/frame
+        # traced) — instead gather the frontier rows of the dense arrays
+        # ([B, K, D] outputs; the only dynamic-index gathers on big inputs)
+        # and run the exact top_k at n = K*D (~0.1 ms). Overflow drops the
+        # worst links, counted in `dropped`.
+        i3 = idx[:, :, None]
+        score_kd = jnp.take_along_axis(
+            jnp.where(keep_e, link_score, NEG_INF), i3, axis=1)   # [B, K, D]
+        srcslot_kd = jnp.take_along_axis(src_slot, i3, axis=1)
+        w_kd = jnp.take(g.in_w, idx, axis=0)                      # [B, K, D]
+        kvals, kidx = jax.lax.top_k(score_kd.reshape(b, K * D), A)
         valid = kvals > 0.5 * NEG_INF
-        dst_state = jnp.minimum(kidx // D, S - 1)
-        # two-level small lookup instead of gathering from the [B, S*D]
-        # src_slot array (dynamic gathers scale with INPUT size on TPU):
-        # constant-table arc→src-state, then [B, S]-input slot lookup
-        src_state = g.in_src.reshape(-1)[kidx]                    # [B, A]
-        e_src = jnp.where(valid, slot_prev[bi, src_state], 0)
-        e_dst = jnp.where(valid, slot_cur[bi, dst_state], 0)
-        e_pdf = jnp.where(valid, g.state_pdf[dst_state], 0)
-        e_w = jnp.where(valid, w_flat[kidx], NEG_INF)
+        e_src = jnp.where(valid,
+                          jnp.take_along_axis(
+                              srcslot_kd.reshape(b, K * D), kidx, axis=1), 0)
+        e_dst = jnp.where(valid, kidx // D, 0)      # dst slot == frontier pos
+        e_pdf = jnp.where(valid, g.state_pdf[idx][bi, kidx // D], 0)
+        e_w = jnp.where(valid,
+                        jnp.take_along_axis(w_kd.reshape(b, K * D),
+                                            kidx, axis=1), NEG_INF)
         dropped_t = jnp.maximum(
             jnp.sum(keep_e.astype(jnp.int32), axis=(1, 2)) - A, 0)
         act1 = active[:, :, 0]

@@ -212,6 +212,93 @@ def test_two_process_train_se_on_the_fly(tmp_path):
     assert shas[0] == shas[1], "ranks diverged: params differ after SE training"
 
 
+_SE_DEVICE_WORKER = r"""
+import hashlib, json, os, sys
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+rank = int(sys.argv[1])
+coord = sys.argv[2]
+exp_dir = sys.argv[3]
+cfg = sys.argv[4]
+
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=rank)
+assert jax.process_count() == 2
+
+from pykaldi2_tpu.bin.train_se import main
+rc = main(["-config", cfg, "-exp_dir", exp_dir, "-multihost",
+           "-criterion", "mmi", "-on_the_fly", "-decoder", "device"])
+assert rc == 0
+
+import numpy as np
+h = hashlib.sha256()
+with np.load(os.path.join(exp_dir, "model.1.npz")) as z:
+    for k in sorted(z.files):
+        if k.startswith("['params']"):
+            h.update(np.ascontiguousarray(z[k]).tobytes())
+print(json.dumps({"rank": rank, "sha": h.hexdigest()}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_train_se_device_decoder(tmp_path):
+    """-on_the_fly -decoder device across 2 real processes: the search runs
+    as ONE global jitted program over the 4-device mesh (K/A paddings are
+    static, so only the frame axis T needs the allgather equalization
+    before the forward — train_se.py run_step's den_b-is-None branch)."""
+    paths = make_toy_corpus(str(tmp_path / "corpus"), num_utts=9, num_pdfs=5,
+                            min_sec=0.4, max_sec=1.2, seed=13)
+    import yaml
+    cfg = {
+        "model": {"type": "lstm", "hidden_size": 16, "num_layers": 1,
+                  "output_size": 5, "compute_dtype": "float32"},
+        "optimizer": {"type": "momentum", "lr": 0.01, "momentum": 0.9},
+        "trainer": {"batch_size": 2, "num_epochs": 2, "log_interval": 1,
+                    "mesh_shape": {"data": 4},
+                    "bucket_boundaries": [60, 130],
+                    "beam": 16.0, "lattice_beam": 8.0, "max_active": 64},
+        "data": {"wav_scp": paths["wav_scp"], "label_ark": paths["ali"],
+                 "feat": {"fbank": {"mel_opts": {"num_bins": 16}}}},
+    }
+    cfg_path = tmp_path / "se_dev.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    worker = tmp_path / "se_dev_worker.py"
+    worker.write_text(_SE_DEVICE_WORKER)
+    port = _free_port()
+    coord = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PK2_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    procs = []
+    for rank in range(2):
+        exp = tmp_path / f"exp_rank{rank}"
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(rank), coord, str(exp),
+             str(cfg_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost device-decoder SE run deadlocked (>600s)")
+        assert p.returncode == 0, f"rank failed:\nstdout:{out}\nstderr:{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    shas = {o["rank"]: o["sha"] for o in outs}
+    assert shas[0] == shas[1], "ranks diverged: params differ after SE training"
+
+
 _SE_FIXED_WORKER = r"""
 import hashlib, json, os, sys
 
