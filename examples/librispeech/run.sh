@@ -34,8 +34,9 @@ if [ "$stage" -le 3 ]; then
   ce_final=$(ls -v exp/ce/model.*.npz | tail -1)
   python -m pykaldi2_tpu.bin.train_se -config se.yaml -data data.yaml \
     -exp_dir exp/se_mmi -seed_model "$ce_final" -criterion mmi
-  # reference-style on-the-fly denominator lattices instead:
-  #   ... -on_the_fly -beam 16 -lattice_beam 8
+  # reference-style on-the-fly denominator lattices instead (the beam
+  # search runs ON the TPU; -decoder host uses the native C++ decoder):
+  #   ... -on_the_fly -decoder device -beam 16 -lattice_beam 8
   # sMBR: ... -criterion smbr ; MPE: ... -criterion mpfe
 fi
 

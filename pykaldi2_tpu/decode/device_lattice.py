@@ -211,38 +211,43 @@ def device_lattice_generate(
         alpha_next = jnp.where(new_alpha >= cutoff, new_alpha, NEG_INF)
         slot_cur = (jnp.full((b, S), -1, jnp.int32)
                     .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
-        # link candidates, dense: all S*D arcs scored at once; kept within
-        # lattice_beam of the dst state's (pre-prune) best, endpoints on
-        # emitted lattice nodes (emitted ⇔ a slot was assigned)
-        link_score = relax_all + obs_s[:, :, None]                # [B, S, D]
-        src_slot = slot_prev[:, g.in_src.reshape(-1)].reshape(b, S, D)
+        # link candidates: a SECOND relaxation over the emitted-masked alpha
+        # (another constant-index gather — nearly free) makes links from
+        # unemitted sources NEG_INF by construction, so the src-slot test,
+        # and with it the [B, S, D] keep_e array and two of the three big
+        # dynamic gathers of the earlier formulation, vanish: ONE dynamic
+        # [B, K, D] gather (the score compaction into the frontier domain)
+        # is all that touches data-dependent indices on big shapes.
+        alpha_emit = jnp.where(slot_prev >= 0, alpha, NEG_INF)
+        link_emit = (jnp.maximum(alpha_emit[:, g.in_src.reshape(-1)]
+                                 .reshape(b, S, D)
+                                 + g.in_w[None, :, :], NEG_INF)
+                     + obs_s[:, :, None])                         # [B, S, D]
         active = (t < num_frames)[:, None, None]
-        keep_e = ((link_score >= new_alpha[:, :, None] - lattice_beam)
-                  & (link_score > 0.5 * NEG_INF)
-                  & (slot_cur[:, :, None] >= 0) & (src_slot >= 0) & active)
+        i3 = idx[:, :, None]
         # band compaction in the K*D frontier domain: a top_k over the full
         # S*D scores lowers to multi-stage sorts + shard DMAs (~6 ms/frame
-        # traced) — instead gather the frontier rows of the dense arrays
-        # ([B, K, D] outputs; the only dynamic-index gathers on big inputs)
-        # and run the exact top_k at n = K*D (~0.1 ms). Overflow drops the
-        # worst links, counted in `dropped`.
-        i3 = idx[:, :, None]
-        score_kd = jnp.take_along_axis(
-            jnp.where(keep_e, link_score, NEG_INF), i3, axis=1)   # [B, K, D]
-        srcslot_kd = jnp.take_along_axis(src_slot, i3, axis=1)
-        w_kd = jnp.take(g.in_w, idx, axis=0)                      # [B, K, D]
+        # traced); the exact top_k at n = K*D is ~0.1 ms. Overflow drops
+        # the worst links, counted in `dropped`.
+        link_kd = jnp.take_along_axis(link_emit, i3, axis=1)      # [B, K, D]
+        keep_kd = ((link_kd >= vals[:, :, None] - lattice_beam)
+                   & (link_kd > 0.5 * NEG_INF)
+                   & emit_k[:, :, None] & active)
+        score_kd = jnp.where(keep_kd, link_kd, NEG_INF)
         kvals, kidx = jax.lax.top_k(score_kd.reshape(b, K * D), A)
         valid = kvals > 0.5 * NEG_INF
-        e_src = jnp.where(valid,
-                          jnp.take_along_axis(
-                              srcslot_kd.reshape(b, K * D), kidx, axis=1), 0)
-        e_dst = jnp.where(valid, kidx // D, 0)      # dst slot == frontier pos
-        e_pdf = jnp.where(valid, g.state_pdf[idx][bi, kidx // D], 0)
-        e_w = jnp.where(valid,
-                        jnp.take_along_axis(w_kd.reshape(b, K * D),
-                                            kidx, axis=1), NEG_INF)
+        # winner attributes via [B, A]-sized gathers (smallest possible
+        # dynamic-gather outputs: post-top_k, only A winners per row)
+        k_win, d_win = kidx // D, kidx % D
+        s_win = jnp.take_along_axis(idx, k_win, axis=1)           # [B, A]
+        flat_win = s_win * D + d_win
+        e_src = jnp.where(
+            valid, slot_prev[bi, g.in_src.reshape(-1)[flat_win]], 0)
+        e_dst = jnp.where(valid, k_win, 0)          # dst slot == frontier pos
+        e_pdf = jnp.where(valid, g.state_pdf[s_win], 0)
+        e_w = jnp.where(valid, g.in_w.reshape(-1)[flat_win], NEG_INF)
         dropped_t = jnp.maximum(
-            jnp.sum(keep_e.astype(jnp.int32), axis=(1, 2)) - A, 0)
+            jnp.sum(keep_kd.astype(jnp.int32), axis=(1, 2)) - A, 0)
         act1 = active[:, :, 0]
         alpha = jnp.where(act1, alpha_next, alpha)
         slot_prev = jnp.where(act1, slot_cur, slot_prev)

@@ -33,15 +33,19 @@ denominator graphs (SURVEY.md §3.2 "Kaldi lattice functions"), at loaded
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from pykaldi2_tpu.ops.fb import NEG_INF, SilenceOpts, frame_accuracy
 from pykaldi2_tpu.ops.fb_dense import _gemm_precision, state_emission_pdfs
 from pykaldi2_tpu.ops.fsa import DenseFsa
+from pykaldi2_tpu.ops.lstm_pallas import _match_vma, _sds
 
 
 class BlockSparseGraph(NamedTuple):
@@ -131,15 +135,28 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
     pair = b_src * (Sp // block) + b_dst
     uniq, pair_idx = np.unique(pair, return_inverse=True)
     nb = len(uniq)
-    if nb * block * block * 4 * 2 > max_wb_bytes:
-        raise ValueError(
-            f"block structure too dense: {nb} nonzero {block}x{block} blocks "
-            f"({nb * block * block * 8 / 1e9:.1f} GB for both orientations)")
     wb = np.zeros((nb, block, block), np.float32)
     # duplicate arcs between one state pair add in prob space (exact lse)
     np.add.at(wb, (pair_idx, src % block, dst % block), probs)
     bi = (uniq // (Sp // block)).astype(np.int32)
     bj = (uniq % (Sp // block)).astype(np.int32)
+    # the Pallas matvec writes output blocks only where a tile maps to them:
+    # block-cols with no incoming tile (in either orientation) get a zero
+    # diagonal tile so every output block is visited (kernel never leaves
+    # garbage in HBM); numerically a no-op for the XLA path too
+    nblk = Sp // block
+    miss = np.union1d(np.setdiff1d(np.arange(nblk), bj),
+                      np.setdiff1d(np.arange(nblk), bi)).astype(np.int32)
+    if len(miss):
+        bi = np.concatenate([bi, miss])
+        bj = np.concatenate([bj, miss])
+        wb = np.concatenate(
+            [wb, np.zeros((len(miss), block, block), np.float32)])
+        nb += len(miss)
+    if nb * block * block * 4 * 2 > max_wb_bytes:
+        raise ValueError(
+            f"block structure too dense: {nb} nonzero {block}x{block} blocks "
+            f"({nb * block * block * 8 / 1e9:.1f} GB for both orientations)")
     order = np.argsort(bj, kind="stable")       # segment-sum over bj
     bi, bj, wb = bi[order], bj[order], wb[order]
     t_order = np.argsort(bi, kind="stable")     # transposed: segment over bi
@@ -161,15 +178,90 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
         block=block, seg_len=seg_len, state_phone=state_phone)
 
 
+def _scan_unroll() -> int:
+    """Unroll factor for the per-frame scans. xprof (r3, B=64/T=100, 96k
+    states): >200 ms of the 444 ms grad step was per-iteration DMA latency
+    on tiny loop-invariant arrays (4x s32[nb] index vectors + 3x f32[B]
+    norm carries re-staged every frame); unrolling amortizes those fixed
+    costs across frames without changing the recursion."""
+    return int(os.environ.get("PK2_BLOCKFB_UNROLL", "4"))
+
+
+def _use_pallas_block() -> bool:
+    """Tile-streaming Pallas matvec: default on TPU, PK2_PALLAS_BLOCKFB=0/1
+    overrides (read at trace time so tests can flip it after import)."""
+    env = os.environ.get("PK2_PALLAS_BLOCKFB")
+    if env not in (None, ""):
+        if env not in ("0", "1"):
+            raise ValueError(f"PK2_PALLAS_BLOCKFB={env!r}: expected 0 or 1")
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _bmv_kernel(i_ref, j_ref, x_ref, w_ref, o_ref):
+    """One nonzero tile: o[j[n]] += x[i[n]] @ w[n]. Tiles arrive sorted by
+    output block col, so Mosaic keeps the revisited output block in VMEM and
+    writes it back to HBM exactly once, when j changes — the accumulator
+    never round-trips."""
+    n = pl.program_id(0)
+    prev = jnp.where(n == 0, -1, j_ref[jnp.maximum(n - 1, 0)])
+
+    @pl.when(j_ref[n] != prev)
+    def _zero():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    # HIGHEST, not _gemm_precision(): Mosaic's dot lowering rejects HIGH
+    # (bf16x3), and the kernel is HBM-bound — exact fp32 costs nothing here
+    o_ref[0] += jax.lax.dot_general(
+        x_ref[0], w_ref[0], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _block_matvec_pallas(lin: jax.Array, tiles: jax.Array, i_idx: jax.Array,
+                         j_idx: jax.Array, nblk: int, k: int) -> jax.Array:
+    """[B, Sp] -> [B, Sp] through the tile-streaming kernel: one grid step
+    per nonzero tile, scalar-prefetched block indices drive the x-gather and
+    the output scatter as DMAs — the [B, nb, k] intermediate and the
+    segment-sum pass of the XLA form never exist. Layout is block-major
+    ([nblk, B, k]) so the block's trailing dims are (8,128)-aligned."""
+    b = lin.shape[0]
+    nb = tiles.shape[0]
+    bp = -(-b // 8) * 8
+    x = lin.reshape(b, nblk, k)
+    if bp > b:
+        x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
+    x = jnp.swapaxes(x, 0, 1)                                 # [nblk, bp, k]
+    x, tiles, i_idx, j_idx = _match_vma(x, tiles, i_idx, j_idx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, bp, k), lambda n, i, j: (i[n], 0, 0)),
+            pl.BlockSpec((1, k, k), lambda n, i, j: (n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bp, k), lambda n, i, j: (j[n], 0, 0)),
+    )
+    out = pl.pallas_call(
+        _bmv_kernel,
+        grid_spec=grid_spec,
+        out_shape=_sds((nblk, bp, k), jnp.float32, x),
+    )(i_idx, j_idx, x, tiles)
+    return jnp.swapaxes(out, 0, 1)[:b].reshape(b, nblk * k)
+
+
 def _block_matvec(lin: jax.Array, g: BlockSparseGraph,
                   transpose: bool) -> jax.Array:
-    """[B, Sp] nonneg linear values -> lin @ W (or @ W^T): gather block rows,
+    """[B, Sp] nonneg linear values -> lin @ W (or @ W^T). Pallas path: tile
+    streaming with in-VMEM output accumulation. XLA path: gather block rows,
     batched [B,k]x[k,k] GEMM per tile, segment-sum into block cols."""
     b = lin.shape[0]
     k, nblk = g.block, g.num_padded // g.block
-    xb = lin.reshape(b, nblk, k)
     i_idx, j_idx, tiles = ((g.bit, g.bjt, g.wbt) if transpose
                            else (g.bi, g.bj, g.wb))
+    if _use_pallas_block():
+        return _block_matvec_pallas(lin, tiles, i_idx, j_idx, nblk, k)
+    xb = lin.reshape(b, nblk, k)
     x = jnp.take(xb, i_idx, axis=1)                           # [B, nb, k]
     y = jnp.einsum("bnk,nkl->bnl", x, tiles,
                    precision=_gemm_precision())               # [B, nb, k]
@@ -230,7 +322,8 @@ def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
         return _fwd_frame(g, num_frames, carry, inp), None
 
     def outer(carry, inp):
-        new_carry, _ = jax.lax.scan(inner, carry, inp)
+        new_carry, _ = jax.lax.scan(inner, carry, inp,
+                                    unroll=_scan_unroll())
         return new_carry, carry        # save each segment's ENTRY state
 
     (alpha_T, norm_T), (seg_alphas, seg_norms) = jax.lax.scan(
@@ -269,7 +362,8 @@ def _recompute_segment(g: BlockSparseGraph, num_frames, alpha_in, norm_in,
         return new, new
 
     _, (alphas, norms) = jax.lax.scan(inner, (alpha_in, norm_in),
-                                      (obs_seg, ts_seg))
+                                      (obs_seg, ts_seg),
+                                      unroll=_scan_unroll())
     return alphas, norms
 
 
@@ -308,7 +402,7 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
                                            obs_seg, ts_seg)
         (beta, bnorm), gammas_s = jax.lax.scan(
             bwd_frame, (beta, bnorm), (obs_seg, alphas, norms, ts_seg),
-            reverse=True)
+            reverse=True, unroll=_scan_unroll())
         # state -> pdf scatter per segment, outside the frame scan (parallel
         # in C; [C, B, Sp] never leaves this segment's scope)
         c = gammas_s.shape[0]
@@ -356,8 +450,13 @@ def _smbr_fwd_frame(g, lab, level, silence, num_frames, carry, inp):
     obs_f, ref_t, t = inp
     obs_s = obs_f[:, g.state_pdf]
     ea = jnp.exp(jnp.maximum(alpha, NEG_INF))
-    denom = _block_matvec(ea, g, transpose=False)
-    numer = _block_matvec(ea * aacc, g, transpose=False)
+    # one fused matvec over [2B] rows: the matvec is linear in its rows, so
+    # stacking (ea, ea*acc) along batch reads each tile ONCE for the
+    # denom/numer pair — halves the dominant HBM traffic of this frame
+    bsz = ea.shape[0]
+    dn = _block_matvec(jnp.concatenate([ea, ea * aacc], axis=0), g,
+                       transpose=False)
+    denom, numer = dn[:bsz], dn[bsz:]
     a_t = frame_accuracy(lab[None, :], ref_t[:, None], level, silence)
     new_alpha = (jnp.where(denom > 0,
                            jnp.log(jnp.where(denom > 0, denom, 1.0)), NEG_INF)
@@ -395,7 +494,8 @@ def _smbr_fwd_block(obs, g: BlockSparseGraph, ref, num_frames, level,
                                carry, inp), None
 
     def outer(carry, inp):
-        new_carry, _ = jax.lax.scan(inner, carry, inp)
+        new_carry, _ = jax.lax.scan(inner, carry, inp,
+                                    unroll=_scan_unroll())
         return new_carry, carry
 
     (alpha_T, acc_T, norm_T), segs = jax.lax.scan(
@@ -455,8 +555,10 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
         y_log = obs_s + beta
         m = jnp.maximum(jnp.max(y_log, axis=1, keepdims=True), NEG_INF)
         y = jnp.exp(y_log - m)
-        denom = _block_matvec(y, g, transpose=True)
-        numer = _block_matvec(y * (a_t + bacc), g, transpose=True)
+        bsz = y.shape[0]
+        dn = _block_matvec(jnp.concatenate([y, y * (a_t + bacc)], axis=0),
+                           g, transpose=True)
+        denom, numer = dn[:bsz], dn[bsz:]
         new_beta = (jnp.where(denom > 0,
                               jnp.log(jnp.where(denom > 0, denom, 1.0)),
                               NEG_INF) + m)
@@ -477,7 +579,8 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
             return new, new
 
         _, saved = jax.lax.scan(inner, (alpha_in, acc_in, norm_in),
-                                (obs_seg, refs_seg, ts_seg))
+                                (obs_seg, refs_seg, ts_seg),
+                                unroll=_scan_unroll())
         return saved
 
     def outer(carry, inp):
@@ -487,7 +590,8 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
                                          obs_seg, refs_seg, ts_seg)
         (beta, bacc, bnorm), contribs = jax.lax.scan(
             bwd_frame, (beta, bacc, bnorm),
-            (obs_seg, refs_seg, alphas, aaccs, norms, ts_seg), reverse=True)
+            (obs_seg, refs_seg, alphas, aaccs, norms, ts_seg), reverse=True,
+            unroll=_scan_unroll())
         cc = contribs.shape[0]
         gam = jax.vmap(lambda row: jax.ops.segment_sum(
             row, g.state_pdf, num_segments=p_dim))(

@@ -246,3 +246,73 @@ def test_block_mesh_parity():
         out_specs=P("data"))(obs, ali, mask, lens)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tile-streaming matvec (interpret mode on CPU; the real-TPU
+# parity/timing check is bench.py --check fb_block)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def _pallas_block(monkeypatch):
+    """Force the Pallas matvec through the interpreter on CPU."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    monkeypatch.setenv("PK2_PALLAS_BLOCKFB", "1")
+
+
+def test_pallas_matvec_matches_xla(_pallas_block, monkeypatch):
+    """The tile-streaming kernel == the gather/einsum/segment-sum form, both
+    orientations, including a batch that needs sublane padding (B=3)."""
+    from pykaldi2_tpu.ops import fb_block as FB
+
+    fsa = _state_graph(7, num_states=21, num_arcs=60)
+    g = pack_graph_blocks(fsa, block=8, seg_len=3)
+    rng = np.random.RandomState(0)
+    lin = jnp.asarray(np.abs(rng.randn(3, g.num_padded)).astype(np.float32))
+    for transpose in (False, True):
+        got = np.asarray(FB._block_matvec(lin, g, transpose))
+        monkeypatch.setenv("PK2_PALLAS_BLOCKFB", "0")
+        ref = np.asarray(FB._block_matvec(lin, g, transpose))
+        monkeypatch.setenv("PK2_PALLAS_BLOCKFB", "1")
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_block_logz_and_grad(_pallas_block):
+    """grad(logZ) through the interpreted Pallas kernels == arc tables."""
+    fsa = _state_graph(4, num_states=17, num_arcs=50)
+    rng = np.random.RandomState(41)
+    B, T, P = 2, 5, 5
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(np.array([5, 3], np.int32))
+    ref = jax.grad(lambda o: jnp.sum(fsa_logz(o, pack_graph(fsa), lens)))(obs)
+    g = pack_graph_blocks(fsa, block=8, seg_len=2)
+    got = jax.grad(lambda o: jnp.sum(fsa_logz_block(o, g, lens)))(obs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_block_expected_accuracy(_pallas_block):
+    """sMBR fused-pair matvec through the interpreted kernel == arc tables."""
+    fsa = _state_graph(6, num_states=19, num_arcs=55)
+    rng = np.random.RandomState(42)
+    B, T, P = 2, 4, 5
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    ref_lab = jnp.asarray(rng.randint(0, P, (B, T)).astype(np.int32))
+    lens = jnp.asarray(np.array([4, 2], np.int32))
+    ga = pack_graph(fsa)
+    ref = jax.grad(lambda o: jnp.sum(
+        fsa_expected_accuracy(o, ga, ref_lab, lens)))(obs)
+    g = pack_graph_blocks(fsa, block=8, seg_len=2)
+    got = jax.grad(lambda o: jnp.sum(
+        fsa_expected_accuracy_block(o, g, ref_lab, lens)))(obs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
