@@ -66,9 +66,11 @@ CHECK_FLOORS = {
     # bench JSON extras for that reason, guarded here only.
     "dev_otf": 3.5,
     # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
-    # (ops/fb_block.py; measured r3 447 ms/step = 11.6 utt/s = 2.1x the
-    # arc tables, which OOM outright at B=16/T=300)
-    "block_fb": 9.0,
+    # (ops/fb_block.py; measured r3 255 ms/step = 20.4 utt/s = 3.7x the
+    # arc tables, which OOM outright at B=16/T=300). History: 447 ms COO
+    # gather/einsum/segment-sum -> 410 ms dense-band matvec -> 255 ms
+    # band + full-save backward (no recompute pass under the HBM budget)
+    "block_fb": 18.0,
 }
 
 
@@ -438,7 +440,7 @@ def _make_chain_graph(num_chains: int = 3200, chain_len: int = 30,
     return DenseFsa(S, src, dst, pdf, np.asarray(wt, np.float32), final, 0)
 
 
-def _measure_block_fb(batch_size: int = 16, t_len: int = 300,
+def _measure_block_fb(batch_size: int = 64, t_len: int = 100,
                       arc_table_ref: bool = False) -> float:
     """grad(logZ) through the block-sparse kernels (ops/fb_block.py) on a
     ~96k-state chain graph — past the 16k-state dense cap, where only the

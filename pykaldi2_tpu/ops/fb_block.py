@@ -51,14 +51,26 @@ from pykaldi2_tpu.ops.lstm_pallas import _match_vma, _sds
 class BlockSparseGraph(NamedTuple):
     """Nonzero (k x k) tiles of the exp-space transition matrix, both
     orientations (wbt holds the transposed tiles for the beta recursion),
-    over BFS-reordered, k-padded states."""
+    over BFS-reordered, k-padded states.
 
-    bi: jax.Array          # [nb] int32 source block row of each tile
-    bj: jax.Array          # [nb] int32 destination block col (sorted by bj)
-    wb: jax.Array          # [nb, k, k] f32 e^{w}, 0 = no arc
-    bit: jax.Array         # [nb] transposed-list source block (== some bj)
-    bjt: jax.Array         # [nb] transposed-list dest block (sorted)
-    wbt: jax.Array         # [nb, k, k] transposed tiles
+    Tiles are split two ways at pack time: tiles whose block offset
+    ``bi - bj`` belongs to a small popular set live in the dense BAND
+    (``band_off``/``wband``) and are applied as static-shift einsums with
+    no dynamic indexing at all; the stragglers stay in the COO lists
+    (``bi``/``bj``/``wb``) and go through the gather + segment-sum path.
+    BFS makes compiler graphs near-block-diagonal, so the band typically
+    covers everything and the COO lists are empty ([0, k, k])."""
+
+    bi: jax.Array          # [nc] int32 source block row of each COO tile
+    bj: jax.Array          # [nc] int32 destination block col (sorted by bj)
+    wb: jax.Array          # [nc, k, k] f32 e^{w}, 0 = no arc
+    bit: jax.Array         # [nct] transposed-list source block
+    bjt: jax.Array         # [nct] transposed-list dest block (sorted)
+    wbt: jax.Array         # [nct, k, k] transposed tiles
+    band_off: tuple        # static int offsets o: out[:,j] += x[:,j+o]@Wb[j]
+    wband: jax.Array       # [|band_off|, nblk, k, k] fwd band tiles
+    band_off_t: tuple      # transposed-orientation offsets
+    wband_t: jax.Array     # [|band_off_t|, nblk, k, k]
     state_pdf: jax.Array   # [Sp] int32 (padded states -> 0, never reached)
     final: jax.Array       # [Sp] f32 log-prob, NEG_INF on pads
     start: int             # state index in the reordered space
@@ -98,10 +110,19 @@ def _bfs_order(num_states: int, src: np.ndarray, dst: np.ndarray,
 
 
 def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
-                      max_wb_bytes: int = 2 << 30) -> BlockSparseGraph:
+                      max_wb_bytes: int = 2 << 30,
+                      band_frac: float = 0.5,
+                      max_band: int = 8) -> BlockSparseGraph:
     """DenseFsa -> BlockSparseGraph. Raises ValueError when the graph
     violates the state-emission invariant or the nonzero-block count blows
-    past ``max_wb_bytes`` (callers fall back to the arc tables)."""
+    past ``max_wb_bytes`` (callers fall back to the arc tables).
+
+    ``band_frac``: a block offset joins the dense band when it holds at
+    least ``band_frac * nblk`` tiles — each band offset costs a full
+    [nblk, k, k] stream per matvec, so it pays once the offset's slots are
+    about half full (the COO path reads each tile ~2x through its gather +
+    segment-sum intermediates). ``band_frac=0`` disables banding (all-COO;
+    the representation the opt-in Pallas kernel consumes)."""
     fsa.validate()
     state_pdf = state_emission_pdfs(fsa)
     if state_pdf is None:
@@ -140,28 +161,58 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
     np.add.at(wb, (pair_idx, src % block, dst % block), probs)
     bi = (uniq // (Sp // block)).astype(np.int32)
     bj = (uniq % (Sp // block)).astype(np.int32)
-    # the Pallas matvec writes output blocks only where a tile maps to them:
-    # block-cols with no incoming tile (in either orientation) get a zero
-    # diagonal tile so every output block is visited (kernel never leaves
-    # garbage in HBM); numerically a no-op for the XLA path too
     nblk = Sp // block
-    miss = np.union1d(np.setdiff1d(np.arange(nblk), bj),
-                      np.setdiff1d(np.arange(nblk), bi)).astype(np.int32)
-    if len(miss):
-        bi = np.concatenate([bi, miss])
-        bj = np.concatenate([bj, miss])
-        wb = np.concatenate(
-            [wb, np.zeros((len(miss), block, block), np.float32)])
-        nb += len(miss)
-    if nb * block * block * 4 * 2 > max_wb_bytes:
+
+    def split_band(src_blk, dst_blk, tiles):
+        """Popular offsets (src-dst) -> dense band [|O|, nblk, k, k];
+        stragglers stay COO (sorted by dst block for the segment-sum)."""
+        off = src_blk - dst_blk
+        offs, counts = np.unique(off, return_counts=True)
+        keep = offs[counts >= max(1, int(np.ceil(band_frac * nblk)))] \
+            if band_frac > 0 else offs[:0]
+        keep = keep[np.argsort(-counts[np.isin(offs, keep)])][:max_band]
+        in_band = np.isin(off, keep)
+        band = np.zeros((len(keep), nblk, block, block), np.float32)
+        o_pos = {int(o): x for x, o in enumerate(keep)}
+        for o, j, w in zip(off[in_band], dst_blk[in_band], tiles[in_band]):
+            band[o_pos[int(o)], j] = w
+        ci, cj, cw = (src_blk[~in_band], dst_blk[~in_band], tiles[~in_band])
+        order = np.argsort(cj, kind="stable")
+        return (tuple(int(o) for o in keep), band,
+                ci[order], cj[order], np.ascontiguousarray(cw[order]))
+
+    t_order = np.argsort(bi, kind="stable")     # transposed orientation
+    bit_all, bjt_all = bj[t_order], bi[t_order]
+    wbt_all = np.ascontiguousarray(wb[t_order].transpose(0, 2, 1))
+    band_off, wband, bi_c, bj_c, wb_c = split_band(bi, bj, wb)
+    band_off_t, wband_t, bit_c, bjt_c, wbt_c = split_band(
+        bit_all, bjt_all, wbt_all)
+    if not band_off:
+        # the opt-in Pallas matvec only runs on all-COO packings and writes
+        # output blocks only where a tile maps to them: block-cols with no
+        # incoming tile (in either orientation) get a zero diagonal tile so
+        # every output block is visited (kernel never leaves garbage in
+        # HBM); numerically a no-op for the XLA path too
+        miss = np.union1d(np.setdiff1d(np.arange(nblk), bj_c),
+                          np.setdiff1d(np.arange(nblk), bi_c)).astype(np.int32)
+        if len(miss):
+            z = np.zeros((len(miss), block, block), np.float32)
+            order = np.argsort(np.concatenate([bj_c, miss]), kind="stable")
+            bi_c = np.concatenate([bi_c, miss])[order]
+            bj_c = np.concatenate([bj_c, miss])[order]
+            wb_c = np.concatenate([wb_c, z])[order]
+            ordt = np.argsort(np.concatenate([bjt_c, miss]), kind="stable")
+            bit_c = np.concatenate([bit_c, miss])[ordt]
+            bjt_c = np.concatenate([bjt_c, miss])[ordt]
+            wbt_c = np.concatenate([wbt_c, z])[ordt]
+    n_slots = (len(bi_c) + len(bit_c)
+               + (len(band_off) + len(band_off_t)) * nblk)
+    if n_slots * block * block * 4 > max_wb_bytes:
         raise ValueError(
-            f"block structure too dense: {nb} nonzero {block}x{block} blocks "
-            f"({nb * block * block * 8 / 1e9:.1f} GB for both orientations)")
-    order = np.argsort(bj, kind="stable")       # segment-sum over bj
-    bi, bj, wb = bi[order], bj[order], wb[order]
-    t_order = np.argsort(bi, kind="stable")     # transposed: segment over bi
-    bit, bjt = bj[t_order], bi[t_order]
-    wbt = np.ascontiguousarray(wb[t_order].transpose(0, 2, 1))
+            f"block structure too dense: {n_slots} {block}x{block} tile "
+            f"slots ({n_slots * block * block * 4 / 1e9:.1f} GB)")
+    bi, bj, wb = bi_c, bj_c, wb_c
+    bit, bjt, wbt = bit_c, bjt_c, wbt_c
 
     pad = Sp - S
     state_pdf = np.concatenate([state_pdf, np.zeros(pad, np.int64)])
@@ -172,6 +223,8 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
     return BlockSparseGraph(
         bi=jnp.asarray(bi), bj=jnp.asarray(bj), wb=jnp.asarray(wb),
         bit=jnp.asarray(bit), bjt=jnp.asarray(bjt), wbt=jnp.asarray(wbt),
+        band_off=band_off, wband=jnp.asarray(wband),
+        band_off_t=band_off_t, wband_t=jnp.asarray(wband_t),
         state_pdf=jnp.asarray(state_pdf.astype(np.int32)),
         final=jnp.asarray(final, jnp.float32),
         start=int(inv[int(fsa.start)]), num_states=S, num_padded=Sp,
@@ -179,23 +232,29 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
 
 
 def _scan_unroll() -> int:
-    """Unroll factor for the per-frame scans. xprof (r3, B=64/T=100, 96k
-    states): >200 ms of the 444 ms grad step was per-iteration DMA latency
-    on tiny loop-invariant arrays (4x s32[nb] index vectors + 3x f32[B]
-    norm carries re-staged every frame); unrolling amortizes those fixed
-    costs across frames without changing the recursion."""
-    return int(os.environ.get("PK2_BLOCKFB_UNROLL", "4"))
+    """Unroll factor for the per-frame scans. MEASURED REGRESSION at >1 on
+    chip (r3, B=64/T=100, 96k states: 444 ms at unroll=1 vs 624/635 ms at
+    4/8) — the per-frame copy-starts xprof shows are overlapped async DMAs,
+    not serial dispatch, and unrolling only grows the loop body past what
+    fits the schedule. Default stays 1; the knob remains for re-testing on
+    other shapes/toolchains."""
+    return int(os.environ.get("PK2_BLOCKFB_UNROLL", "1"))
 
 
 def _use_pallas_block() -> bool:
-    """Tile-streaming Pallas matvec: default on TPU, PK2_PALLAS_BLOCKFB=0/1
-    overrides (read at trace time so tests can flip it after import)."""
+    """Tile-streaming Pallas matvec, PK2_PALLAS_BLOCKFB=1 opt-in (read at
+    trace time so tests can flip it after import). Default OFF everywhere:
+    measured on chip (r3, B=64/T=100, 96k states, grad step) the kernel is
+    489 ms vs 444 ms for the XLA gather/einsum/segment-sum form — the
+    per-tile 32 KB x-block DMAs are latency-bound where XLA's bulk gather
+    streams at ~350 GB/s. Kept (with interpret tests) as the base for a
+    fused-frame kernel once Mosaic's lowering gaps close."""
     env = os.environ.get("PK2_PALLAS_BLOCKFB")
     if env not in (None, ""):
         if env not in ("0", "1"):
             raise ValueError(f"PK2_PALLAS_BLOCKFB={env!r}: expected 0 or 1")
         return env == "1"
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _bmv_kernel(i_ref, j_ref, x_ref, w_ref, o_ref):
@@ -252,23 +311,46 @@ def _block_matvec_pallas(lin: jax.Array, tiles: jax.Array, i_idx: jax.Array,
 
 def _block_matvec(lin: jax.Array, g: BlockSparseGraph,
                   transpose: bool) -> jax.Array:
-    """[B, Sp] nonneg linear values -> lin @ W (or @ W^T). Pallas path: tile
-    streaming with in-VMEM output accumulation. XLA path: gather block rows,
-    batched [B,k]x[k,k] GEMM per tile, segment-sum into block cols."""
+    """[B, Sp] nonneg linear values -> lin @ W (or @ W^T).
+
+    Band part: out[:, j] += x[:, j+o] @ Wband[o, j] for each static offset
+    o — the shift is a static slice XLA fuses into the einsum, so the whole
+    band is dense GEMM traffic with NO dynamic indexing and no segment-sum.
+    COO stragglers: gather block rows, batched [B,k]x[k,k] GEMM per tile,
+    segment-sum into block cols (or the opt-in Pallas tile-streamer when
+    the packing is all-COO)."""
     b = lin.shape[0]
     k, nblk = g.block, g.num_padded // g.block
+    offs, band = ((g.band_off_t, g.wband_t) if transpose
+                  else (g.band_off, g.wband))
     i_idx, j_idx, tiles = ((g.bit, g.bjt, g.wbt) if transpose
                            else (g.bi, g.bj, g.wb))
-    if _use_pallas_block():
+    if not offs and tiles.shape[0] and _use_pallas_block():
         return _block_matvec_pallas(lin, tiles, i_idx, j_idx, nblk, k)
     xb = lin.reshape(b, nblk, k)
-    x = jnp.take(xb, i_idx, axis=1)                           # [B, nb, k]
-    y = jnp.einsum("bnk,nkl->bnl", x, tiles,
-                   precision=_gemm_precision())               # [B, nb, k]
-    out = jax.ops.segment_sum(jnp.swapaxes(y, 0, 1), j_idx,
-                              num_segments=nblk,
-                              indices_are_sorted=True)        # [nblk, B, k]
-    return jnp.moveaxis(out, 0, 1).reshape(b, g.num_padded)
+    out = None
+    for oi, o in enumerate(offs):
+        if o > 0:
+            xo = jnp.pad(xb[:, o:], [(0, 0), (0, o), (0, 0)])
+        elif o < 0:
+            xo = jnp.pad(xb[:, :o], [(0, 0), (-o, 0), (0, 0)])
+        else:
+            xo = xb
+        y = jnp.einsum("bnk,nkl->bnl", xo, band[oi],
+                       precision=_gemm_precision())
+        out = y if out is None else out + y
+    if tiles.shape[0]:
+        x = jnp.take(xb, i_idx, axis=1)                       # [B, nc, k]
+        y = jnp.einsum("bnk,nkl->bnl", x, tiles,
+                       precision=_gemm_precision())           # [B, nc, k]
+        coo = jax.ops.segment_sum(jnp.swapaxes(y, 0, 1), j_idx,
+                                  num_segments=nblk,
+                                  indices_are_sorted=True)    # [nblk, B, k]
+        coo = jnp.moveaxis(coo, 0, 1)
+        out = coo if out is None else out + coo
+    if out is None:
+        out = jnp.zeros((b, nblk, k), lin.dtype)
+    return out.reshape(b, g.num_padded)
 
 
 def _log_matvec_b(x_log, g: BlockSparseGraph, transpose: bool = False):
@@ -281,6 +363,23 @@ def _alpha_init_b(g: BlockSparseGraph, batch: int, like: jax.Array):
     a = jnp.full((batch, g.num_padded), NEG_INF, jnp.float32)
     a = a.at[:, g.start].set(0.0)
     return a + 0.0 * jnp.sum(like * 0.0)
+
+
+def _full_save(g: BlockSparseGraph, b: int, t_len: int) -> bool:
+    """True when the whole [T, B, Sp] alpha history fits the save budget:
+    the backward then skips the per-segment recompute pass entirely — a
+    full third of the matvec/gather/elementwise work (measured r3: the
+    recompute scan is one of the three equal-cost frame passes). Segmented
+    sqrt(T) remat stays for shapes past the budget (B=64/T=400/96k states
+    is ~9.8 GB — bigger than the budget on a 16 GB chip)."""
+    budget = int(os.environ.get("PK2_BLOCKFB_SAVE_BYTES", str(3 << 30)))
+    return t_len * b * g.num_padded * 4 <= budget
+
+
+def _full_save_smbr(g: BlockSparseGraph, b: int, t_len: int) -> bool:
+    """sMBR saves TWO [T, B, Sp] histories (alpha + accumulator)."""
+    budget = int(os.environ.get("PK2_BLOCKFB_SAVE_BYTES", str(3 << 30)))
+    return 2 * t_len * b * g.num_padded * 4 <= budget
 
 
 def _segmented_xs(obs, g: BlockSparseGraph) -> Tuple[jax.Array, jax.Array, int]:
@@ -313,24 +412,36 @@ def _fwd_frame(g: BlockSparseGraph, num_frames, carry, inp):
 
 
 def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
-    b = obs.shape[0]
+    b, t_len = obs.shape[0], obs.shape[1]
     alpha0 = _alpha_init_b(g, b, obs)
     norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]
-    xs, ts, _ = _segmented_xs(obs, g)
+    if _full_save(g, b, t_len):
+        # save EVERY post-frame state; the backward skips recompute
+        def inner(carry, inp):
+            new = _fwd_frame(g, num_frames, carry, inp)
+            return new, new
 
-    def inner(carry, inp):
-        return _fwd_frame(g, num_frames, carry, inp), None
+        (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
+            inner, (alpha0, norm0),
+            (jnp.swapaxes(obs, 0, 1), jnp.arange(t_len)),
+            unroll=_scan_unroll())
+        saved = (alphas, norms)
+    else:
+        xs, ts, _ = _segmented_xs(obs, g)
 
-    def outer(carry, inp):
-        new_carry, _ = jax.lax.scan(inner, carry, inp,
-                                    unroll=_scan_unroll())
-        return new_carry, carry        # save each segment's ENTRY state
+        def inner(carry, inp):
+            return _fwd_frame(g, num_frames, carry, inp), None
 
-    (alpha_T, norm_T), (seg_alphas, seg_norms) = jax.lax.scan(
-        outer, (alpha0, norm0), (xs, ts))
+        def outer(carry, inp):
+            new_carry, _ = jax.lax.scan(inner, carry, inp,
+                                        unroll=_scan_unroll())
+            return new_carry, carry    # save each segment's ENTRY state
+
+        (alpha_T, norm_T), saved = jax.lax.scan(
+            outer, (alpha0, norm0), (xs, ts))
     total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
     logz = jax.nn.logsumexp(total, axis=1) + norm_T
-    return logz, (seg_alphas, seg_norms)
+    return logz, saved
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -369,12 +480,13 @@ def _recompute_segment(g: BlockSparseGraph, num_frames, alpha_in, norm_in,
 
 def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
                        seg_alphas, seg_norms):
-    """gamma [B, T, P]: recompute alphas per segment, run beta backwards."""
+    """gamma [B, T, P]: run beta backwards over saved post-frame alphas
+    (full-save mode) or recompute alphas per segment (sqrt(T) remat)."""
     b, t_len, p_dim = obs.shape
-    xs, ts, n_seg = _segmented_xs(obs, g)
     beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
-             + 0.0 * seg_alphas[0])
-    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * seg_norms[0]
+             + 0.0 * jnp.reshape(seg_alphas, (-1,))[0])
+    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * jnp.reshape(
+        seg_norms, (-1,))[0]
 
     def bwd_frame(carry, inp):
         beta, bnorm = carry
@@ -395,6 +507,26 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
         return (beta, bnorm), gamma_s
 
+    def scatter_pdf(gammas_s):
+        """[C, B, Sp] state occupancies -> [C, B, P] pdf occupancies,
+        outside the frame scans (parallel in C)."""
+        c = gammas_s.shape[0]
+        return jax.vmap(lambda row: jax.ops.segment_sum(
+            row, g.state_pdf, num_segments=p_dim))(
+                gammas_s.reshape(c * b, g.num_padded)).reshape(c, b, p_dim)
+
+    if _full_save(g, b, t_len):
+        # seg_alphas/seg_norms hold EVERY post-frame state: one backward
+        # pass, no recompute
+        _, gammas_s = jax.lax.scan(
+            bwd_frame, (beta0, bnorm0),
+            (jnp.swapaxes(obs, 0, 1), seg_alphas, seg_norms,
+             jnp.arange(t_len)),
+            reverse=True, unroll=_scan_unroll())
+        return jnp.swapaxes(scatter_pdf(gammas_s), 0, 1)
+
+    xs, ts, n_seg = _segmented_xs(obs, g)
+
     def outer(carry, inp):
         beta, bnorm = carry
         obs_seg, ts_seg, alpha_in, norm_in = inp
@@ -403,13 +535,7 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
         (beta, bnorm), gammas_s = jax.lax.scan(
             bwd_frame, (beta, bnorm), (obs_seg, alphas, norms, ts_seg),
             reverse=True, unroll=_scan_unroll())
-        # state -> pdf scatter per segment, outside the frame scan (parallel
-        # in C; [C, B, Sp] never leaves this segment's scope)
-        c = gammas_s.shape[0]
-        gam = jax.vmap(lambda row: jax.ops.segment_sum(
-            row, g.state_pdf, num_segments=p_dim))(
-                gammas_s.reshape(c * b, g.num_padded)).reshape(c, b, p_dim)
-        return (beta, bnorm), gam
+        return (beta, bnorm), scatter_pdf(gammas_s)
 
     _, gammas = jax.lax.scan(outer, (beta0, bnorm0),
                              (xs, ts, seg_alphas, seg_norms), reverse=True)
@@ -475,31 +601,43 @@ def _smbr_fwd_frame(g, lab, level, silence, num_frames, carry, inp):
 
 def _smbr_fwd_block(obs, g: BlockSparseGraph, ref, num_frames, level,
                     silence=None):
-    b = obs.shape[0]
+    b, t_len = obs.shape[0], obs.shape[1]
     lab = _state_labels_b(g, level)
     alpha0 = _alpha_init_b(g, b, obs)
     acc0 = jnp.zeros((b, g.num_padded), jnp.float32) + 0.0 * alpha0
     norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]
-    xs, ts, n_seg = _segmented_xs(obs, g)
-    c = g.seg_len
-    ref_t = jnp.swapaxes(ref, 0, 1)
-    tp = n_seg * c
-    if tp > ref_t.shape[0]:
-        ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
-                        constant_values=-1)
-    refs = ref_t.reshape(n_seg, c, b)
+    if _full_save_smbr(g, b, t_len):
+        def inner(carry, inp):
+            new = _smbr_fwd_frame(g, lab, level, silence, num_frames,
+                                  carry, inp)
+            return new, new
 
-    def inner(carry, inp):
-        return _smbr_fwd_frame(g, lab, level, silence, num_frames,
-                               carry, inp), None
+        (alpha_T, acc_T, norm_T), segs = jax.lax.scan(
+            inner, (alpha0, acc0, norm0),
+            (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
+             jnp.arange(t_len)),
+            unroll=_scan_unroll())
+    else:
+        xs, ts, n_seg = _segmented_xs(obs, g)
+        c = g.seg_len
+        ref_t = jnp.swapaxes(ref, 0, 1)
+        tp = n_seg * c
+        if tp > ref_t.shape[0]:
+            ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
+                            constant_values=-1)
+        refs = ref_t.reshape(n_seg, c, b)
 
-    def outer(carry, inp):
-        new_carry, _ = jax.lax.scan(inner, carry, inp,
-                                    unroll=_scan_unroll())
-        return new_carry, carry
+        def inner(carry, inp):
+            return _smbr_fwd_frame(g, lab, level, silence, num_frames,
+                                   carry, inp), None
 
-    (alpha_T, acc_T, norm_T), segs = jax.lax.scan(
-        outer, (alpha0, acc0, norm0), (xs, refs, ts))
+        def outer(carry, inp):
+            new_carry, _ = jax.lax.scan(inner, carry, inp,
+                                        unroll=_scan_unroll())
+            return new_carry, carry
+
+        (alpha_T, acc_T, norm_T), segs = jax.lax.scan(
+            outer, (alpha0, acc0, norm0), (xs, refs, ts))
     total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
     w = jax.nn.softmax(total, axis=1)
     f = jnp.sum(w * acc_T, axis=1)
@@ -528,14 +666,6 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
     (obs, ref, num_frames, seg_alphas, seg_aaccs, seg_norms, logz, f) = res
     b, t_len, p_dim = obs.shape
     lab = _state_labels_b(g, level)
-    xs, ts, n_seg = _segmented_xs(obs, g)
-    c = g.seg_len
-    ref_t = jnp.swapaxes(ref, 0, 1)
-    tp = n_seg * c
-    if tp > ref_t.shape[0]:
-        ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
-                        constant_values=-1)
-    refs = ref_t.reshape(n_seg, c, b)
     beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
              + 0.0 * seg_alphas[0])
     bacc0 = jnp.zeros((b, g.num_padded), jnp.float32) + 0.0 * seg_alphas[0]
@@ -572,6 +702,31 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
         return (beta, bacc, bnorm), contrib
 
+    def scatter_pdf(contribs):
+        cc = contribs.shape[0]
+        return jax.vmap(lambda row: jax.ops.segment_sum(
+            row, g.state_pdf, num_segments=p_dim))(
+                contribs.reshape(cc * b, g.num_padded)).reshape(cc, b, p_dim)
+
+    if _full_save_smbr(g, b, t_len):
+        # every post-frame (alpha, acc, norm) was saved: one backward pass
+        _, contribs = jax.lax.scan(
+            bwd_frame, (beta0, bacc0, bnorm0),
+            (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
+             seg_alphas, seg_aaccs, seg_norms, jnp.arange(t_len)),
+            reverse=True, unroll=_scan_unroll())
+        grad = scatter_pdf(contribs)
+        return (ct[:, None, None] * jnp.swapaxes(grad, 0, 1), None, None)
+
+    xs, ts, n_seg = _segmented_xs(obs, g)
+    c = g.seg_len
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    tp = n_seg * c
+    if tp > ref_t.shape[0]:
+        ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
+                        constant_values=-1)
+    refs = ref_t.reshape(n_seg, c, b)
+
     def recompute(alpha_in, acc_in, norm_in, obs_seg, refs_seg, ts_seg):
         def inner(carry, inp):
             new = _smbr_fwd_frame(g, lab, level, silence, num_frames,
@@ -592,16 +747,11 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
             bwd_frame, (beta, bacc, bnorm),
             (obs_seg, refs_seg, alphas, aaccs, norms, ts_seg), reverse=True,
             unroll=_scan_unroll())
-        cc = contribs.shape[0]
-        gam = jax.vmap(lambda row: jax.ops.segment_sum(
-            row, g.state_pdf, num_segments=p_dim))(
-                contribs.reshape(cc * b, g.num_padded)).reshape(cc, b, p_dim)
-        return (beta, bacc, bnorm), gam
+        return (beta, bacc, bnorm), scatter_pdf(contribs)
 
-    seg_alphas_, seg_aaccs_, seg_norms_ = seg_alphas, seg_aaccs, seg_norms
     _, grads = jax.lax.scan(
         outer, (beta0, bacc0, bnorm0),
-        (xs, refs, ts, seg_alphas_, seg_aaccs_, seg_norms_), reverse=True)
+        (xs, refs, ts, seg_alphas, seg_aaccs, seg_norms), reverse=True)
     grad = grads.reshape(n_seg * c, b, p_dim)[:t_len]
     return (ct[:, None, None] * jnp.swapaxes(grad, 0, 1), None, None)
 

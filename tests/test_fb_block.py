@@ -24,6 +24,15 @@ from pykaldi2_tpu.ops.fb_block import (
 from pykaldi2_tpu.ops.fsa import DenseFsa
 
 
+@pytest.fixture(params=["full", "remat"])
+def save_mode(request, monkeypatch):
+    """Run under both backward modes: full-save (history fits the budget,
+    no recompute) and sqrt(T) segmented remat (budget forced to 0)."""
+    if request.param == "remat":
+        monkeypatch.setenv("PK2_BLOCKFB_SAVE_BYTES", "0")
+    return request.param
+
+
 def _state_graph(seed=0, num_states=23, num_pdfs=5, num_arcs=70):
     """Random graph honoring the state-emission invariant; num_states chosen
     NOT to divide the block size so padding paths run. Every state is final
@@ -43,7 +52,7 @@ def _state_graph(seed=0, num_states=23, num_pdfs=5, num_arcs=70):
 
 
 @pytest.mark.parametrize("seed,block,seg_len", [(0, 8, 3), (1, 16, 4), (5, 8, 7)])
-def test_block_logz_matches_arc_table(seed, block, seg_len):
+def test_block_logz_matches_arc_table(seed, block, seg_len, save_mode):
     fsa = _state_graph(seed)
     rng = np.random.RandomState(seed + 100)
     B, T, P = 3, 7, 5
@@ -56,7 +65,7 @@ def test_block_logz_matches_arc_table(seed, block, seg_len):
 
 
 @pytest.mark.parametrize("seed,seg_len", [(2, 2), (3, 6)])
-def test_block_occupancies_match(seed, seg_len):
+def test_block_occupancies_match(seed, seg_len, save_mode):
     """seg_len both dividing T (6/2) and not (6 pads to 12 at seg_len 6...
     actually 6 divides; the (3, 6) case pads T=6 to one 6-frame segment and
     the (2, 2) case runs 3 segments)."""
@@ -72,7 +81,7 @@ def test_block_occupancies_match(seed, seg_len):
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-4, atol=1e-5)
 
 
-def test_block_grad_matches_arc_table_and_finite_diff():
+def test_block_grad_matches_arc_table_and_finite_diff(save_mode):
     fsa = _state_graph(4, num_states=17, num_arcs=50)
     rng = np.random.RandomState(7)
     B, T, P = 2, 5, 5
@@ -94,7 +103,7 @@ def test_block_grad_matches_arc_table_and_finite_diff():
                                    (fp - fm) / (2 * eps), atol=5e-3)
 
 
-def test_block_t_not_multiple_of_seg_len():
+def test_block_t_not_multiple_of_seg_len(save_mode):
     """T=7 with seg_len=3 pads to 9 frames; padded frames must not change
     logZ or leak into gamma."""
     fsa = _state_graph(9, num_states=15, num_arcs=44)
@@ -112,7 +121,7 @@ def test_block_t_not_multiple_of_seg_len():
 
 
 @pytest.mark.parametrize("level", ["pdf", "phone"])
-def test_block_expected_accuracy_matches_arc_table(level):
+def test_block_expected_accuracy_matches_arc_table(level, save_mode):
     fsa = _state_graph(6, num_states=21, num_arcs=64)
     rng = np.random.RandomState(31)
     B, T, P = 2, 6, 5
@@ -275,7 +284,7 @@ def test_pallas_matvec_matches_xla(_pallas_block, monkeypatch):
     from pykaldi2_tpu.ops import fb_block as FB
 
     fsa = _state_graph(7, num_states=21, num_arcs=60)
-    g = pack_graph_blocks(fsa, block=8, seg_len=3)
+    g = pack_graph_blocks(fsa, block=8, seg_len=3, band_frac=0)
     rng = np.random.RandomState(0)
     lin = jnp.asarray(np.abs(rng.randn(3, g.num_padded)).astype(np.float32))
     for transpose in (False, True):
@@ -294,7 +303,7 @@ def test_pallas_block_logz_and_grad(_pallas_block):
     obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
     lens = jnp.asarray(np.array([5, 3], np.int32))
     ref = jax.grad(lambda o: jnp.sum(fsa_logz(o, pack_graph(fsa), lens)))(obs)
-    g = pack_graph_blocks(fsa, block=8, seg_len=2)
+    g = pack_graph_blocks(fsa, block=8, seg_len=2, band_frac=0)
     got = jax.grad(lambda o: jnp.sum(fsa_logz_block(o, g, lens)))(obs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
@@ -311,8 +320,73 @@ def test_pallas_block_expected_accuracy(_pallas_block):
     ga = pack_graph(fsa)
     ref = jax.grad(lambda o: jnp.sum(
         fsa_expected_accuracy(o, ga, ref_lab, lens)))(obs)
-    g = pack_graph_blocks(fsa, block=8, seg_len=2)
+    g = pack_graph_blocks(fsa, block=8, seg_len=2, band_frac=0)
     got = jax.grad(lambda o: jnp.sum(
         fsa_expected_accuracy_block(o, g, ref_lab, lens)))(obs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Dense-band split (static-shift einsums for popular block offsets)
+# ---------------------------------------------------------------------------
+
+
+def _chain_fsa(num_chains=6, chain_len=20, num_pdfs=5):
+    """Chain-structured graph (the shape real compiler graphs take after
+    BFS): start fans out to chains, each state self-loops and advances."""
+    rng = np.random.RandomState(3)
+    S = 1 + num_chains * chain_len
+    state_pdf = rng.randint(0, num_pdfs, S)
+    src, dst, wt = [], [], []
+    for c in range(num_chains):
+        base = 1 + c * chain_len
+        src.append(0); dst.append(base); wt.append(rng.randn() * 0.3)
+        for i_ in range(chain_len):
+            s = base + i_
+            src.append(s); dst.append(s); wt.append(-0.7)
+            if i_ + 1 < chain_len:
+                src.append(s); dst.append(s + 1); wt.append(-0.7)
+    src = np.asarray(src, np.int32); dst = np.asarray(dst, np.int32)
+    final = np.full(S, -np.inf, np.float32)
+    final[np.arange(num_chains) * chain_len + chain_len] = 0.0
+    return DenseFsa(S, src, dst, state_pdf[dst].astype(np.int32),
+                    np.asarray(wt, np.float32), final, 0).validate()
+
+
+def test_band_split_covers_chain_and_matches_all_coo():
+    """On a chain graph the band must absorb (nearly) all tiles, and the
+    banded matvec must equal the all-COO matvec bit-for-bit in structure."""
+    from pykaldi2_tpu.ops import fb_block as FB
+
+    fsa = _chain_fsa()
+    gb = pack_graph_blocks(fsa, block=8, seg_len=4)          # banded
+    gc = pack_graph_blocks(fsa, block=8, seg_len=4, band_frac=0)
+    assert len(gb.band_off) > 0, "chain graph produced no band offsets"
+    assert gb.wb.shape[0] < gc.wb.shape[0]
+    rng = np.random.RandomState(11)
+    lin = jnp.asarray(np.abs(rng.randn(2, gb.num_padded)).astype(np.float32))
+    for transpose in (False, True):
+        got = np.asarray(FB._block_matvec(lin, gb, transpose))
+        ref = np.asarray(FB._block_matvec(lin, gc, transpose))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_band_split_logz_grad_and_accuracy_match(save_mode):
+    """Banded vs all-COO packings agree through logZ grad and sMBR."""
+    fsa = _chain_fsa(num_chains=4, chain_len=9)
+    rng = np.random.RandomState(12)
+    B, T, P = 2, 6, 5
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(np.array([6, 4], np.int32))
+    ref_lab = jnp.asarray(rng.randint(0, P, (B, T)).astype(np.int32))
+    gb = pack_graph_blocks(fsa, block=8, seg_len=3)
+    gc = pack_graph_blocks(fsa, block=8, seg_len=3, band_frac=0)
+    for fn in (lambda o, g: jnp.sum(fsa_logz_block(o, g, lens)),
+               lambda o, g: jnp.sum(
+                   fsa_expected_accuracy_block(o, g, ref_lab, lens))):
+        vb, gvb = jax.value_and_grad(lambda o: fn(o, gb))(obs)
+        vc, gvc = jax.value_and_grad(lambda o: fn(o, gc))(obs)
+        np.testing.assert_allclose(float(vb), float(vc), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gvb), np.asarray(gvc),
+                                   rtol=1e-4, atol=1e-5)
