@@ -416,9 +416,10 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         dev_graph = pack_decode_graph(den_fst)
         max_arcs = int(args.max_arcs or 4 * cfg.trainer.max_active)
         log.info("on-the-fly den decoding ON DEVICE: graph %d states, "
-                 "in-degree %d (eps folded), beam %.1f lat_beam %.1f "
-                 "max_active %d max_arcs %d, same-step params",
-                 dev_graph.num_states, dev_graph.in_degree, beam,
+                 "in-degree buckets %dx%d + %dx%d (eps folded), beam %.1f "
+                 "lat_beam %.1f max_active %d max_arcs %d, same-step params",
+                 dev_graph.num_states, dev_graph.s_lo, dev_graph.d_lo,
+                 dev_graph.num_states - dev_graph.s_lo, dev_graph.d_hi, beam,
                  lat_beam, cfg.trainer.max_active, max_arcs)
     else:
         decoders = [LatticeDecoder(den_fst, beam=beam,

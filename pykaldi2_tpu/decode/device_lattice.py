@@ -22,11 +22,14 @@ The TPU-idiomatic shape of "beam search": on a CPU, beams exist to SKIP work
 Hence everything per frame is dense over [B, S(, D)] with constant-index
 gathers, and compaction is exact lax.top_k (cheap: ~0.25 ms at n=222k):
 
-  pack time:   arcs are laid out CSR by DESTINATION state, padded to the
-               graph's max in-degree D → in_src/in_w [S, D] (the dual of
-               cuDNN-style padding: bounded irregularity becomes a dense
-               axis). Emissions sit on the destination state
-               (dst-emission invariant), so per-arc pdfs are state pdfs.
+  pack time:   arcs are laid out CSR by DESTINATION state, states split
+               into an in-degree-2-ish bucket (HMM interiors) and a
+               max-in-degree bucket (junction entries) each padded to its
+               own width (the dual of cuDNN-style padding: bounded
+               irregularity becomes a dense axis; bucketing keeps the
+               dense axis ~3x leaner than one [S, D_max] table).
+               Emissions sit on the destination state (dst-emission
+               invariant), so per-arc pdfs are state pdfs.
   per frame t (one ``lax.scan`` step, all static shapes):
     relax[b,s,d] = alpha[b, in_src[s,d]] + in_w[s,d]        (constant idx)
     newalpha     = max_d relax + obs_t[:, state_pdf]
@@ -61,27 +64,41 @@ from pykaldi2_tpu.ops.fb_lattice import TimeSyncLattice
 
 
 class DeviceDecodeGraph(NamedTuple):
-    """Destination-CSR arc tables + per-state emissions for the search.
+    """Destination-CSR arc tables + per-state emissions for the search,
+    split into two IN-DEGREE BUCKETS: HMM-interior states have 1-2 in-arcs
+    (self-loop + advance) while junction-entry states collect one arc per
+    predecessor phone/word, so padding every state to the max in-degree
+    wastes ~3x the gather/elementwise bytes of every search frame (the
+    bench den HCLG: 79k arcs over 222k [S, D] slots vs 35k bucketed —
+    measured 6.4x fewer relaxation bytes). States are REORDERED so the
+    low-degree bucket is the contiguous prefix [0, s_lo).
 
-    ``start``/``num_states``/``in_degree`` are static metadata (they shape
-    the compiled program); the pytree registration below keeps them out of
-    the traced leaves — one compilation per graph topology, as with
-    bucketed shapes.
+    ``start``/``num_states``/``s_lo``/``d_lo``/``d_hi`` are static
+    metadata (they shape the compiled program); the pytree registration
+    below keeps them out of the traced leaves — one compilation per graph
+    topology, as with bucketed shapes.
     """
 
-    in_src: jax.Array     # [S, D] int32 source state of each in-arc (pad 0)
-    in_w: jax.Array       # [S, D] f32 log-prob graph score (pad NEG_INF)
-    state_pdf: jax.Array  # [S] int32 pdf emitted by arcs INTO the state
-    final: jax.Array      # [S] f32 log-prob, NEG_INF where non-final
+    in_src_lo: jax.Array   # [S1, d_lo] int32 in-arc source state (pad 0)
+    in_w_lo: jax.Array     # [S1, d_lo] f32 graph score (pad NEG_INF)
+    in_src_hi: jax.Array   # [S2, d_hi] high-degree bucket (S2 may be 0)
+    in_w_hi: jax.Array     # [S2, d_hi]
+    in_src_flat: jax.Array  # [S1*d_lo + S2*d_hi] lo.ravel ++ hi.ravel
+    in_w_flat: jax.Array    # (winner-attribute lookups post-top_k)
+    state_pdf: jax.Array   # [S] int32 pdf emitted by arcs INTO the state
+    final: jax.Array       # [S] f32 log-prob, NEG_INF where non-final
     start: int
     num_states: int
-    in_degree: int        # D
+    s_lo: int              # S1: states [0, s_lo) use the lo tables
+    d_lo: int
+    d_hi: int
 
 
 jax.tree_util.register_pytree_node(
     DeviceDecodeGraph,
-    lambda g: ((g.in_src, g.in_w, g.state_pdf, g.final),
-               (g.start, g.num_states, g.in_degree)),
+    lambda g: ((g.in_src_lo, g.in_w_lo, g.in_src_hi, g.in_w_hi,
+                g.in_src_flat, g.in_w_flat, g.state_pdf, g.final),
+               (g.start, g.num_states, g.s_lo, g.d_lo, g.d_hi)),
     lambda aux, leaves: DeviceDecodeGraph(*leaves, *aux))
 
 
@@ -122,20 +139,49 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
             f"graph max in-degree {d_max} exceeds {max_in_degree}; the "
             "[S, D] padded search would be dominated by dead lanes — use "
             "the host decoder for this graph")
+    # in-degree bucket split: pick the low-bucket width minimizing total
+    # padded slots S1(t)*t + (S - S1(t))*d_max (t = d_max ⇒ no split)
+    uniq_deg = np.unique(np.maximum(counts, 1))
+    slots = [(int((counts <= t).sum()) * int(t)
+              + int((counts > t).sum()) * d_max, int(t)) for t in uniq_deg]
+    _, d_lo = min(slots)
+    is_lo = counts <= d_lo
+    perm = np.argsort(~is_lo, kind="stable")    # lo states first, order kept
+    inv = np.empty(S, np.int64)
+    inv[perm] = np.arange(S)
+    src, dst = inv[src], inv[dst]
+    state_pdf = np.asarray(state_pdf)[perm]
+    counts = counts[perm]
+    s1 = int(is_lo.sum())
+    d_hi = d_max if s1 < S else 0
+
     order = np.argsort(dst, kind="stable")
     starts = np.cumsum(counts) - counts
     rank = np.arange(len(dst)) - starts[dst[order]]
-    in_src = np.zeros((S, d_max), np.int32)
-    in_w = np.full((S, d_max), NEG_INF, np.float32)
-    in_src[dst[order], rank] = src[order]
-    in_w[dst[order], rank] = w[order]
+    in_src_lo = np.zeros((s1, d_lo), np.int32)
+    in_w_lo = np.full((s1, d_lo), NEG_INF, np.float32)
+    in_src_hi = np.zeros((S - s1, d_hi), np.int32)
+    in_w_hi = np.full((S - s1, d_hi), NEG_INF, np.float32)
+    ds, rk, ss, ws = dst[order], rank, src[order], w[order]
+    lo_arc = ds < s1
+    in_src_lo[ds[lo_arc], rk[lo_arc]] = ss[lo_arc]
+    in_w_lo[ds[lo_arc], rk[lo_arc]] = ws[lo_arc]
+    if s1 < S:
+        in_src_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ss[~lo_arc]
+        in_w_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ws[~lo_arc]
     final = np.nan_to_num(np.asarray(dense.final, np.float32),
-                          neginf=NEG_INF, posinf=NEG_INF)
+                          neginf=NEG_INF, posinf=NEG_INF)[perm]
     return DeviceDecodeGraph(
-        in_src=jnp.asarray(in_src), in_w=jnp.asarray(in_w),
+        in_src_lo=jnp.asarray(in_src_lo), in_w_lo=jnp.asarray(in_w_lo),
+        in_src_hi=jnp.asarray(in_src_hi), in_w_hi=jnp.asarray(in_w_hi),
+        in_src_flat=jnp.asarray(
+            np.concatenate([in_src_lo.ravel(), in_src_hi.ravel()])),
+        in_w_flat=jnp.asarray(
+            np.concatenate([in_w_lo.ravel(), in_w_hi.ravel()])),
         state_pdf=jnp.asarray(state_pdf),
         final=jnp.asarray(final),
-        start=int(dense.start), num_states=S, in_degree=d_max)
+        start=int(inv[int(dense.start)]), num_states=S, s_lo=s1,
+        d_lo=int(d_lo), d_hi=int(d_hi))
 
 
 @functools.partial(jax.jit, static_argnames=("max_active", "max_arcs",
@@ -167,29 +213,43 @@ def device_lattice_generate(
     """
     b, t_len, _p = obs.shape
     g = graph
-    S, D = g.num_states, g.in_degree
+    S, S1 = g.num_states, g.s_lo
+    S2, Dc = S - S1, g.d_lo + g.d_hi
     K = min(max_active, S)
-    A = min(max_arcs, K * D)
+    A = min(max_arcs, K * Dc)
     bi = jnp.arange(b, dtype=jnp.int32)[:, None]
 
-    # ---- the search scan. Everything per frame is DENSE over [B, S(, D)]
-    # with CONSTANT-index gathers (g.in_src / g.state_pdf are compile-time
-    # constants — XLA turns those into fast static DMA patterns, ~50x the
-    # throughput of dynamic-index gathers), one exact top_k over S for the
-    # frontier, one over S*D for the band, and two tiny [B, K] scatters.
-    # Dynamic-index gathers are confined to [B, A]-sized lookups. ----
+    # ---- the search scan. Everything per frame is DENSE over the
+    # degree-bucketed [B, S1, d_lo] / [B, S2, d_hi] arc tables with
+    # CONSTANT-index gathers (the tables are compile-time constants — XLA
+    # turns those into fast static DMA patterns, ~50x the throughput of
+    # dynamic-index gathers), one exact top_k over S for the frontier, one
+    # over K*Dc for the band, and two tiny [B, K] scatters. Dynamic-index
+    # gathers are confined to [B, A]-sized lookups. ----
     alpha0 = jnp.full((b, S), NEG_INF, jnp.float32).at[:, g.start].set(0.0)
     slot0 = jnp.full((b, S), -1, jnp.int32).at[:, g.start].set(0)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, K), 1)
 
+    def relax(al):
+        """[B, S] scores -> per-bucket in-arc relaxations."""
+        r_lo = jnp.maximum(al[:, g.in_src_lo.reshape(-1)]
+                           .reshape(b, S1, g.d_lo)
+                           + g.in_w_lo[None], NEG_INF)
+        if not S2:
+            return r_lo, None
+        r_hi = jnp.maximum(al[:, g.in_src_hi.reshape(-1)]
+                           .reshape(b, S2, g.d_hi)
+                           + g.in_w_hi[None], NEG_INF)
+        return r_lo, r_hi
+
     def step(carry, inp):
         alpha, slot_prev = carry
         obs_t, t = inp                                            # [B, P]
-        # graph relaxation: every state reads its D in-arcs (constant idx)
-        relax_all = (jnp.maximum(alpha[:, g.in_src.reshape(-1)]
-                                 .reshape(b, S, D)
-                                 + g.in_w[None, :, :], NEG_INF))  # [B, S, D]
-        m = jnp.max(relax_all, axis=2)                            # [B, S]
+        # graph relaxation: every state reads its bucket's in-arcs
+        r_lo, r_hi = relax(alpha)
+        m = jnp.max(r_lo, axis=2)                                 # [B, S1]
+        if S2:
+            m = jnp.concatenate([m, jnp.max(r_hi, axis=2)], axis=1)
         live_s = m > 0.5 * NEG_INF
         obs_s = obs_t[:, g.state_pdf]                             # [B, S]
         new_alpha = jnp.where(live_s, m + obs_s, NEG_INF)
@@ -212,52 +272,69 @@ def device_lattice_generate(
         slot_cur = (jnp.full((b, S), -1, jnp.int32)
                     .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
         # link candidates: a SECOND relaxation over the emitted-masked alpha
-        # (another constant-index gather — nearly free) makes links from
-        # unemitted sources NEG_INF by construction, so the src-slot test,
-        # and with it the [B, S, D] keep_e array and two of the three big
-        # dynamic gathers of the earlier formulation, vanish: ONE dynamic
-        # [B, K, D] gather (the score compaction into the frontier domain)
-        # is all that touches data-dependent indices on big shapes.
+        # (another constant-index gather) makes links from unemitted
+        # sources NEG_INF by construction; compaction into the [B, K, Dc]
+        # frontier band picks each frontier state's row from ITS bucket
+        # (the other bucket's lanes are NEG_INF) — the only dynamic-index
+        # gathers on big shapes.
         alpha_emit = jnp.where(slot_prev >= 0, alpha, NEG_INF)
-        link_emit = (jnp.maximum(alpha_emit[:, g.in_src.reshape(-1)]
-                                 .reshape(b, S, D)
-                                 + g.in_w[None, :, :], NEG_INF)
-                     + obs_s[:, :, None])                         # [B, S, D]
+        l_lo, l_hi = relax(alpha_emit)
         active = (t < num_frames)[:, None, None]
-        i3 = idx[:, :, None]
-        # band compaction in the K*D frontier domain: a top_k over the full
-        # S*D scores lowers to multi-stage sorts + shard DMAs (~6 ms/frame
-        # traced); the exact top_k at n = K*D is ~0.1 ms. Overflow drops
-        # the worst links, counted in `dropped`.
-        link_kd = jnp.take_along_axis(link_emit, i3, axis=1)      # [B, K, D]
+        lo_m = idx < S1                                           # [B, K]
+        band_lo = jnp.take_along_axis(
+            l_lo + obs_s[:, :S1, None],
+            jnp.where(lo_m, idx, 0)[:, :, None], axis=1)          # [B,K,d_lo]
+        band_lo = jnp.where(lo_m[:, :, None], band_lo, NEG_INF)
+        if S2:
+            band_hi = jnp.take_along_axis(
+                l_hi + obs_s[:, S1:, None],
+                jnp.where(lo_m, 0, idx - S1)[:, :, None], axis=1)
+            band_hi = jnp.where(lo_m[:, :, None], NEG_INF, band_hi)
+            link_kd = jnp.concatenate([band_lo, band_hi], axis=2)  # [B,K,Dc]
+        else:
+            link_kd = band_lo
+        # band top-A: a top_k over the full S*D scores lowers to
+        # multi-stage sorts + shard DMAs (~6 ms/frame traced); the exact
+        # top_k at n = K*Dc is ~0.1 ms. Overflow drops the worst links,
+        # counted in `dropped`.
         keep_kd = ((link_kd >= vals[:, :, None] - lattice_beam)
                    & (link_kd > 0.5 * NEG_INF)
                    & emit_k[:, :, None] & active)
         score_kd = jnp.where(keep_kd, link_kd, NEG_INF)
-        kvals, kidx = jax.lax.top_k(score_kd.reshape(b, K * D), A)
+        kvals, kidx = jax.lax.top_k(score_kd.reshape(b, K * Dc), A)
         valid = kvals > 0.5 * NEG_INF
-        # winner attributes via [B, A]-sized gathers (smallest possible
-        # dynamic-gather outputs: post-top_k, only A winners per row)
-        k_win, d_win = kidx // D, kidx % D
+        # e_src needs the LIVE slot map, so its chain stays in-scan; the
+        # constant-table lookups (state_pdf, in_w_flat) move post-scan as
+        # batched [T, B, A] gathers — in-scan they are op-overhead-bound
+        # (~0.2 ms each on tiny sources; saving the whole [B, S] slot map
+        # to batch e_src too measured SLOWER: +100 ms for the [T, B, S]
+        # history + its axis-2 gather)
+        k_win, d_win = kidx // Dc, kidx % Dc
         s_win = jnp.take_along_axis(idx, k_win, axis=1)           # [B, A]
-        flat_win = s_win * D + d_win
-        e_src = jnp.where(
-            valid, slot_prev[bi, g.in_src.reshape(-1)[flat_win]], 0)
+        flat_win = jnp.where(
+            s_win < S1, s_win * g.d_lo + d_win,
+            S1 * g.d_lo + (s_win - S1) * max(g.d_hi, 1)
+            + (d_win - g.d_lo))
+        flat_win = jnp.clip(flat_win, 0, g.in_src_flat.shape[0] - 1)
+        e_src = jnp.where(valid, slot_prev[bi, g.in_src_flat[flat_win]], 0)
         e_dst = jnp.where(valid, k_win, 0)          # dst slot == frontier pos
-        e_pdf = jnp.where(valid, g.state_pdf[s_win], 0)
-        e_w = jnp.where(valid, g.in_w.reshape(-1)[flat_win], NEG_INF)
         dropped_t = jnp.maximum(
             jnp.sum(keep_kd.astype(jnp.int32), axis=(1, 2)) - A, 0)
         act1 = active[:, :, 0]
-        alpha = jnp.where(act1, alpha_next, alpha)
-        slot_prev = jnp.where(act1, slot_cur, slot_prev)
-        return ((alpha, slot_prev),
-                (idx, vals, best, e_src, e_dst, e_pdf, e_w, dropped_t))
+        new_carry = (jnp.where(act1, alpha_next, alpha),
+                     jnp.where(act1, slot_cur, slot_prev))
+        return (new_carry,
+                (idx, vals, best, e_src, e_dst, s_win, flat_win, valid,
+                 dropped_t))
 
     obs_t = jnp.swapaxes(obs, 0, 1)                               # [T, B, P]
     ts = jnp.arange(t_len)
-    _, (idxs, valss, bests, src_f, dst_f, pdf_f, w_f, dropped) = \
-        jax.lax.scan(step, (alpha0, slot0), (obs_t, ts))
+    _, (idxs, valss, bests, src_f, dst_f, s_wins, flat_wins, valids,
+        dropped) = jax.lax.scan(step, (alpha0, slot0), (obs_t, ts))
+
+    # ---- batched constant-table winner attributes, [T, B, A] at once ----
+    pdf_f = jnp.where(valids, g.state_pdf[s_wins], 0)
+    w_f = jnp.where(valids, g.in_w_flat[flat_wins], NEG_INF)
 
     # ---- finals/scores: each utterance's LAST active frontier (nf == 0
     # degenerates to the initial start token at slot 0) ----
