@@ -61,10 +61,11 @@ CHECK_FLOORS = {
     "lat_mmi": 37.0,
     # FULL on-the-fly SE step with the ON-DEVICE decoder (forward + batched
     # beam search over the 79k-arc den HCLG + banded train step; VERDICT r2
-    # item 1): measured r3 2.70 s/batch at B=32/T=448 = 4.3 utt/s. NOTE:
-    # ~18 min compile through the remote tunnel — excluded from the plain
+    # item 1): measured r3 1.68 s/batch at B=32/T=448 = 7.0 utt/s (search
+    # 0.70 s after degree bucketing + payload-sort band compaction). NOTE:
+    # long compile through the remote tunnel — excluded from the plain
     # bench JSON extras for that reason, guarded here only.
-    "dev_otf": 3.5,
+    "dev_otf": 6.0,
     # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
     # (ops/fb_block.py; measured r3 255 ms/step = 20.4 utt/s = 3.7x the
     # arc tables, which OOM outright at B=16/T=300). History: 447 ms COO

@@ -92,13 +92,14 @@ class DeviceDecodeGraph(NamedTuple):
     s_lo: int              # S1: states [0, s_lo) use the lo tables
     d_lo: int
     d_hi: int
+    num_pdfs: int          # 1 + max(state_pdf): sizes the sort payload
 
 
 jax.tree_util.register_pytree_node(
     DeviceDecodeGraph,
     lambda g: ((g.in_src_lo, g.in_w_lo, g.in_src_hi, g.in_w_hi,
                 g.in_src_flat, g.in_w_flat, g.state_pdf, g.final),
-               (g.start, g.num_states, g.s_lo, g.d_lo, g.d_hi)),
+               (g.start, g.num_states, g.s_lo, g.d_lo, g.d_hi, g.num_pdfs)),
     lambda aux, leaves: DeviceDecodeGraph(*leaves, *aux))
 
 
@@ -181,7 +182,8 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
         state_pdf=jnp.asarray(state_pdf),
         final=jnp.asarray(final),
         start=int(inv[int(dense.start)]), num_states=S, s_lo=s1,
-        d_lo=int(d_lo), d_hi=int(d_hi))
+        d_lo=int(d_lo), d_hi=int(d_hi),
+        num_pdfs=int(np.asarray(state_pdf).max()) + 1 if S else 1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_active", "max_arcs",
@@ -229,6 +231,13 @@ def device_lattice_generate(
     alpha0 = jnp.full((b, S), NEG_INF, jnp.float32).at[:, g.start].set(0.0)
     slot0 = jnp.full((b, S), -1, jnp.int32).at[:, g.start].set(0)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, K), 1)
+    # the band sort carries (pdf << bits_k) | frontier_pos as one payload
+    bits_k = max((K - 1).bit_length(), 1)
+    n_pdf = g.num_pdfs
+    if (n_pdf - 1).bit_length() + bits_k > 31:
+        raise ValueError(
+            f"cannot pack pdf ({n_pdf}) and max_active ({K}) into one s32 "
+            "sort payload; reduce max_active")
 
     def relax(al):
         """[B, S] scores -> per-bucket in-arc relaxations."""
@@ -281,60 +290,67 @@ def device_lattice_generate(
         l_lo, l_hi = relax(alpha_emit)
         active = (t < num_frames)[:, None, None]
         lo_m = idx < S1                                           # [B, K]
+        idx_lo = jnp.where(lo_m, idx, 0)
         band_lo = jnp.take_along_axis(
             l_lo + obs_s[:, :S1, None],
-            jnp.where(lo_m, idx, 0)[:, :, None], axis=1)          # [B,K,d_lo]
+            idx_lo[:, :, None], axis=1)                           # [B,K,d_lo]
         band_lo = jnp.where(lo_m[:, :, None], band_lo, NEG_INF)
+        # per-lane arc attributes (weight, source state) join the band by
+        # the same frontier row-gather — they ride the band top-A sort as
+        # extra payload operands below, so NO post-top_k [B, A] attribute
+        # gathers remain (each cost ~0.2 ms/frame, op-overhead-bound)
+        w_band = jnp.take(g.in_w_lo, idx_lo, axis=0)              # [B,K,d_lo]
+        src_band = jnp.take(g.in_src_lo, idx_lo, axis=0)
         if S2:
+            idx_hi = jnp.where(lo_m, 0, idx - S1)
             band_hi = jnp.take_along_axis(
-                l_hi + obs_s[:, S1:, None],
-                jnp.where(lo_m, 0, idx - S1)[:, :, None], axis=1)
+                l_hi + obs_s[:, S1:, None], idx_hi[:, :, None], axis=1)
             band_hi = jnp.where(lo_m[:, :, None], NEG_INF, band_hi)
             link_kd = jnp.concatenate([band_lo, band_hi], axis=2)  # [B,K,Dc]
+            w_band = jnp.concatenate(
+                [w_band, jnp.take(g.in_w_hi, idx_hi, axis=0)], axis=2)
+            src_band = jnp.concatenate(
+                [src_band, jnp.take(g.in_src_hi, idx_hi, axis=0)], axis=2)
         else:
             link_kd = band_lo
         # band top-A: a top_k over the full S*D scores lowers to
         # multi-stage sorts + shard DMAs (~6 ms/frame traced); the exact
-        # top_k at n = K*Dc is ~0.1 ms. Overflow drops the worst links,
-        # counted in `dropped`.
+        # sort at n = K*Dc is ~0.3 ms, and carrying the payload operands
+        # through it costs ~40 us/frame more than lax.top_k while saving
+        # four post-top_k gathers. Overflow drops the worst links, counted
+        # in `dropped`.
         keep_kd = ((link_kd >= vals[:, :, None] - lattice_beam)
                    & (link_kd > 0.5 * NEG_INF)
                    & emit_k[:, :, None] & active)
         score_kd = jnp.where(keep_kd, link_kd, NEG_INF)
-        kvals, kidx = jax.lax.top_k(score_kd.reshape(b, K * Dc), A)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (b, K, Dc), 1)
+        pdf_k = g.state_pdf[idx]                                  # [B, K]
+        pay = (pdf_k[:, :, None] << bits_k) | kpos          # (pdf<<bk)|kpos
+        neg, pay_w, w_w, src_w = jax.lax.sort(
+            ((-score_kd).reshape(b, K * Dc),
+             pay.reshape(b, K * Dc),
+             w_band.reshape(b, K * Dc),
+             src_band.reshape(b, K * Dc)),
+            dimension=1, num_keys=1)
+        kvals = -neg[:, :A]
         valid = kvals > 0.5 * NEG_INF
-        # e_src needs the LIVE slot map, so its chain stays in-scan; the
-        # constant-table lookups (state_pdf, in_w_flat) move post-scan as
-        # batched [T, B, A] gathers — in-scan they are op-overhead-bound
-        # (~0.2 ms each on tiny sources; saving the whole [B, S] slot map
-        # to batch e_src too measured SLOWER: +100 ms for the [T, B, S]
-        # history + its axis-2 gather)
-        k_win, d_win = kidx // Dc, kidx % Dc
-        s_win = jnp.take_along_axis(idx, k_win, axis=1)           # [B, A]
-        flat_win = jnp.where(
-            s_win < S1, s_win * g.d_lo + d_win,
-            S1 * g.d_lo + (s_win - S1) * max(g.d_hi, 1)
-            + (d_win - g.d_lo))
-        flat_win = jnp.clip(flat_win, 0, g.in_src_flat.shape[0] - 1)
-        e_src = jnp.where(valid, slot_prev[bi, g.in_src_flat[flat_win]], 0)
+        k_win = pay_w[:, :A] & ((1 << bits_k) - 1)
+        e_src = jnp.where(valid, slot_prev[bi, src_w[:, :A]], 0)
         e_dst = jnp.where(valid, k_win, 0)          # dst slot == frontier pos
+        e_pdf = jnp.where(valid, pay_w[:, :A] >> bits_k, 0)
+        e_w = jnp.where(valid, w_w[:, :A], NEG_INF)
         dropped_t = jnp.maximum(
             jnp.sum(keep_kd.astype(jnp.int32), axis=(1, 2)) - A, 0)
         act1 = active[:, :, 0]
         new_carry = (jnp.where(act1, alpha_next, alpha),
                      jnp.where(act1, slot_cur, slot_prev))
         return (new_carry,
-                (idx, vals, best, e_src, e_dst, s_win, flat_win, valid,
-                 dropped_t))
+                (idx, vals, best, e_src, e_dst, e_pdf, e_w, dropped_t))
 
     obs_t = jnp.swapaxes(obs, 0, 1)                               # [T, B, P]
     ts = jnp.arange(t_len)
-    _, (idxs, valss, bests, src_f, dst_f, s_wins, flat_wins, valids,
+    _, (idxs, valss, bests, src_f, dst_f, pdf_f, w_f,
         dropped) = jax.lax.scan(step, (alpha0, slot0), (obs_t, ts))
-
-    # ---- batched constant-table winner attributes, [T, B, A] at once ----
-    pdf_f = jnp.where(valids, g.state_pdf[s_wins], 0)
-    w_f = jnp.where(valids, g.in_w_flat[flat_wins], NEG_INF)
 
     # ---- finals/scores: each utterance's LAST active frontier (nf == 0
     # degenerates to the initial start token at slot 0) ----
