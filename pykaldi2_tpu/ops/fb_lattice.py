@@ -21,6 +21,7 @@ custom VJPs, mirroring fb_batched's math one frame-band at a time.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -182,9 +183,304 @@ def _active_ts(lat: TimeSyncLattice, t_len, num_frames):
     return (ts[:, None] < num_frames[None, :]).astype(jnp.float32)[:, :, None]
 
 
+# ---------------------------------------------------------------------------
+# Matvec form of the banded recursion (MMI hot path)
+#
+# The scan bodies below pay ~0.2 ms/frame of per-iteration latency on chip:
+# each step is a [B, A] gather + exp + segment-sum (an XLA scatter-add) —
+# tiny tensors, long op chains (VERDICT r2 weak #4).  The same cure that won
+# 7-12x on the loaded-graph path (ops/fb_dense.py) applies banded: fold each
+# frame's arc band into an exp-space transition matrix
+#   M[t, b, k, k'] = sum_{a: src=k, dst=k'} exp(w + obs - mx[t, b])
+# with ONE batched segment-sum over [T*B*A] OUTSIDE the scan (parallel in T,
+# throughput-bound — the hoisting rule of DESIGN.md "Scan bodies must be
+# lean"), and the scan step collapses to a single renormalized batched
+# matvec on the MXU: no in-scan gather, no in-scan scatter.  The backward
+# runs the transposed-matvec scan and computes ALL arc posteriors in one
+# batched pass afterwards.  Memory: M is [T, B, K, K] f32 (3.8 GB at the
+# worst-case on-the-fly shape B=32/T=448/K=256), rebuilt — not saved —
+# between forward and backward; the auto gate below falls back to the scan
+# form past ``PK2_LATFB_MATVEC_BYTES``.
+# ---------------------------------------------------------------------------
+
+
+def use_matvec_latfb(t_len: int, b: int, k: int, n_mats: int = 1) -> bool:
+    """Route the banded kernels through the matvec form?
+
+    ``PK2_LATFB_MATVEC``: 1 forces on, 0 forces off; unset = auto (on when
+    the ``n_mats`` [T, B, K, K] transition tensors fit the byte budget
+    ``PK2_LATFB_MATVEC_BYTES``, default 5 GiB, and the flat index fits s32).
+    The sMBR/MPE recursion carries a second (accuracy-weighted) matrix, so
+    it gates with ``n_mats=2``.
+    """
+    env = os.environ.get("PK2_LATFB_MATVEC")
+    if env is not None and env not in ("0", "1"):
+        raise ValueError(f"PK2_LATFB_MATVEC={env!r}: expected 0 or 1")
+    if env == "0":
+        return False
+    flat = t_len * b * k * k
+    if flat >= 2**31:  # segment ids are s32
+        return False
+    if env == "1":
+        return True
+    if not _MATVEC_DEFAULT_ON:
+        return False
+    budget = int(os.environ.get("PK2_LATFB_MATVEC_BYTES",
+                                str(5 * 1024**3)))
+    return 4 * flat * n_mats <= budget
+
+
+# flipped to True once the matvec form is timed on the real chip (repo rule:
+# no perf-path default changes without an on-TPU measurement)
+_MATVEC_DEFAULT_ON = False
+
+
+def _band_lin_ts(obs_arc, lat: TimeSyncLattice):
+    """Shared matvec-builder front half: (lin [T,B,A], mx [T,B], idx).
+
+    ``lin`` is each arc's exp-space weight exp(w + obs - mx), ``idx`` its
+    flat (frame, batch, src, dst) scatter target.  Padding arcs (weight
+    NEG_INF) are masked explicitly — exp(NEG_INF - NEG_INF) would otherwise
+    read 1 on all-padding frames.
+    """
+    t_len, b, _a = obs_arc.shape
+    k = lat.num_slots
+    w = jnp.swapaxes(lat.weight, 0, 1) + obs_arc              # [T, B, A]
+    live = w > 0.5 * NEG_INF
+    mx = jnp.max(jnp.where(live, w, NEG_INF), axis=2)         # [T, B]
+    mx = jnp.where(mx > 0.5 * NEG_INF, mx, 0.0)
+    lin = jnp.where(live, jnp.exp(w - mx[:, :, None]), 0.0)
+    rows = (jnp.arange(t_len * b, dtype=jnp.int32) * (k * k)).reshape(
+        t_len, b, 1)
+    idx = rows + jnp.swapaxes(lat.src, 0, 1) * k + jnp.swapaxes(lat.dst, 0, 1)
+    return lin, mx, idx
+
+
+def _trans_mats_ts(obs_arc, lat: TimeSyncLattice, arc_acc=None):
+    """Per-frame exp-space transition matrices: ([T, B, K, K], mx [T, B]).
+
+    With ``arc_acc`` [T, B, A], also returns the accuracy-weighted matrix
+    M2[t, b, k, k'] = sum lin * acc (the sMBR recursion's second operand).
+    """
+    t_len, b, _a = obs_arc.shape
+    k = lat.num_slots
+    lin, mx, idx = _band_lin_ts(obs_arc, lat)
+    m = jax.ops.segment_sum(lin.reshape(-1), idx.reshape(-1),
+                            num_segments=t_len * b * k * k)
+    m = m.reshape(t_len, b, k, k)
+    if arc_acc is None:
+        return m, mx
+    m2 = jax.ops.segment_sum((lin * arc_acc).reshape(-1), idx.reshape(-1),
+                             num_segments=t_len * b * k * k)
+    return m, m2.reshape(t_len, b, k, k), mx
+
+
+def _log_safe(lin):
+    return jnp.where(lin > 0.0, jnp.log(jnp.where(lin > 0.0, lin, 1.0)),
+                     NEG_INF)
+
+
+def _logz_fwd_matvec_ts(obs, lat: TimeSyncLattice, num_frames):
+    """Matvec-form forward; residuals in the scan path's convention
+    (alphas = per-frame max-normalized logs, norms = cumulative shifts)."""
+    b, t_len, _p = obs.shape
+    mats, mx = _trans_mats_ts(_obs_arcs_ts(obs, lat), lat)
+
+    def step(carry, inp):
+        ah, n = carry                                          # [B,K], [B]
+        m_t, mx_t, t = inp
+        nxt = jnp.einsum("bk,bkl->bl", ah, m_t,
+                         precision=jax.lax.Precision.HIGHEST)
+        m2 = jnp.max(nxt, axis=1, keepdims=True)
+        m2s = jnp.where(m2 > 0.0, m2, 1.0)
+        new_ah = nxt / m2s
+        new_n = n + mx_t + jnp.log(m2s[:, 0])
+        active = (t < num_frames)[:, None]
+        ah = jnp.where(active, new_ah, ah)
+        n = jnp.where(active[:, 0], new_n, n)
+        return (ah, n), (ah, n)
+
+    ah0 = jnp.zeros((b, lat.num_slots), jnp.float32).at[:, 0].set(1.0)
+    ah0 = ah0 + 0.0 * jnp.sum(obs * 0.0)
+    n0 = jnp.zeros((b,), jnp.float32) + 0.0 * ah0[:, 0]
+    (ah_T, n_T), (ahs, norms) = jax.lax.scan(
+        step, (ah0, n0), (mats, mx, jnp.arange(t_len)))
+    total = jnp.maximum(_log_safe(ah_T) + lat.final, NEG_INF)
+    logz = jax.nn.logsumexp(total, axis=1) + n_T
+    return logz, (_log_safe(ahs), norms)
+
+
+def _occupancies_matvec_ts(obs, lat: TimeSyncLattice, num_frames, logz,
+                           alphas, norms):
+    """Matvec-form occupancies: transposed-matvec beta scan + ONE batched
+    arc-gamma pass + the existing batched arc→pdf segment-sum."""
+    b, t_len, p_dim = obs.shape
+    obs_arc = _obs_arcs_ts(obs, lat)
+    mats, mx = _trans_mats_ts(obs_arc, lat)
+
+    def step(carry, inp):
+        bh, bn = carry                                         # beta at t+1
+        m_t, mx_t, t = inp
+        nxt = jnp.einsum("bkl,bl->bk", m_t, bh,
+                         precision=jax.lax.Precision.HIGHEST)
+        m2 = jnp.max(nxt, axis=1, keepdims=True)
+        m2s = jnp.where(m2 > 0.0, m2, 1.0)
+        new_bh = nxt / m2s
+        new_bn = bn + mx_t + jnp.log(m2s[:, 0])
+        active = (t < num_frames)[:, None]
+        out = (bh, bn)           # the t+1-side carry gamma needs at step t
+        bh = jnp.where(active, new_bh, bh)
+        bn = jnp.where(active[:, 0], new_bn, bn)
+        return (bh, bn), out
+
+    bm0 = jnp.max(lat.final, axis=1, keepdims=True)
+    bm0 = jnp.where(bm0 > 0.5 * NEG_INF, bm0, 0.0)
+    bh0 = jnp.where(lat.final > 0.5 * NEG_INF,
+                    jnp.exp(lat.final - bm0), 0.0) + 0.0 * alphas[0]
+    bn0 = bm0[:, 0] + 0.0 * norms[0]
+    _, (bhs, bns) = jax.lax.scan(step, (bh0, bn0),
+                                 (mats, mx, jnp.arange(t_len)), reverse=True)
+    # one batched arc-gamma pass, parallel in T (no per-step gathers)
+    a0 = _alpha0_ts(lat, b, obs)
+    alpha_prev = jnp.concatenate([a0[None], alphas[:-1]], axis=0)
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32),
+                                  norms[:-1]], axis=0)
+    src_t = jnp.swapaxes(lat.src, 0, 1)
+    dst_t = jnp.swapaxes(lat.dst, 0, 1)
+    w_t = jnp.swapaxes(lat.weight, 0, 1)
+    log_gamma = (jnp.take_along_axis(alpha_prev, src_t, axis=2)
+                 + anorm_prev[:, :, None] + w_t + obs_arc
+                 + jnp.take_along_axis(_log_safe(bhs), dst_t, axis=2)
+                 + bns[:, :, None] - logz[None, :, None])
+    active = (jnp.arange(t_len)[:, None] < num_frames[None, :])
+    gammas_arc = jnp.where(active[:, :, None],
+                           jnp.exp(jnp.minimum(log_gamma, 0.0)), 0.0)
+    a_dim = gammas_arc.shape[2]
+    gammas = _seg_sum_slots(
+        gammas_arc.reshape(t_len * b, a_dim),
+        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
+        p_dim).reshape(t_len, b, p_dim)
+    return jnp.swapaxes(gammas, 0, 1)
+
+
+def _arc_acc_ts(lat: TimeSyncLattice, ref, level, pdf_to_phone, silence):
+    """Per-arc frame accuracies for ALL frames at once: [T, B, A]."""
+    b, t_len, a = lat.pdf.shape
+    pdf_t = jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a)
+    ref_t = jnp.swapaxes(ref, 0, 1).reshape(t_len * b)
+    return _arc_acc_b(pdf_t, ref_t, level, pdf_to_phone,
+                      silence).reshape(t_len, b, a)
+
+
+def _smbr_fwd_matvec_ts(obs, lat: TimeSyncLattice, ref, num_frames, level,
+                        pdf_to_phone, silence):
+    """Matvec-form expected-accuracy forward (three matvecs per frame; the
+    acc recursion factors as numer = (ah*ac)@M + ah@M2, denom = ah@M)."""
+    b, t_len, _p = obs.shape
+    arc_acc = _arc_acc_ts(lat, ref, level, pdf_to_phone, silence)
+    mats, mats2, mx = _trans_mats_ts(_obs_arcs_ts(obs, lat), lat, arc_acc)
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(carry, inp):
+        ah, ac, n = carry
+        m_t, m2_t, mx_t, t = inp
+        d = jnp.einsum("bk,bkl->bl", ah, m_t, precision=hi)
+        nm = (jnp.einsum("bk,bkl->bl", ah * ac, m_t, precision=hi)
+              + jnp.einsum("bk,bkl->bl", ah, m2_t, precision=hi))
+        new_ac = jnp.where(d > 0.0, nm / jnp.where(d > 0.0, d, 1.0), 0.0)
+        m2v = jnp.max(d, axis=1, keepdims=True)
+        m2s = jnp.where(m2v > 0.0, m2v, 1.0)
+        new_ah = d / m2s
+        new_n = n + mx_t + jnp.log(m2s[:, 0])
+        active = (t < num_frames)[:, None]
+        ah = jnp.where(active, new_ah, ah)
+        ac = jnp.where(active, new_ac, ac)
+        n = jnp.where(active[:, 0], new_n, n)
+        return (ah, ac, n), (ah, ac, n)
+
+    ah0 = jnp.zeros((b, lat.num_slots), jnp.float32).at[:, 0].set(1.0)
+    ah0 = ah0 + 0.0 * jnp.sum(obs * 0.0)
+    ac0 = jnp.zeros((b, lat.num_slots), jnp.float32) + 0.0 * ah0
+    n0 = jnp.zeros((b,), jnp.float32) + 0.0 * ah0[:, 0]
+    (ah_T, ac_T, n_T), (ahs, acs, norms) = jax.lax.scan(
+        step, (ah0, ac0, n0), (mats, mats2, mx, jnp.arange(t_len)))
+    total = jnp.maximum(_log_safe(ah_T) + lat.final, NEG_INF)
+    w = jax.nn.softmax(total, axis=1)
+    f = jnp.sum(w * ac_T, axis=1)
+    logz = jax.nn.logsumexp(total, axis=1) + n_T
+    return f, (_log_safe(ahs), acs, norms, logz, f)
+
+
+def _smbr_bwd_matvec_ts(obs, lat: TimeSyncLattice, ref, num_frames, level,
+                        pdf_to_phone, silence, alphas, aaccs, norms, logz, f):
+    """Matvec-form expected-accuracy gradient: transposed-matvec beta/bacc
+    scan, then ONE batched arc pass for gamma * (c_arc - f)."""
+    b, t_len, p_dim = obs.shape
+    obs_arc = _obs_arcs_ts(obs, lat)
+    arc_acc = _arc_acc_ts(lat, ref, level, pdf_to_phone, silence)
+    mats, mats2, mx = _trans_mats_ts(obs_arc, lat, arc_acc)
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(carry, inp):
+        bh, bc, bn = carry
+        m_t, m2_t, mx_t, t = inp
+        out = (bh, bc, bn)                # the t+1-side carry
+        d = jnp.einsum("bkl,bl->bk", m_t, bh, precision=hi)
+        nm = (jnp.einsum("bkl,bl->bk", m_t, bc * bh, precision=hi)
+              + jnp.einsum("bkl,bl->bk", m2_t, bh, precision=hi))
+        new_bc = jnp.where(d > 0.0, nm / jnp.where(d > 0.0, d, 1.0), 0.0)
+        m2v = jnp.max(d, axis=1, keepdims=True)
+        m2s = jnp.where(m2v > 0.0, m2v, 1.0)
+        new_bh = d / m2s
+        new_bn = bn + mx_t + jnp.log(m2s[:, 0])
+        active = (t < num_frames)[:, None]
+        bh = jnp.where(active, new_bh, bh)
+        bc = jnp.where(active, new_bc, bc)
+        bn = jnp.where(active[:, 0], new_bn, bn)
+        return (bh, bc, bn), out
+
+    bm0 = jnp.max(lat.final, axis=1, keepdims=True)
+    bm0 = jnp.where(bm0 > 0.5 * NEG_INF, bm0, 0.0)
+    bh0 = jnp.where(lat.final > 0.5 * NEG_INF,
+                    jnp.exp(lat.final - bm0), 0.0) + 0.0 * alphas[0]
+    bc0 = jnp.zeros((b, lat.num_slots), jnp.float32) + 0.0 * alphas[0]
+    bn0 = bm0[:, 0] + 0.0 * norms[0]
+    _, (bhs, bcs, bns) = jax.lax.scan(
+        step, (bh0, bc0, bn0), (mats, mats2, mx, jnp.arange(t_len)),
+        reverse=True)
+    a0 = _alpha0_ts(lat, b, obs)
+    alpha_prev = jnp.concatenate([a0[None], alphas[:-1]], axis=0)
+    aacc_prev = jnp.concatenate(
+        [jnp.zeros((1, b, lat.num_slots), jnp.float32), aaccs[:-1]], axis=0)
+    anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32),
+                                  norms[:-1]], axis=0)
+    src_t = jnp.swapaxes(lat.src, 0, 1)
+    dst_t = jnp.swapaxes(lat.dst, 0, 1)
+    w_t = jnp.swapaxes(lat.weight, 0, 1)
+    log_gamma = (jnp.take_along_axis(alpha_prev, src_t, axis=2)
+                 + anorm_prev[:, :, None] + w_t + obs_arc
+                 + jnp.take_along_axis(_log_safe(bhs), dst_t, axis=2)
+                 + bns[:, :, None] - logz[None, :, None])
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+    c_arc = (jnp.take_along_axis(aacc_prev, src_t, axis=2) + arc_acc
+             + jnp.take_along_axis(bcs, dst_t, axis=2))
+    active = (jnp.arange(t_len)[:, None] < num_frames[None, :])
+    contribs = jnp.where(active[:, :, None],
+                         gamma * (c_arc - f[None, :, None]), 0.0)
+    a_dim = contribs.shape[2]
+    grads = _seg_sum_slots(
+        contribs.reshape(t_len * b, a_dim),
+        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
+        p_dim).reshape(t_len, b, p_dim)
+    return jnp.swapaxes(grads, 0, 1)
+
+
 def _logz_fwd_ts(obs, lat: TimeSyncLattice, num_frames):
     b, t_len, _p = obs.shape
     k = lat.num_slots
+
+    if use_matvec_latfb(t_len, b, k):
+        return _logz_fwd_matvec_ts(obs, lat, num_frames)
 
     from pykaldi2_tpu.ops.fb_lattice_pallas import make_logz_fwd, use_pallas_latfb
 
@@ -251,6 +547,9 @@ def _logz_ts_bwd(res, ct):
 def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
     b, t_len, p_dim = obs.shape
     k = lat.num_slots
+    if use_matvec_latfb(t_len, b, k):
+        return _occupancies_matvec_ts(obs, lat, num_frames, logz, alphas,
+                                      norms)
     beta0 = lat.final + 0.0 * alphas[0]
     bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
     alpha_prev = jnp.concatenate([_alpha0_ts(lat, b, obs)[None], alphas[:-1]], axis=0)
@@ -379,6 +678,9 @@ def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level,
                  pdf_to_phone, silence=None):
     b, t_len, _p = obs.shape
     k = lat.num_slots
+    if use_matvec_latfb(t_len, b, k, n_mats=2):
+        return _smbr_fwd_matvec_ts(obs, lat, ref, num_frames, level,
+                                   pdf_to_phone, silence)
     alpha0 = _alpha0_ts(lat, b, obs)
     acc0 = jnp.zeros((b, k), jnp.float32) + 0.0 * alpha0
 
@@ -429,6 +731,11 @@ def _smbr_ts_bwd(level, silence, res, ct):
     obs, lat, ref, num_frames, pdf_to_phone, alphas, aaccs, norms, logz, f = res
     b, t_len, p_dim = obs.shape
     k = lat.num_slots
+    if use_matvec_latfb(t_len, b, k, n_mats=2):
+        grads = _smbr_bwd_matvec_ts(obs, lat, ref, num_frames, level,
+                                    pdf_to_phone, silence, alphas, aaccs,
+                                    norms, logz, f)
+        return (ct[:, None, None] * grads, None, None, None, None)
     beta0 = lat.final + 0.0 * alphas[0]
     bacc0 = jnp.zeros((b, k), jnp.float32) + 0.0 * alphas[0]
     bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]

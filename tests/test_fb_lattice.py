@@ -136,6 +136,90 @@ def test_pad_time_sync_invariance(decoded):
     assert np.abs(np.asarray(g3)[:, t0:]).max() == 0.0
 
 
+def test_matvec_form_matches_scan_form(decoded, monkeypatch):
+    """The matvec banded form (per-frame [B,K,K] transition matrices, one
+    hoisted scatter, MXU matvec scan bodies) must reproduce the scan form's
+    logZ, occupancies, and MMI objective+grad on real decoder lattices."""
+    from pykaldi2_tpu.ops import fb_lattice as fl
+
+    obs, lens, _fsas, framed, p = decoded
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    o, lens_j = jnp.asarray(obs), jnp.asarray(lens)
+    rng = np.random.RandomState(3)
+    ali = jnp.asarray(rng.randint(0, p, obs.shape[:2]).astype(np.int32))
+    mask = (jnp.arange(obs.shape[1])[None] < lens_j[:, None]).astype(
+        jnp.float32)
+
+    def mmi(o_):
+        return jnp.sum(mmi_objective_lattice_ts(o_, ali, lat, lens_j, mask,
+                                                True, 1.0))
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("PK2_LATFB_MATVEC", mode)
+        z, g = lattice_occupancies_ts(o, lat, lens_j)
+        outs[mode] = (np.asarray(z), np.asarray(g), float(mmi(o)),
+                      np.asarray(jax.grad(mmi)(o)))
+    # sanity: the gate actually routes (tiny shapes are always under budget)
+    assert fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
+    monkeypatch.delenv("PK2_LATFB_MATVEC")
+    assert not fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
+    z0, g0, f0, gr0 = outs["0"]
+    z1, g1, f1, gr1 = outs["1"]
+    np.testing.assert_allclose(z1, z0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(g1, g0, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gr1, gr0, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("level", ["pdf", "phone"])
+def test_matvec_form_smbr_matches_scan_form(decoded, monkeypatch, level):
+    """Matvec expected-accuracy (M + accuracy-weighted M2 matvecs) must
+    reproduce the scan form's objective and gradient."""
+    obs, lens, _fsas, framed, p = decoded
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    o, lens_j = jnp.asarray(obs), jnp.asarray(lens)
+    rng = np.random.RandomState(4)
+    p2p = jnp.asarray(np.arange(p, dtype=np.int32) % 3 + 1)
+    hi, lo = (p, 0) if level == "pdf" else (4, 1)
+    ref = jnp.asarray(rng.randint(lo, hi, obs.shape[:2]).astype(np.int32))
+
+    def smbr(o_):
+        return jnp.sum(lattice_expected_accuracy_ts(o_, lat, ref, lens_j,
+                                                    level, p2p))
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("PK2_LATFB_MATVEC", mode)
+        outs[mode] = (float(smbr(o)), np.asarray(jax.grad(smbr)(o)))
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["1"][1], outs["0"][1],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_matvec_form_ragged_and_padded(decoded, monkeypatch):
+    """Matvec form under grown (K, A, T) paddings and ragged lengths —
+    the multihost shape-equalization path."""
+    from pykaldi2_tpu.ops.fb_lattice import pad_time_sync
+
+    obs, lens, _fsas, framed, _p = decoded
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    monkeypatch.setenv("PK2_LATFB_MATVEC", "0")
+    z1, g1 = lattice_occupancies_ts(jnp.asarray(obs), lat, jnp.asarray(lens))
+    monkeypatch.setenv("PK2_LATFB_MATVEC", "1")
+    t0 = obs.shape[1]
+    big = pad_time_sync(lat, lat.num_slots * 2, lat.src.shape[2] + 96,
+                        t=t0 + 7)
+    obs_t = np.pad(obs, [(0, 0), (0, 7), (0, 0)])
+    z2, g2 = lattice_occupancies_ts(jnp.asarray(obs_t), big,
+                                    jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2)[:, :t0], np.asarray(g1),
+                               rtol=1e-4, atol=1e-6)
+    assert np.abs(np.asarray(g2)[:, t0:]).max() == 0.0
+
+
 def test_banded_memory_shape(decoded):
     """The win itself: slot count ≤ per-frame tokens, not total states."""
     obs, lens, fsas, framed, _p = decoded
