@@ -112,7 +112,8 @@ def _bfs_order(num_states: int, src: np.ndarray, dst: np.ndarray,
 def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
                       max_wb_bytes: int = 2 << 30,
                       band_frac: float = 0.5,
-                      max_band: int = 8) -> BlockSparseGraph:
+                      max_band: int = 8,
+                      tile_dtype: Optional[str] = None) -> BlockSparseGraph:
     """DenseFsa -> BlockSparseGraph. Raises ValueError when the graph
     violates the state-emission invariant or the nonzero-block count blows
     past ``max_wb_bytes`` (callers fall back to the arc tables).
@@ -122,7 +123,14 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
     [nblk, k, k] stream per matvec, so it pays once the offset's slots are
     about half full (the COO path reads each tile ~2x through its gather +
     segment-sum intermediates). ``band_frac=0`` disables banding (all-COO;
-    the representation the opt-in Pallas kernel consumes)."""
+    the representation the opt-in Pallas kernel consumes).
+
+    ``tile_dtype`` (default env ``PK2_BLOCKFB_TILE_DTYPE`` or "float32"):
+    storage dtype of the tile tensors. "bfloat16" HALVES the recursion's
+    dominant HBM stream — the [|O|, nblk, k, k] band re-read every frame —
+    at a one-time ~0.4% relative rounding of each transition probability
+    (the convert back to f32 fuses into the einsum read; accumulation stays
+    f32). Opt-in until the on-chip error/throughput trade is measured."""
     fsa.validate()
     state_pdf = state_emission_pdfs(fsa)
     if state_pdf is None:
@@ -220,11 +228,18 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
     if state_phone is not None:
         state_phone = jnp.asarray(
             np.concatenate([state_phone, np.zeros(pad, np.int32)]))
+    if tile_dtype is None:
+        tile_dtype = os.environ.get("PK2_BLOCKFB_TILE_DTYPE", "float32")
+    if tile_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"tile_dtype={tile_dtype!r}: expected float32 or "
+                         "bfloat16")
+    tdt = jnp.dtype(tile_dtype)
     return BlockSparseGraph(
-        bi=jnp.asarray(bi), bj=jnp.asarray(bj), wb=jnp.asarray(wb),
-        bit=jnp.asarray(bit), bjt=jnp.asarray(bjt), wbt=jnp.asarray(wbt),
-        band_off=band_off, wband=jnp.asarray(wband),
-        band_off_t=band_off_t, wband_t=jnp.asarray(wband_t),
+        bi=jnp.asarray(bi), bj=jnp.asarray(bj), wb=jnp.asarray(wb, tdt),
+        bit=jnp.asarray(bit), bjt=jnp.asarray(bjt),
+        wbt=jnp.asarray(wbt, tdt),
+        band_off=band_off, wband=jnp.asarray(wband, tdt),
+        band_off_t=band_off_t, wband_t=jnp.asarray(wband_t, tdt),
         state_pdf=jnp.asarray(state_pdf.astype(np.int32)),
         final=jnp.asarray(final, jnp.float32),
         start=int(inv[int(fsa.start)]), num_states=S, num_padded=Sp,
@@ -239,6 +254,17 @@ def _scan_unroll() -> int:
     fits the schedule. Default stays 1; the knob remains for re-testing on
     other shapes/toolchains."""
     return int(os.environ.get("PK2_BLOCKFB_UNROLL", "1"))
+
+
+def _fuse_band() -> bool:
+    """Apply all band offsets as ONE concatenated einsum instead of a
+    per-offset einsum + add chain. PK2_BLOCKFB_FUSEBAND=1 opt-in until the
+    on-chip measurement lands (same accumulation space — exp-domain sums —
+    so the two forms agree to reassociation)."""
+    env = os.environ.get("PK2_BLOCKFB_FUSEBAND")
+    if env not in (None, "", "0", "1"):
+        raise ValueError(f"PK2_BLOCKFB_FUSEBAND={env!r}: expected 0 or 1")
+    return env == "1"
 
 
 def _use_pallas_block() -> bool:
@@ -325,23 +351,36 @@ def _block_matvec(lin: jax.Array, g: BlockSparseGraph,
                   else (g.band_off, g.wband))
     i_idx, j_idx, tiles = ((g.bit, g.bjt, g.wbt) if transpose
                            else (g.bi, g.bj, g.wb))
-    if not offs and tiles.shape[0] and _use_pallas_block():
+    if (not offs and tiles.shape[0] and tiles.dtype == jnp.float32
+            and _use_pallas_block()):
         return _block_matvec_pallas(lin, tiles, i_idx, j_idx, nblk, k)
     xb = lin.reshape(b, nblk, k)
     out = None
-    for oi, o in enumerate(offs):
+
+    def shifted(o):
         if o > 0:
-            xo = jnp.pad(xb[:, o:], [(0, 0), (0, o), (0, 0)])
-        elif o < 0:
-            xo = jnp.pad(xb[:, :o], [(0, 0), (-o, 0), (0, 0)])
-        else:
-            xo = xb
-        y = jnp.einsum("bnk,nkl->bnl", xo, band[oi],
-                       precision=_gemm_precision())
-        out = y if out is None else out + y
+            return jnp.pad(xb[:, o:], [(0, 0), (0, o), (0, 0)])
+        if o < 0:
+            return jnp.pad(xb[:, :o], [(0, 0), (-o, 0), (0, 0)])
+        return xb
+
+    if len(offs) > 1 and _fuse_band():
+        # all offsets in ONE einsum: [B, nblk, |O|k] x [nblk, |O|k, k] —
+        # the per-offset partial sums and their adds disappear
+        xcat = jnp.concatenate([shifted(o) for o in offs], axis=2)
+        wcat = jnp.moveaxis(band, 0, 1).reshape(nblk, len(offs) * k, k)
+        out = jnp.einsum("bnm,nml->bnl", xcat,
+                         wcat.astype(jnp.float32),
+                         precision=_gemm_precision())
+    else:
+        for oi, o in enumerate(offs):
+            y = jnp.einsum("bnk,nkl->bnl", shifted(o),
+                           band[oi].astype(jnp.float32),
+                           precision=_gemm_precision())
+            out = y if out is None else out + y
     if tiles.shape[0]:
         x = jnp.take(xb, i_idx, axis=1)                       # [B, nc, k]
-        y = jnp.einsum("bnk,nkl->bnl", x, tiles,
+        y = jnp.einsum("bnk,nkl->bnl", x, tiles.astype(jnp.float32),
                        precision=_gemm_precision())           # [B, nc, k]
         coo = jax.ops.segment_sum(jnp.swapaxes(y, 0, 1), j_idx,
                                   num_segments=nblk,

@@ -390,3 +390,51 @@ def test_band_split_logz_grad_and_accuracy_match(save_mode):
         np.testing.assert_allclose(float(vb), float(vc), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gvb), np.asarray(gvc),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_band_matches_per_offset(monkeypatch):
+    """PK2_BLOCKFB_FUSEBAND=1 (all band offsets as one concatenated einsum)
+    must agree with the per-offset einsum chain through logZ grad."""
+    fsa = _chain_fsa(num_chains=4, chain_len=9)
+    rng = np.random.RandomState(13)
+    B, T, P = 2, 6, 5
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(np.array([6, 4], np.int32))
+    g = pack_graph_blocks(fsa, block=8, seg_len=3)
+    assert len(g.band_off) > 1, "fixture must produce a multi-offset band"
+
+    def f(o):
+        return jnp.sum(fsa_logz_block(o, g, lens))
+
+    v0, gv0 = jax.value_and_grad(f)(obs)
+    monkeypatch.setenv("PK2_BLOCKFB_FUSEBAND", "1")
+    jax.clear_caches()
+    v1, gv1 = jax.value_and_grad(f)(obs)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_tiles_close_to_f32(save_mode):
+    """tile_dtype="bfloat16" (halved band HBM traffic) must track the f32
+    packing within bf16 rounding: ~4e-3 relative on logZ shifts/occupancies
+    (accumulation stays f32; only the stored transition probs are rounded).
+    """
+    fsa = _chain_fsa(num_chains=4, chain_len=9)
+    rng = np.random.RandomState(14)
+    B, T, P = 2, 6, 5
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(np.array([6, 4], np.int32))
+    g32 = pack_graph_blocks(fsa, block=8, seg_len=3)
+    gbf = pack_graph_blocks(fsa, block=8, seg_len=3, tile_dtype="bfloat16")
+    assert gbf.wband.dtype == jnp.bfloat16 and gbf.wbt.dtype == jnp.bfloat16
+    assert g32.wband.dtype == jnp.float32
+
+    def f(o, g):
+        return jnp.sum(fsa_logz_block(o, g, lens))
+
+    v0, gv0 = jax.value_and_grad(lambda o: f(o, g32))(obs)
+    v1, gv1 = jax.value_and_grad(lambda o: f(o, gbf))(obs)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                               rtol=2e-2, atol=2e-2)
