@@ -1,8 +1,11 @@
-"""Decode/eval entry point: posteriors → native beam decode → WER.
+"""Decode/eval entry point: posteriors → beam decode → WER.
 
 Reference behavior: pykaldi2's decode/forward scripts + Kaldi
 latgen-faster-mapped / compute-wer (SURVEY.md §4.4). Forward runs batched on
-device (bucketed), decoding on the host decoder, scoring in-process.
+device (bucketed); decoding is either the host C++ decoder (default, any
+graph scale) or — ``-decoder device`` — the batched on-accelerator lattice
+search (decode/device_lattice.py), which never ships posteriors to the host
+and feeds the same lattice scoring (N-best/oracle/MBR/sweeps).
 
 CLI: python -m pykaldi2_tpu.bin.decode -config exp.yaml -data data.yaml \
        -model exp/ce/model.7.npz -graph graph.fst.txt -words words.txt \
@@ -60,6 +63,18 @@ def main(argv=None):
     p.add_argument("-on_device", action="store_true",
                    help="exact batched Viterbi decoding on the accelerator "
                         "(no host beam search); best for small/medium graphs")
+    p.add_argument("-decoder", choices=("host", "device"), default="host",
+                   help="'device' runs the batched beam-pruned lattice "
+                        "search on the accelerator (decode/device_lattice) "
+                        "and converts the banded lattices for scoring — all "
+                        "lattice modes (-nbest/-oracle/-mbr/-lattice_out/"
+                        "sweeps) work; set -max_active to frontier size "
+                        "(e.g. 200-2000, NOT the host default 7000: it "
+                        "shapes the dense per-frame band)")
+    p.add_argument("-max_arcs", type=int, default=1024,
+                   help="device decoder: lattice links kept per frame "
+                        "(band cap; overflow drops the worst links and "
+                        "warns)")
     p.add_argument("-num_threads", type=int, default=4,
                    help="parallel host decoding threads (ctypes releases the "
                         "GIL during the C++ search)")
@@ -133,15 +148,38 @@ def main(argv=None):
         else:
             graph = Fst.read_text(args.graph)
     dense_packed = None
+    dev_graph = None
     decoders = []
     n_threads = max(args.num_threads, 1)
     lattice_mode = bool(args.lattice_out or args.nbest or args.oracle
                         or args.mbr or sweep_scales)
     if lattice_mode and args.on_device:
-        raise SystemExit("-lattice_out/-nbest/-oracle/-mbr need the host "
-                         "lattice decoder; drop -on_device")
+        raise SystemExit("-lattice_out/-nbest/-oracle/-mbr need a lattice "
+                         "decoder; drop -on_device (or use -decoder device)")
+    if args.on_device and args.decoder == "device":
+        raise SystemExit("-on_device (exact Viterbi) and -decoder device "
+                         "(beam-pruned lattice search) are different "
+                         "accelerator paths; pick one")
     if args.oracle and not args.ref:
         raise SystemExit("-oracle needs -ref")
+    if args.decoder == "device":
+        from pykaldi2_tpu.decode.device_lattice import pack_decode_graph
+
+        fstg = graph.to_fst() if hasattr(graph, "to_fst") else graph
+        if not isinstance(fstg, Fst):
+            raise SystemExit("-decoder device needs an Fst-convertible "
+                             "graph (text / .npz / OpenFst binary)")
+        try:
+            dev_graph = pack_decode_graph(fstg,
+                                          word_penalty=args.word_penalty)
+        except ValueError as e:
+            raise SystemExit(f"-decoder device cannot run this graph: {e}")
+        if not dev_graph.has_olabels:
+            raise SystemExit("-decoder device needs word output labels on "
+                             "the decode graph")
+        log.info("device decoding: %d states, buckets [%d x %d | %d x %d]",
+                 dev_graph.num_states, dev_graph.s_lo, dev_graph.d_lo,
+                 dev_graph.num_states - dev_graph.s_lo, dev_graph.d_hi)
     if args.on_device:
         if not isinstance(graph, Fst):
             raise SystemExit("-on_device needs a fully-emitting text graph "
@@ -153,7 +191,7 @@ def main(argv=None):
             dense_from_pdf_fst(graph, word_penalty=args.word_penalty))
         log.info("on-device decoding: %d states, %d arcs",
                  dense_packed.num_states, int(dense_packed.src.shape[0]))
-    else:
+    elif dev_graph is None:
         # decoder handles are stateful — one per thread
         decoders = [LatticeDecoder(graph, beam=args.beam, max_active=args.max_active,
                                    lattice_beam=args.lattice_beam,
@@ -201,15 +239,35 @@ def main(argv=None):
                 hyps[uid] = [id2w.get(w, f"<{w}>") for w in ws]
             continue
 
+        pre = None
+        if dev_graph is not None:
+            from pykaldi2_tpu.decode.device_lattice import (
+                banded_to_fsas, device_lattice_generate)
+
+            lat_b, _scores_b, dropped, olab = device_lattice_generate(
+                jnp.asarray(obs), dev_graph, jnp.asarray(np.asarray(nf)),
+                max_active=args.max_active, max_arcs=args.max_arcs,
+                beam=args.beam, lattice_beam=args.lattice_beam,
+                return_olabels=True)
+            n_drop = int(np.asarray(dropped).sum())
+            if n_drop:
+                log.warning("device search dropped %d lattice links to the "
+                            "band cap; raise -max_arcs", n_drop)
+            framed = banded_to_fsas(lat_b, np.asarray(nf), olabels=olab)
+            pre = dict(zip(utt_ids, framed))
+
         def _decode_one(i_uid_dec):
             i, uid, dec = i_uid_dec
             try:
-                if lattice_mode:
+                if lattice_mode or pre is not None:
                     from pykaldi2_tpu.decode.lattice import (best_path,
                                                              lattice_word_fst)
 
-                    lat, frames, _sc = dec.decode_lattice(obs[i, : nf[i]],
-                                                          with_frames=True)
+                    if pre is not None:
+                        lat, frames = pre[uid]
+                    else:
+                        lat, frames, _sc = dec.decode_lattice(
+                            obs[i, : nf[i]], with_frames=True)
                     wf = None
                     if args.lattice_out or args.nbest or args.oracle \
                             or not args.mbr:
@@ -247,7 +305,8 @@ def main(argv=None):
 
         from concurrent.futures import ThreadPoolExecutor
 
-        jobs = [(i, uid, decoders[i % n_threads]) for i, uid in enumerate(utt_ids)]
+        jobs = [(i, uid, decoders[i % n_threads] if decoders else None)
+                for i, uid in enumerate(utt_ids)]
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             # shard jobs so each decoder handle is used by exactly one thread
             def run_shard(t):

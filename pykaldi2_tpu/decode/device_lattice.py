@@ -45,8 +45,17 @@ what ``graph/compile.expand_to_pdf_fst`` / ``make_decode_graph`` emit (their
 junctions are collapsed); graphs with eps arcs are folded offline by
 ``remove_input_epsilons`` in ``pack_decode_graph`` (source-side folding
 preserves the invariant). Intended scale: denominator/phone-loop HCLGs (the
-on-the-fly SE hot path), where max in-degree D stays ~#phones. Word-HCLG
-eval decoding at millions of states stays on the host C++ decoder.
+on-the-fly SE hot path) and small-to-medium word HCLGs, where max in-degree
+D stays bounded.
+
+Word-HCLG EVAL decoding rides the same search (``bin/decode -decoder
+device``): word olabels ride the band sort as one extra payload operand
+(``return_olabels=True``) and ``banded_to_fsas`` converts the banded
+lattices to the host decoder's ``(DenseFsa, frames)`` contract, so N-best /
+oracle / MBR-consensus / LM-scale sweeps consume device lattices unchanged
+(parity tests: same hypotheses as native/latdec.cc at the same beams).
+Million-state graphs stay on the host C++ decoder (the [S, D] dense
+relaxation is the scale bound).
 """
 
 from __future__ import annotations
@@ -83,8 +92,8 @@ class DeviceDecodeGraph(NamedTuple):
     in_w_lo: jax.Array     # [S1, d_lo] f32 graph score (pad NEG_INF)
     in_src_hi: jax.Array   # [S2, d_hi] high-degree bucket (S2 may be 0)
     in_w_hi: jax.Array     # [S2, d_hi]
-    in_src_flat: jax.Array  # [S1*d_lo + S2*d_hi] lo.ravel ++ hi.ravel
-    in_w_flat: jax.Array    # (winner-attribute lookups post-top_k)
+    in_ol_lo: jax.Array    # [S1, d_lo] int32 arc word olabel (0 = eps/pad)
+    in_ol_hi: jax.Array    # [S2, d_hi]
     state_pdf: jax.Array   # [S] int32 pdf emitted by arcs INTO the state
     final: jax.Array       # [S] f32 log-prob, NEG_INF where non-final
     start: int
@@ -93,13 +102,15 @@ class DeviceDecodeGraph(NamedTuple):
     d_lo: int
     d_hi: int
     num_pdfs: int          # 1 + max(state_pdf): sizes the sort payload
+    has_olabels: bool      # static: any nonzero word olabel (eval graphs)
 
 
 jax.tree_util.register_pytree_node(
     DeviceDecodeGraph,
     lambda g: ((g.in_src_lo, g.in_w_lo, g.in_src_hi, g.in_w_hi,
-                g.in_src_flat, g.in_w_flat, g.state_pdf, g.final),
-               (g.start, g.num_states, g.s_lo, g.d_lo, g.d_hi, g.num_pdfs)),
+                g.in_ol_lo, g.in_ol_hi, g.state_pdf, g.final),
+               (g.start, g.num_states, g.s_lo, g.d_lo, g.d_hi, g.num_pdfs,
+                g.has_olabels)),
     lambda aux, leaves: DeviceDecodeGraph(*leaves, *aux))
 
 
@@ -163,31 +174,36 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
     in_w_lo = np.full((s1, d_lo), NEG_INF, np.float32)
     in_src_hi = np.zeros((S - s1, d_hi), np.int32)
     in_w_hi = np.full((S - s1, d_hi), NEG_INF, np.float32)
-    ds, rk, ss, ws = dst[order], rank, src[order], w[order]
+    ol = (np.zeros(len(dst), np.int32) if dense.olabel is None
+          else np.asarray(dense.olabel, np.int32))
+    in_ol_lo = np.zeros((s1, d_lo), np.int32)
+    in_ol_hi = np.zeros((S - s1, d_hi), np.int32)
+    ds, rk, ss, ws, ols = dst[order], rank, src[order], w[order], ol[order]
     lo_arc = ds < s1
     in_src_lo[ds[lo_arc], rk[lo_arc]] = ss[lo_arc]
     in_w_lo[ds[lo_arc], rk[lo_arc]] = ws[lo_arc]
+    in_ol_lo[ds[lo_arc], rk[lo_arc]] = ols[lo_arc]
     if s1 < S:
         in_src_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ss[~lo_arc]
         in_w_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ws[~lo_arc]
+        in_ol_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ols[~lo_arc]
     final = np.nan_to_num(np.asarray(dense.final, np.float32),
                           neginf=NEG_INF, posinf=NEG_INF)[perm]
     return DeviceDecodeGraph(
         in_src_lo=jnp.asarray(in_src_lo), in_w_lo=jnp.asarray(in_w_lo),
         in_src_hi=jnp.asarray(in_src_hi), in_w_hi=jnp.asarray(in_w_hi),
-        in_src_flat=jnp.asarray(
-            np.concatenate([in_src_lo.ravel(), in_src_hi.ravel()])),
-        in_w_flat=jnp.asarray(
-            np.concatenate([in_w_lo.ravel(), in_w_hi.ravel()])),
+        in_ol_lo=jnp.asarray(in_ol_lo), in_ol_hi=jnp.asarray(in_ol_hi),
         state_pdf=jnp.asarray(state_pdf),
         final=jnp.asarray(final),
         start=int(inv[int(dense.start)]), num_states=S, s_lo=s1,
         d_lo=int(d_lo), d_hi=int(d_hi),
-        num_pdfs=int(np.asarray(state_pdf).max()) + 1 if S else 1)
+        num_pdfs=int(np.asarray(state_pdf).max()) + 1 if S else 1,
+        has_olabels=bool(np.any(ol)))
 
 
 @functools.partial(jax.jit, static_argnames=("max_active", "max_arcs",
-                                             "beam", "lattice_beam"))
+                                             "beam", "lattice_beam",
+                                             "return_olabels"))
 def device_lattice_generate(
     obs: jax.Array,
     graph: DeviceDecodeGraph,
@@ -197,8 +213,14 @@ def device_lattice_generate(
     max_arcs: int = 1024,
     beam: float = 16.0,
     lattice_beam: float = 8.0,
+    return_olabels: bool = False,
 ) -> Tuple[TimeSyncLattice, jax.Array, jax.Array]:
     """Batched beam search → (TimeSyncLattice, best scores [B], dropped [B]).
+
+    ``return_olabels=True`` (word-HCLG eval decoding) additionally returns
+    the per-link word olabels [B, T, A] (0 = eps) as a fourth element — the
+    labels ride the band sort as one more payload operand, so the SE path
+    (den graphs, no olabels) pays nothing for the feature.
 
     obs [B, T, P]: acoustic-scaled scores (same matrix the FB kernels will
     consume). Returns the banded lattice (slots = frontier positions,
@@ -215,6 +237,10 @@ def device_lattice_generate(
     """
     b, t_len, _p = obs.shape
     g = graph
+    if return_olabels and not g.has_olabels:
+        raise ValueError("return_olabels=True needs a graph packed with "
+                         "word olabels (pack_decode_graph of an FST whose "
+                         "arcs carry nonzero output labels)")
     S, S1 = g.num_states, g.s_lo
     S2, Dc = S - S1, g.d_lo + g.d_hi
     K = min(max_active, S)
@@ -280,14 +306,24 @@ def device_lattice_generate(
         alpha_next = jnp.where(new_alpha >= cutoff, new_alpha, NEG_INF)
         slot_cur = (jnp.full((b, S), -1, jnp.int32)
                     .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
-        # link candidates: a SECOND relaxation over the emitted-masked alpha
-        # (another constant-index gather) makes links from unemitted
-        # sources NEG_INF by construction; compaction into the [B, K, Dc]
-        # frontier band picks each frontier state's row from ITS bucket
-        # (the other bucket's lanes are NEG_INF) — the only dynamic-index
-        # gathers on big shapes.
-        alpha_emit = jnp.where(slot_prev >= 0, alpha, NEG_INF)
-        l_lo, l_hi = relax(alpha_emit)
+        # link candidates: the first relaxation masked by "source was
+        # emitted last frame" — the mask rides a bool [B, S·d] gather over
+        # the SAME constant arc indices (4x fewer bytes than re-gathering
+        # alpha f32, and the +w add disappears); compaction into the
+        # [B, K, Dc] frontier band picks each frontier state's row from ITS
+        # bucket (the other bucket's lanes are NEG_INF) — the only
+        # dynamic-index gathers on big shapes.
+        emit_prev = (slot_prev >= 0).astype(jnp.int8)             # [B, S]
+        l_lo = jnp.where(
+            emit_prev[:, g.in_src_lo.reshape(-1)]
+            .reshape(b, S1, g.d_lo) > 0,
+            r_lo, NEG_INF)
+        l_hi = None
+        if S2:
+            l_hi = jnp.where(
+                emit_prev[:, g.in_src_hi.reshape(-1)]
+                .reshape(b, S2, g.d_hi) > 0,
+                r_hi, NEG_INF)
         active = (t < num_frames)[:, None, None]
         lo_m = idx < S1                                           # [B, K]
         idx_lo = jnp.where(lo_m, idx, 0)
@@ -301,6 +337,8 @@ def device_lattice_generate(
         # gathers remain (each cost ~0.2 ms/frame, op-overhead-bound)
         w_band = jnp.take(g.in_w_lo, idx_lo, axis=0)              # [B,K,d_lo]
         src_band = jnp.take(g.in_src_lo, idx_lo, axis=0)
+        ol_band = (jnp.take(g.in_ol_lo, idx_lo, axis=0)
+                   if return_olabels else None)
         if S2:
             idx_hi = jnp.where(lo_m, 0, idx - S1)
             band_hi = jnp.take_along_axis(
@@ -311,6 +349,9 @@ def device_lattice_generate(
                 [w_band, jnp.take(g.in_w_hi, idx_hi, axis=0)], axis=2)
             src_band = jnp.concatenate(
                 [src_band, jnp.take(g.in_src_hi, idx_hi, axis=0)], axis=2)
+            if return_olabels:
+                ol_band = jnp.concatenate(
+                    [ol_band, jnp.take(g.in_ol_hi, idx_hi, axis=0)], axis=2)
         else:
             link_kd = band_lo
         # band top-A: a top_k over the full S*D scores lowers to
@@ -326,12 +367,14 @@ def device_lattice_generate(
         kpos = jax.lax.broadcasted_iota(jnp.int32, (b, K, Dc), 1)
         pdf_k = g.state_pdf[idx]                                  # [B, K]
         pay = (pdf_k[:, :, None] << bits_k) | kpos          # (pdf<<bk)|kpos
-        neg, pay_w, w_w, src_w = jax.lax.sort(
-            ((-score_kd).reshape(b, K * Dc),
-             pay.reshape(b, K * Dc),
-             w_band.reshape(b, K * Dc),
-             src_band.reshape(b, K * Dc)),
-            dimension=1, num_keys=1)
+        operands = [(-score_kd).reshape(b, K * Dc),
+                    pay.reshape(b, K * Dc),
+                    w_band.reshape(b, K * Dc),
+                    src_band.reshape(b, K * Dc)]
+        if return_olabels:
+            operands.append(ol_band.reshape(b, K * Dc))
+        sorted_ops = jax.lax.sort(tuple(operands), dimension=1, num_keys=1)
+        neg, pay_w, w_w, src_w = sorted_ops[:4]
         kvals = -neg[:, :A]
         valid = kvals > 0.5 * NEG_INF
         k_win = pay_w[:, :A] & ((1 << bits_k) - 1)
@@ -339,17 +382,19 @@ def device_lattice_generate(
         e_dst = jnp.where(valid, k_win, 0)          # dst slot == frontier pos
         e_pdf = jnp.where(valid, pay_w[:, :A] >> bits_k, 0)
         e_w = jnp.where(valid, w_w[:, :A], NEG_INF)
+        e_ol = (jnp.where(valid, sorted_ops[4][:, :A], 0)
+                if return_olabels else jnp.zeros((b, 0), jnp.int32))
         dropped_t = jnp.maximum(
             jnp.sum(keep_kd.astype(jnp.int32), axis=(1, 2)) - A, 0)
         act1 = active[:, :, 0]
         new_carry = (jnp.where(act1, alpha_next, alpha),
                      jnp.where(act1, slot_cur, slot_prev))
         return (new_carry,
-                (idx, vals, best, e_src, e_dst, e_pdf, e_w, dropped_t))
+                (idx, vals, best, e_src, e_dst, e_pdf, e_w, e_ol, dropped_t))
 
     obs_t = jnp.swapaxes(obs, 0, 1)                               # [T, B, P]
     ts = jnp.arange(t_len)
-    _, (idxs, valss, bests, src_f, dst_f, pdf_f, w_f,
+    _, (idxs, valss, bests, src_f, dst_f, pdf_f, w_f, ol_f,
         dropped) = jax.lax.scan(step, (alpha0, slot0), (obs_t, ts))
 
     # ---- finals/scores: each utterance's LAST active frontier (nf == 0
@@ -385,4 +430,79 @@ def device_lattice_generate(
         src=jnp.swapaxes(src_f, 0, 1), dst=jnp.swapaxes(dst_f, 0, 1),
         pdf=jnp.swapaxes(pdf_f, 0, 1), weight=jnp.swapaxes(w_f, 0, 1),
         final=final_out)
-    return lat, scores, jnp.sum(jnp.swapaxes(dropped, 0, 1), axis=1)
+    n_dropped = jnp.sum(jnp.swapaxes(dropped, 0, 1), axis=1)
+    if return_olabels:
+        return lat, scores, n_dropped, jnp.swapaxes(ol_f, 0, 1)
+    return lat, scores, n_dropped
+
+
+def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
+    """Banded device lattices → per-utterance ``(DenseFsa, frames)`` pairs.
+
+    The output matches ``LatticeDecoder.decode_lattice(with_frames=True)``'s
+    contract (time-synchronous DenseFsa, graph-score weights, state 0 at
+    frame 0, ``frames[dst] == frames[src] + 1``), so everything downstream —
+    ``lattice_word_fst``, N-best, oracle, MBR/consensus, LM-scale re-folds —
+    consumes device-decoded lattices unchanged.  ``olabels`` [B, T, A] (from
+    ``device_lattice_generate(..., return_olabels=True)``) attaches word
+    labels.  States unable to reach a final state (the beam search keeps
+    dead branches the host decoder's backward prune removes) are trimmed
+    here with a backward sweep.
+    """
+    from pykaldi2_tpu.ops.fsa import DenseFsa
+
+    src_all = np.asarray(lat.src)
+    dst_all = np.asarray(lat.dst)
+    pdf_all = np.asarray(lat.pdf)
+    w_all = np.asarray(lat.weight)
+    fin_all = np.asarray(lat.final)
+    ol_all = None if olabels is None else np.asarray(olabels)
+    nf_all = np.asarray(num_frames)
+    b, _t, a_dim = src_all.shape
+    k = lat.num_slots
+    out = []
+    for i in range(b):
+        nf = int(nf_all[i])
+        if nf <= 0:
+            fsa = DenseFsa(1, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                           np.zeros(0, np.int32), np.zeros(0, np.float32),
+                           np.zeros(1, np.float32), 0, None,
+                           None if ol_all is None else np.zeros(0, np.int32))
+            out.append((fsa, np.zeros(1, np.int64)))
+            continue
+        w = w_all[i, :nf]                                     # [nf, A]
+        valid = w > 0.5 * NEG_INF
+        src, dst, pdf = src_all[i, :nf], dst_all[i, :nf], pdf_all[i, :nf]
+        live = np.zeros((nf + 1, k), bool)
+        live[0, 0] = True
+        tt = np.repeat(np.arange(nf), a_dim).reshape(nf, a_dim)
+        live[tt[valid] + 1, dst[valid]] = True
+        # backward trim to final-reaching states (final_out guarantees the
+        # last frame's emitted slots carry a finite weight)
+        alive = np.zeros((nf + 1, k), bool)
+        alive[nf] = live[nf] & (fin_all[i] > 0.5 * NEG_INF)
+        for t in range(nf - 1, -1, -1):
+            v = valid[t] & alive[t + 1, dst[t]]
+            alive[t, src[t][v]] = True
+        alive &= live
+        if not alive[0, 0]:
+            alive = live                  # degenerate (band overflow): keep
+        sid = np.full((nf + 1, k), -1, np.int64)
+        sid[alive] = np.arange(int(alive.sum()))
+        frames = np.repeat(np.arange(nf + 1), k)[alive.reshape(-1)]
+        keep = valid & alive[tt, src] & alive[tt + 1, dst]
+        e_t, e_a = np.nonzero(keep)
+        fsa_src = sid[e_t, src[e_t, e_a]].astype(np.int32)
+        fsa_dst = sid[e_t + 1, dst[e_t, e_a]].astype(np.int32)
+        n_states = int(alive.sum())
+        final = np.full(n_states, -np.inf, np.float32)
+        last = np.nonzero(alive[nf])[0]
+        final[sid[nf, last]] = fin_all[i, last]
+        fsa = DenseFsa(
+            n_states, fsa_src, fsa_dst,
+            pdf[e_t, e_a].astype(np.int32),
+            w[e_t, e_a].astype(np.float32), final, 0, None,
+            None if ol_all is None
+            else ol_all[i, e_t, e_a].astype(np.int32))
+        out.append((fsa.validate(), frames))
+    return out

@@ -274,3 +274,79 @@ feat:
     assert set(ds2.utt_ids) == set(ds.utt_ids)
     np.testing.assert_array_equal(ds2.get(ds.utt_ids[0]).feats,
                                   feats[ds.utt_ids[0]])
+
+
+def test_decode_cli_device_decoder(tmp_path):
+    """-decoder device: the batched on-accelerator lattice search must
+    produce the same hypotheses as the host decoder through the full CLI
+    (plain WER mode AND the lattice modes)."""
+    num_pdfs = 4
+    paths = make_toy_corpus(str(tmp_path / "c"), num_utts=3,
+                            num_pdfs=num_pdfs, seed=21)
+    dp, cp = _yamls(tmp_path, paths, model_type="lstm")
+    ds = SpeechDataset(wav_scp=paths["wav_scp"], ali=paths["ali"],
+                       frame_opts=FrameOpts(dither=0.0))
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                                          mel_opts=MelOpts(num_bins=24)))
+    feat_fn = FeaturePipeline(feat_cfg)
+    model = build_model(ModelConfig(type="lstm", input_size=feat_fn.dim,
+                                    hidden_size=24, num_layers=1,
+                                    output_size=num_pdfs,
+                                    compute_dtype="float32"))
+    opt = make_optimizer(OptimizerConfig(type="adam", lr=1e-2))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    step = make_ce_train_step(model, feat_fn, opt, mesh=None)
+    key = jax.random.PRNGKey(1)
+    for epoch in range(6):
+        for batch in ChunkDataloader(ds, batch_size=4, chunk_len=40, seed=3):
+            key, sk = jax.random.split(key)
+            params, opt_state, _ = step(params, opt_state, batch, sk)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, params)
+
+    lex = str(tmp_path / "lex.txt")
+    with open(lex, "w") as f:
+        for p in range(1, num_pdfs + 1):
+            f.write(f"w{p} {p}\n")
+    from pykaldi2_tpu.bin.build_graph import main as bg
+    g_out, w_out = str(tmp_path / "g.txt"), str(tmp_path / "w.txt")
+    assert bg(["decode", "-lexicon", lex, "-out", g_out,
+               "-words_out", w_out]) == 0
+    from pykaldi2_tpu.graph.phone_lm import collapse_to_phones
+    ref = str(tmp_path / "ref.txt")
+    with open(ref, "w") as f:
+        for uid in ds.utt_ids:
+            words = " ".join(
+                f"w{p}" for p in collapse_to_phones(ds.labels[uid] + 1))
+            f.write(f"{uid} {words}\n")
+
+    from pykaldi2_tpu.bin.decode import main as dec
+    common = ["-config", cp, "-data", dp, "-model", ckpt, "-graph", g_out,
+              "-words", w_out, "-ref", ref, "-acoustic_scale", "1.0",
+              "-beam", "24.0", "-lattice_beam", "12.0", "-max_active", "32"]
+    hyp_h, hyp_d = str(tmp_path / "h.txt"), str(tmp_path / "d.txt")
+    assert dec(common + ["-hyp_out", hyp_h]) == 0
+    assert dec(common + ["-hyp_out", hyp_d, "-decoder", "device"]) == 0
+    host = dict(l.split(None, 1) for l in open(hyp_h))
+    device = dict(l.split(None, 1) for l in open(hyp_d))
+    assert device == host
+
+    # lattice modes through the device decoder
+    lat_out = str(tmp_path / "lat.txt")
+    nb_out = str(tmp_path / "nb.txt")
+    ctm_out = str(tmp_path / "out.ctm")
+    assert dec(common + ["-decoder", "device", "-lattice_out", lat_out,
+                         "-nbest", "3", "-nbest_out", nb_out, "-oracle",
+                         "-max_arcs", "256"]) == 0
+    from pykaldi2_tpu.decode.lattice import best_path, read_lattices_text
+    lats = read_lattices_text(lat_out)
+    assert set(lats) == set(ds.utt_ids)
+    for uid, wf in lats.items():
+        words, score = best_path(wf)
+        assert np.isfinite(score)
+    assert len(open(nb_out).read().strip().splitlines()) >= len(ds.utt_ids)
+    hyp_m = str(tmp_path / "m.txt")
+    assert dec(common + ["-decoder", "device", "-mbr", "-ctm_out", ctm_out,
+                         "-hyp_out", hyp_m, "-max_arcs", "256"]) == 0
+    assert len(open(ctm_out).read().strip().splitlines()) >= len(ds.utt_ids)

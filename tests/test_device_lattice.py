@@ -308,3 +308,101 @@ def test_word_penalty_applies(toy):
     np.testing.assert_allclose(np.asarray(dev_scores), np.asarray(host_pen),
                                rtol=1e-5, atol=1e-3)
     assert not np.allclose(np.asarray(dev_scores), host_scores)
+
+
+# ---------------------------------------------------------------------------
+# Word-lattice eval decoding on device (banded_to_fsas + return_olabels)
+# ---------------------------------------------------------------------------
+
+
+def test_banded_to_fsas_roundtrip_fb(toy):
+    """Converter output re-packed through pack_time_sync must reproduce the
+    original banded lattice's logZ/occupancies (dead-branch trimming is
+    FB-invariant: trimmed states carry zero posterior)."""
+    graph, obs, lens = toy
+    from pykaldi2_tpu.decode.device_lattice import banded_to_fsas
+
+    g = pack_decode_graph(graph)
+    lat, scores, dropped = device_lattice_generate(
+        jnp.asarray(obs), g, jnp.asarray(lens), max_active=16, max_arcs=128,
+        beam=24.0, lattice_beam=12.0)
+    assert np.all(np.asarray(dropped) == 0)
+    framed = banded_to_fsas(lat, lens)
+    for (fsa, frames) in framed:
+        np.testing.assert_array_equal(frames[fsa.dst], frames[fsa.src] + 1)
+    relat = pack_time_sync(framed, t_pad=obs.shape[1])
+    z0, g0 = lattice_occupancies_ts(jnp.asarray(obs), lat, jnp.asarray(lens))
+    z1, g1 = lattice_occupancies_ts(jnp.asarray(obs), relat,
+                                    jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_device_word_decoding_matches_host(toy):
+    """return_olabels=True + banded_to_fsas + lattice_word_fst must decode
+    the same words at the same scores as the host LatticeDecoder."""
+    from pykaldi2_tpu.decode.device_lattice import banded_to_fsas
+    from pykaldi2_tpu.decode.lattice import best_path, lattice_word_fst
+
+    graph, obs, lens = toy
+    g = pack_decode_graph(graph)
+    assert g.has_olabels
+    lat, scores, dropped, olab = device_lattice_generate(
+        jnp.asarray(obs), g, jnp.asarray(lens), max_active=16, max_arcs=128,
+        beam=24.0, lattice_beam=12.0, return_olabels=True)
+    assert np.all(np.asarray(dropped) == 0)
+    framed = banded_to_fsas(lat, lens, olabels=olab)
+    dec = LatticeDecoder(graph, beam=24.0, max_active=16, lattice_beam=12.0)
+    for i, nf in enumerate(lens):
+        h_words, _pdfs, h_score = dec.decode(obs[i, :nf])
+        wf = lattice_word_fst(framed[i][0], loglikes=obs[i, :nf],
+                              frames=framed[i][1], acoustic_scale=1.0)
+        d_words, d_score = best_path(wf)
+        assert d_words == h_words, (i, d_words, h_words)
+        np.testing.assert_allclose(d_score, h_score, rtol=1e-5, atol=1e-3)
+
+
+def test_device_word_decoding_arpa_backoff_graph():
+    """Word decoding parity on a real ARPA word-HCLG (backoff eps arcs are
+    folded offline; word olabels ride the fold onto the emitting arcs)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_arpa import _obs_for_words, _sentences, _toy_system
+    from pykaldi2_tpu.decode.device_lattice import banded_to_fsas
+    from pykaldi2_tpu.decode.lattice import best_path, lattice_word_fst
+    from pykaldi2_tpu.graph.arpa import arpa_to_fst, train_arpa
+    from pykaldi2_tpu.graph.compile import make_word_decode_graph
+
+    rng = np.random.RandomState(5)
+    tm, vocab, word_ids, lexicon = _toy_system(rng, n_words=12)
+    model = train_arpa(_sentences(rng, vocab, n=50, lo=2, hi=5), order=2)
+    hclg = make_word_decode_graph(tm, lexicon, word_ids,
+                                  arpa_to_fst(model, word_ids)).to_fst()
+    g = pack_decode_graph(hclg)
+    assert g.has_olabels
+    dec = LatticeDecoder(hclg, beam=14.0, max_active=64, lattice_beam=7.0)
+    utts, t_max = [], 0
+    for _ in range(4):
+        words = [vocab[rng.randint(len(vocab))]
+                 for _ in range(rng.randint(1, 4))]
+        o = _obs_for_words(tm, lexicon, words, rng)
+        utts.append((words, o))
+        t_max = max(t_max, o.shape[0])
+    obs = np.zeros((len(utts), t_max, tm.num_pdfs), np.float32)
+    lens = np.asarray([o.shape[0] for (_w, o) in utts], np.int32)
+    for i, (_w, o) in enumerate(utts):
+        obs[i, : o.shape[0]] = o
+    lat, _scores, dropped, olab = device_lattice_generate(
+        jnp.asarray(obs), g, jnp.asarray(lens), max_active=64, max_arcs=512,
+        beam=14.0, lattice_beam=7.0, return_olabels=True)
+    assert np.all(np.asarray(dropped) == 0)
+    framed = banded_to_fsas(lat, lens, olabels=olab)
+    for i, (words, o) in enumerate(utts):
+        h_words, _pdfs, _s = dec.decode(o)
+        wf = lattice_word_fst(framed[i][0], loglikes=o,
+                              frames=framed[i][1], acoustic_scale=1.0)
+        d_words, _ = best_path(wf)
+        assert d_words == h_words == [word_ids[w] for w in words], (
+            i, d_words, h_words, words)
