@@ -404,6 +404,49 @@ def _alpha_init_b(g: BlockSparseGraph, batch: int, like: jax.Array):
     return a + 0.0 * jnp.sum(like * 0.0)
 
 
+def _lincarry() -> bool:
+    """Carry alpha/beta LINEARLY (renormalized) through the MMI frame scans:
+    the per-frame exp→matvec→log round-trip collapses to matvec→max→div,
+    and the obs add becomes a multiply by exp(obs) gathered from a [B, P]
+    table exp'd OUTSIDE the scan — ~3 fewer [B, Sp] elementwise passes per
+    frame-pair. Semantically identical to the log carry: states >~87 nats
+    under the frame max underflow exp() to exact 0 in BOTH forms (the log
+    form exps inside `_log_matvec_b`). PK2_BLOCKFB_LINCARRY=1 opt-in until
+    timed on chip. Saved activations stay in LOG form either way, so the
+    gamma pass is mode-independent."""
+    env = os.environ.get("PK2_BLOCKFB_LINCARRY")
+    if env not in (None, "", "0", "1"):
+        raise ValueError(f"PK2_BLOCKFB_LINCARRY={env!r}: expected 0 or 1")
+    return env == "1"
+
+
+def _log_safe_b(lin):
+    return jnp.where(lin > 0.0, jnp.log(jnp.where(lin > 0.0, lin, 1.0)),
+                     NEG_INF)
+
+
+def _exp_obs_b(obs):
+    """[B, T, P] log scores → (exp(obs - m) [B, T, P], m [B, T]), computed
+    once outside the frame scans (lean-scan-body rule)."""
+    m = jnp.max(obs, axis=2)
+    return jnp.exp(obs - m[:, :, None]), m
+
+
+def _fwd_frame_lin(g: BlockSparseGraph, num_frames, carry, inp):
+    """Linear-carry alpha frame: carry (ah normalized linear, norm)."""
+    ah, norm = carry
+    eobs_f, om_f, t = inp
+    u = _block_matvec(ah, g, False) * eobs_f[:, g.state_pdf]
+    m2 = jnp.max(u, axis=1, keepdims=True)
+    m2s = jnp.where(m2 > 0.0, m2, 1.0)
+    new_ah = u / m2s
+    new_norm = norm + om_f + jnp.log(m2s[:, 0])
+    active = (t < num_frames)[:, None]
+    ah = jnp.where(active, new_ah, ah)
+    norm = jnp.where(active[:, 0], new_norm, norm)
+    return ah, norm
+
+
 def _full_save(g: BlockSparseGraph, b: int, t_len: int) -> bool:
     """True when the whole [T, B, Sp] alpha history fits the save budget:
     the backward then skips the per-segment recompute pass entirely — a
@@ -421,18 +464,27 @@ def _full_save_smbr(g: BlockSparseGraph, b: int, t_len: int) -> bool:
     return 2 * t_len * b * g.num_padded * 4 <= budget
 
 
-def _segmented_xs(obs, g: BlockSparseGraph) -> Tuple[jax.Array, jax.Array, int]:
-    """[B,T,P] -> (obs [n_seg,C,B,P], ts [n_seg,C], n_seg), T padded to
-    n_seg*C (padded frames are masked off by t < num_frames downstream)."""
+def _segmented_xs(obs, g: BlockSparseGraph, lin: bool = False):
+    """[B,T,P] -> (per-frame input parts, ts [n_seg,C], n_seg), each part
+    reshaped [n_seg, C, ...] with T padded to n_seg*C (padded frames are
+    masked off by t < num_frames downstream). Parts are (obs,) in log mode
+    and (exp_obs, obs_max) in linear-carry mode."""
     b, t_len, p = obs.shape
     c = g.seg_len
     n_seg = -(-t_len // c)
     tp = n_seg * c
-    obs_t = jnp.swapaxes(obs, 0, 1)
-    if tp > t_len:
-        obs_t = jnp.pad(obs_t, [(0, tp - t_len), (0, 0), (0, 0)])
+
+    def seg(x):
+        x = jnp.swapaxes(x, 0, 1)
+        if tp > t_len:
+            x = jnp.pad(x, [(0, tp - t_len)] + [(0, 0)] * (x.ndim - 1))
+        return x.reshape((n_seg, c) + x.shape[1:])
+
     ts = jnp.arange(tp).reshape(n_seg, c)
-    return obs_t.reshape(n_seg, c, b, p), ts, n_seg
+    if lin:
+        eobs, om = _exp_obs_b(obs)
+        return (seg(eobs), seg(om)), ts, n_seg
+    return (seg(obs),), ts, n_seg
 
 
 def _fwd_frame(g: BlockSparseGraph, num_frames, carry, inp):
@@ -452,24 +504,37 @@ def _fwd_frame(g: BlockSparseGraph, num_frames, carry, inp):
 
 def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
     b, t_len = obs.shape[0], obs.shape[1]
+    lin = _lincarry()
     alpha0 = _alpha_init_b(g, b, obs)
+    if lin:
+        alpha0 = jnp.exp(jnp.maximum(alpha0, NEG_INF))
     norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]
+    frame = _fwd_frame_lin if lin else _fwd_frame
+
+    def frame_xs(o):
+        """Per-frame scan inputs in [T, ...] orientation for either mode."""
+        if lin:
+            eobs, om = _exp_obs_b(o)
+            return (jnp.swapaxes(eobs, 0, 1), jnp.swapaxes(om, 0, 1))
+        return (jnp.swapaxes(o, 0, 1),)
+
     if _full_save(g, b, t_len):
-        # save EVERY post-frame state; the backward skips recompute
+        # save EVERY post-frame state (LOG form); the backward skips
+        # recompute
         def inner(carry, inp):
-            new = _fwd_frame(g, num_frames, carry, inp)
-            return new, new
+            new = frame(g, num_frames, carry, inp)
+            return new, ((_log_safe_b(new[0]), new[1]) if lin else new)
 
         (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
             inner, (alpha0, norm0),
-            (jnp.swapaxes(obs, 0, 1), jnp.arange(t_len)),
+            frame_xs(obs) + (jnp.arange(t_len),),
             unroll=_scan_unroll())
         saved = (alphas, norms)
     else:
-        xs, ts, _ = _segmented_xs(obs, g)
+        parts, ts, _ = _segmented_xs(obs, g, lin=lin)
 
         def inner(carry, inp):
-            return _fwd_frame(g, num_frames, carry, inp), None
+            return frame(g, num_frames, carry, inp), None
 
         def outer(carry, inp):
             new_carry, _ = jax.lax.scan(inner, carry, inp,
@@ -477,8 +542,9 @@ def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
             return new_carry, carry    # save each segment's ENTRY state
 
         (alpha_T, norm_T), saved = jax.lax.scan(
-            outer, (alpha0, norm0), (xs, ts))
-    total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
+            outer, (alpha0, norm0), parts + (ts,))
+    alpha_T_log = _log_safe_b(alpha_T) if lin else alpha_T
+    total = jnp.maximum(alpha_T_log + g.final[None, :], NEG_INF)
     logz = jax.nn.logsumexp(total, axis=1) + norm_T
     return logz, saved
 
@@ -503,16 +569,18 @@ def _fsa_logz_b_bwd(graph, res, ct):
 
 
 def _recompute_segment(g: BlockSparseGraph, num_frames, alpha_in, norm_in,
-                       obs_seg, ts_seg):
+                       parts_seg, ts_seg, lin: bool):
     """Re-run one segment's alpha recursion, saving every frame's POST-frame
-    (alpha, norm) — the [C, B, Sp] transient the remat trades FLOPs for."""
+    (alpha [LOG form], norm) — the [C, B, Sp] transient the remat trades
+    FLOPs for."""
+    frame = _fwd_frame_lin if lin else _fwd_frame
 
     def inner(carry, inp):
-        new = _fwd_frame(g, num_frames, carry, inp)
-        return new, new
+        new = frame(g, num_frames, carry, inp)
+        return new, ((_log_safe_b(new[0]), new[1]) if lin else new)
 
     _, (alphas, norms) = jax.lax.scan(inner, (alpha_in, norm_in),
-                                      (obs_seg, ts_seg),
+                                      parts_seg + (ts_seg,),
                                       unroll=_scan_unroll())
     return alphas, norms
 
@@ -522,10 +590,20 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
     """gamma [B, T, P]: run beta backwards over saved post-frame alphas
     (full-save mode) or recompute alphas per segment (sqrt(T) remat)."""
     b, t_len, p_dim = obs.shape
-    beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
-             + 0.0 * jnp.reshape(seg_alphas, (-1,))[0])
-    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * jnp.reshape(
-        seg_norms, (-1,))[0]
+    lin = _lincarry()
+    tie = 0.0 * (jnp.reshape(seg_norms, (-1,))[0]
+                 + jnp.reshape(seg_alphas, (-1,))[0])
+    if lin:
+        bm0 = jnp.max(g.final)
+        bm0 = jnp.where(bm0 > 0.5 * NEG_INF, bm0, 0.0)
+        beta0 = (jnp.broadcast_to(jnp.exp(jnp.maximum(g.final - bm0,
+                                                      NEG_INF))[None, :],
+                                  (b, g.num_padded)) + tie)
+        bnorm0 = jnp.full((b,), bm0, jnp.float32) + tie
+    else:
+        beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
+                 + tie)
+        bnorm0 = jnp.zeros((b,), jnp.float32) + tie
 
     def bwd_frame(carry, inp):
         beta, bnorm = carry
@@ -546,6 +624,25 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
         return (beta, bnorm), gamma_s
 
+    def bwd_frame_lin(carry, inp):
+        bh, bnorm = carry                       # beta LINEAR, normalized
+        eobs_f, om_f, alpha_t, anorm_t, t = inp
+        log_gamma = (alpha_t + anorm_t[:, None] + _log_safe_b(bh)
+                     + bnorm[:, None] - logz[:, None])
+        gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_s = jnp.where(active, gamma_s, 0.0)
+        s = _block_matvec(bh * eobs_f[:, g.state_pdf], g, transpose=True)
+        m2 = jnp.max(s, axis=1, keepdims=True)
+        m2s = jnp.where(m2 > 0.0, m2, 1.0)
+        new_bh = s / m2s
+        new_bnorm = bnorm + om_f + jnp.log(m2s[:, 0])
+        bh = jnp.where(active, new_bh, bh)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (bh, bnorm), gamma_s
+
+    bwd = bwd_frame_lin if lin else bwd_frame
+
     def scatter_pdf(gammas_s):
         """[C, B, Sp] state occupancies -> [C, B, P] pdf occupancies,
         outside the frame scans (parallel in C)."""
@@ -557,27 +654,34 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
     if _full_save(g, b, t_len):
         # seg_alphas/seg_norms hold EVERY post-frame state: one backward
         # pass, no recompute
+        if lin:
+            eobs, om = _exp_obs_b(obs)
+            xs_f = (jnp.swapaxes(eobs, 0, 1), jnp.swapaxes(om, 0, 1))
+        else:
+            xs_f = (jnp.swapaxes(obs, 0, 1),)
         _, gammas_s = jax.lax.scan(
-            bwd_frame, (beta0, bnorm0),
-            (jnp.swapaxes(obs, 0, 1), seg_alphas, seg_norms,
-             jnp.arange(t_len)),
+            bwd, (beta0, bnorm0),
+            xs_f + (seg_alphas, seg_norms, jnp.arange(t_len)),
             reverse=True, unroll=_scan_unroll())
         return jnp.swapaxes(scatter_pdf(gammas_s), 0, 1)
 
-    xs, ts, n_seg = _segmented_xs(obs, g)
+    parts, ts, n_seg = _segmented_xs(obs, g, lin=lin)
+    n_parts = len(parts)
 
     def outer(carry, inp):
         beta, bnorm = carry
-        obs_seg, ts_seg, alpha_in, norm_in = inp
+        parts_seg = inp[:n_parts]
+        ts_seg, alpha_in, norm_in = inp[n_parts:]
         alphas, norms = _recompute_segment(g, num_frames, alpha_in, norm_in,
-                                           obs_seg, ts_seg)
+                                           parts_seg, ts_seg, lin)
         (beta, bnorm), gammas_s = jax.lax.scan(
-            bwd_frame, (beta, bnorm), (obs_seg, alphas, norms, ts_seg),
+            bwd, (beta, bnorm), parts_seg + (alphas, norms, ts_seg),
             reverse=True, unroll=_scan_unroll())
         return (beta, bnorm), scatter_pdf(gammas_s)
 
     _, gammas = jax.lax.scan(outer, (beta0, bnorm0),
-                             (xs, ts, seg_alphas, seg_norms), reverse=True)
+                             parts + (ts, seg_alphas, seg_norms),
+                             reverse=True)
     gam = gammas.reshape(n_seg * g.seg_len, b, p_dim)[:t_len]
     return jnp.swapaxes(gam, 0, 1)
 
@@ -657,7 +761,7 @@ def _smbr_fwd_block(obs, g: BlockSparseGraph, ref, num_frames, level,
              jnp.arange(t_len)),
             unroll=_scan_unroll())
     else:
-        xs, ts, n_seg = _segmented_xs(obs, g)
+        (xs,), ts, n_seg = _segmented_xs(obs, g)
         c = g.seg_len
         ref_t = jnp.swapaxes(ref, 0, 1)
         tp = n_seg * c
@@ -757,7 +861,7 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
         grad = scatter_pdf(contribs)
         return (ct[:, None, None] * jnp.swapaxes(grad, 0, 1), None, None)
 
-    xs, ts, n_seg = _segmented_xs(obs, g)
+    (xs,), ts, n_seg = _segmented_xs(obs, g)
     c = g.seg_len
     ref_t = jnp.swapaxes(ref, 0, 1)
     tp = n_seg * c

@@ -438,3 +438,32 @@ def test_bf16_tiles_close_to_f32(save_mode):
     np.testing.assert_allclose(float(v1), float(v0), rtol=2e-3, atol=2e-2)
     np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_linear_carry_matches_log_carry(save_mode, monkeypatch):
+    """PK2_BLOCKFB_LINCARRY=1 (linear renormalized alpha/beta carries, exp
+    of obs hoisted outside the scans) must reproduce the log-carry form's
+    logZ, occupancies, and grad in BOTH save modes."""
+    fsa = _chain_fsa(num_chains=4, chain_len=9)
+    rng = np.random.RandomState(15)
+    B, T, P = 2, 7, 5
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(np.array([7, 4], np.int32))
+    g = pack_graph_blocks(fsa, block=8, seg_len=3)
+
+    def f(o):
+        return jnp.sum(fsa_logz_block(o, g, lens))
+
+    v0, gv0 = jax.value_and_grad(f)(obs)
+    z0, gam0 = fsa_occupancies_block(obs, g, lens)
+    monkeypatch.setenv("PK2_BLOCKFB_LINCARRY", "1")
+    jax.clear_caches()
+    v1, gv1 = jax.value_and_grad(f)(obs)
+    z1, gam1 = fsa_occupancies_block(obs, g, lens)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gam1), np.asarray(gam0),
+                               rtol=1e-4, atol=1e-6)
