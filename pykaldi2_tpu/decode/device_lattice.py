@@ -214,8 +214,10 @@ def device_lattice_generate(
     beam: float = 16.0,
     lattice_beam: float = 8.0,
     return_olabels: bool = False,
-) -> Tuple[TimeSyncLattice, jax.Array, jax.Array]:
-    """Batched beam search → (TimeSyncLattice, best scores [B], dropped [B]).
+) -> Tuple:
+    """Batched beam search → (TimeSyncLattice, best scores [B], dropped [B])
+    — plus the link olabels [B, T, A] as a 4th element iff
+    ``return_olabels=True``.
 
     ``return_olabels=True`` (word-HCLG eval decoding) additionally returns
     the per-link word olabels [B, T, A] (0 = eps) as a fourth element — the
@@ -497,7 +499,10 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
         n_states = int(alive.sum())
         final = np.full(n_states, -np.inf, np.float32)
         last = np.nonzero(alive[nf])[0]
-        final[sid[nf, last]] = fin_all[i, last]
+        # NEG_INF sentinels must become true -inf: downstream
+        # (lattice_word_fst) treats any finite value as a real final
+        fv = fin_all[i, last]
+        final[sid[nf, last]] = np.where(fv > 0.5 * NEG_INF, fv, -np.inf)
         fsa = DenseFsa(
             n_states, fsa_src, fsa_dst,
             pdf[e_t, e_a].astype(np.int32),

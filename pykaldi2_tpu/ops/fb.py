@@ -33,6 +33,14 @@ from pykaldi2_tpu.ops.fsa import DenseFsa
 NEG_INF = -1e30
 
 
+def log_safe(lin):
+    """log of a nonneg linear value with 0 → NEG_INF (the shared guarded-log
+    of every exp-space kernel; keep ONE definition so the log/linear forms
+    can't silently diverge)."""
+    return jnp.where(lin > 0.0, jnp.log(jnp.where(lin > 0.0, lin, 1.0)),
+                     NEG_INF)
+
+
 class SilenceOpts(NamedTuple):
     """Kaldi silence-phone handling for the sMBR/MPE frame accuracies.
 

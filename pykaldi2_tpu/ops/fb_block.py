@@ -42,7 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pykaldi2_tpu.ops.fb import NEG_INF, SilenceOpts, frame_accuracy
+from pykaldi2_tpu.ops.fb import (NEG_INF, SilenceOpts, frame_accuracy,
+                                 log_safe as _log_safe_b)
 from pykaldi2_tpu.ops.fb_dense import _gemm_precision, state_emission_pdfs
 from pykaldi2_tpu.ops.fsa import DenseFsa
 from pykaldi2_tpu.ops.lstm_pallas import _match_vma, _sds
@@ -351,8 +352,11 @@ def _block_matvec(lin: jax.Array, g: BlockSparseGraph,
                   else (g.band_off, g.wband))
     i_idx, j_idx, tiles = ((g.bit, g.bjt, g.wbt) if transpose
                            else (g.bi, g.bj, g.wb))
-    if (not offs and tiles.shape[0] and tiles.dtype == jnp.float32
-            and _use_pallas_block()):
+    if not offs and tiles.shape[0] and _use_pallas_block():
+        if tiles.dtype != jnp.float32:
+            raise ValueError(
+                "PK2_PALLAS_BLOCKFB=1 needs float32 tiles; repack without "
+                "tile_dtype='bfloat16' (the Pallas matvec has no bf16 path)")
         return _block_matvec_pallas(lin, tiles, i_idx, j_idx, nblk, k)
     xb = lin.reshape(b, nblk, k)
     out = None
@@ -418,11 +422,6 @@ def _lincarry() -> bool:
     if env not in (None, "", "0", "1"):
         raise ValueError(f"PK2_BLOCKFB_LINCARRY={env!r}: expected 0 or 1")
     return env == "1"
-
-
-def _log_safe_b(lin):
-    return jnp.where(lin > 0.0, jnp.log(jnp.where(lin > 0.0, lin, 1.0)),
-                     NEG_INF)
 
 
 def _exp_obs_b(obs):

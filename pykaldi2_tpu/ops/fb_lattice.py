@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fb import NEG_INF, log_safe as _log_safe
 from pykaldi2_tpu.ops.fb_batched import _arc_acc_b, _seg_sum_b
 from pykaldi2_tpu.ops.fsa import DenseFsa
 
@@ -214,6 +214,8 @@ def use_matvec_latfb(t_len: int, b: int, k: int, n_mats: int = 1) -> bool:
     it gates with ``n_mats=2``.
     """
     env = os.environ.get("PK2_LATFB_MATVEC")
+    if env == "":
+        env = None            # `PK2_LATFB_MATVEC= cmd` idiom = unset
     if env is not None and env not in ("0", "1"):
         raise ValueError(f"PK2_LATFB_MATVEC={env!r}: expected 0 or 1")
     if env == "0":
@@ -273,11 +275,6 @@ def _trans_mats_ts(obs_arc, lat: TimeSyncLattice, arc_acc=None):
     m2 = jax.ops.segment_sum((lin * arc_acc).reshape(-1), idx.reshape(-1),
                              num_segments=t_len * b * k * k)
     return m, m2.reshape(t_len, b, k, k), mx
-
-
-def _log_safe(lin):
-    return jnp.where(lin > 0.0, jnp.log(jnp.where(lin > 0.0, lin, 1.0)),
-                     NEG_INF)
 
 
 def _logz_fwd_matvec_ts(obs, lat: TimeSyncLattice, num_frames):
