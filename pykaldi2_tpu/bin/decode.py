@@ -170,8 +170,12 @@ def main(argv=None):
             raise SystemExit("-decoder device needs an Fst-convertible "
                              "graph (text / .npz / OpenFst binary)")
         try:
+            # auto eps handling: in-frame closure when the eps subgraph
+            # qualifies (backoff word-LM graphs — avoids the offline-fold
+            # arc blowup, DESIGN.md §12), offline fold otherwise
             dev_graph = pack_decode_graph(fstg,
-                                          word_penalty=args.word_penalty)
+                                          word_penalty=args.word_penalty,
+                                          eps_mode="auto")
         except ValueError as e:
             raise SystemExit(f"-decoder device cannot run this graph: {e}")
         if not dev_graph.has_olabels:

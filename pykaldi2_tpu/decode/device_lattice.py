@@ -40,22 +40,31 @@ gathers, and compaction is exact lax.top_k (cheap: ~0.25 ms at n=222k):
                    scatters); band = top-A of the S·D scores by ONE exact
                    top_k — overflow drops the WORST links, counted
 
-Graphs must be input-epsilon-free with the destination-emission invariant —
-what ``graph/compile.expand_to_pdf_fst`` / ``make_decode_graph`` emit (their
-junctions are collapsed); graphs with eps arcs are folded offline by
-``remove_input_epsilons`` in ``pack_decode_graph`` (source-side folding
-preserves the invariant). Intended scale: denominator/phone-loop HCLGs (the
-on-the-fly SE hot path) and small-to-medium word HCLGs, where max in-degree
-D stays bounded.
+Emitting arcs must satisfy the destination-emission invariant — what
+``graph/compile.expand_to_pdf_fst`` / ``make_decode_graph`` emit (their
+junctions are collapsed). Input-epsilon arcs are handled two ways
+(``pack_decode_graph(eps_mode=...)``):
+
+  fold     offline ``remove_input_epsilons`` (the SE den-graph default) —
+           exact, but backoff word-LM graphs blow up: every emitting arc
+           duplicates once per eps predecessor (measured 6.1M folded arcs
+           from ~100k, junction in-degree ~7000, at 600-word trigram scale)
+  inframe  keep eps arcs; the search runs L in-frame eps-relaxation rounds
+           per frame (host decoder's ProcessNonemitting, L = longest eps
+           chain) over compact z-lists, and the LINK band folds eps chains
+           at emission time — only beam-surviving combinations materialize.
+           Same 600-word graph: pack 80 s → 0.3 s, relax lanes 6.1M → 168k,
+           band width 7053 → 3.  Pre-frame-0 eps chains fold via the packed
+           ``eps0_w`` start closure; trailing chains fold into the finals.
 
 Word-HCLG EVAL decoding rides the same search (``bin/decode -decoder
-device``): word olabels ride the band sort as one extra payload operand
-(``return_olabels=True``) and ``banded_to_fsas`` converts the banded
-lattices to the host decoder's ``(DenseFsa, frames)`` contract, so N-best /
-oracle / MBR-consensus / LM-scale sweeps consume device lattices unchanged
-(parity tests: same hypotheses as native/latdec.cc at the same beams).
-Million-state graphs stay on the host C++ decoder (the [S, D] dense
-relaxation is the scale bound).
+device``, eps_mode="auto"): word olabels ride the band sort as one extra
+payload operand (``return_olabels=True``) and ``banded_to_fsas`` converts
+the banded lattices to the host decoder's ``(DenseFsa, frames)`` contract,
+so N-best / oracle / MBR-consensus / LM-scale sweeps consume device
+lattices unchanged (parity tests: same hypotheses/scores as
+native/latdec.cc at the same beams, fold ≡ inframe). Million-state graphs
+stay on the host C++ decoder (the [B, S] dense alpha is the scale bound).
 """
 
 from __future__ import annotations
@@ -96,6 +105,20 @@ class DeviceDecodeGraph(NamedTuple):
     in_ol_hi: jax.Array    # [S2, d_hi]
     state_pdf: jax.Array   # [S] int32 pdf emitted by arcs INTO the state
     final: jax.Array       # [S] f32 log-prob, NEG_INF where non-final
+    # ---- in-frame epsilon tables (eps_mode="inframe"; all empty under
+    # "fold"). Alpha side: dst-CSR over the COMPACT lists of states with
+    # eps in-arcs (two degree buckets), applied as constant-index
+    # scatter-max rounds. Band side: src-CSR out-arc tables over ALL
+    # states (eps out-degree is tiny — one backoff arc per LM state). ----
+    eps_z1: jax.Array      # [Z1] int32 states with small eps in-degree
+    eps_src_z1: jax.Array  # [Z1, e1] int32 eps in-arc sources (pad 0)
+    eps_w_z1: jax.Array    # [Z1, e1] f32 (pad NEG_INF)
+    eps_z2: jax.Array      # [Z2] big-degree states (backoff hubs)
+    eps_src_z2: jax.Array  # [Z2, e2]
+    eps_w_z2: jax.Array    # [Z2, e2]
+    eps_out_dst: jax.Array  # [S, D_out] int32 eps out-arc dests (pad 0)
+    eps_out_w: jax.Array    # [S, D_out] f32 (pad NEG_INF)
+    eps0_w: jax.Array       # [S] f32 best eps-chain weight start→s
     start: int
     num_states: int
     s_lo: int              # S1: states [0, s_lo) use the lo tables
@@ -103,47 +126,195 @@ class DeviceDecodeGraph(NamedTuple):
     d_hi: int
     num_pdfs: int          # 1 + max(state_pdf): sizes the sort payload
     has_olabels: bool      # static: any nonzero word olabel (eval graphs)
+    eps_depth: int         # L: longest eps chain (0 = no in-frame eps)
 
 
 jax.tree_util.register_pytree_node(
     DeviceDecodeGraph,
     lambda g: ((g.in_src_lo, g.in_w_lo, g.in_src_hi, g.in_w_hi,
-                g.in_ol_lo, g.in_ol_hi, g.state_pdf, g.final),
+                g.in_ol_lo, g.in_ol_hi, g.state_pdf, g.final,
+                g.eps_z1, g.eps_src_z1, g.eps_w_z1,
+                g.eps_z2, g.eps_src_z2, g.eps_w_z2,
+                g.eps_out_dst, g.eps_out_w, g.eps0_w),
                (g.start, g.num_states, g.s_lo, g.d_lo, g.d_hi, g.num_pdfs,
-                g.has_olabels)),
+                g.has_olabels, g.eps_depth)),
     lambda aux, leaves: DeviceDecodeGraph(*leaves, *aux))
 
 
+def _eps_dag_depth(S: int, esrc: np.ndarray, edst: np.ndarray):
+    """Longest eps-chain length via Kahn topo order; None when cyclic."""
+    order = np.argsort(esrc, kind="stable")
+    es, ed = esrc[order], edst[order]
+    row_s = np.searchsorted(es, np.arange(S))
+    row_e = np.searchsorted(es, np.arange(S) + 1)
+    depth = np.zeros(S, np.int64)
+    indeg = np.bincount(edst, minlength=S)
+    stack = [int(s) for s in range(S) if indeg[s] == 0]
+    seen = 0
+    while stack:
+        s = stack.pop()
+        seen += 1
+        for d in ed[row_s[s]:row_e[s]]:
+            if depth[s] + 1 > depth[d]:
+                depth[d] = depth[s] + 1
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                stack.append(int(d))
+    if seen != S:
+        return None
+    return int(depth.max()) if len(depth) else 0
+
+
+def _degree_split_tables(items_dst, items_cols, S, fill_vals):
+    """Compact dst-CSR split into two degree buckets.
+
+    ``items_dst`` [E]: destination of each item; ``items_cols``: list of
+    per-item column arrays to scatter. Returns (z1, tabs1, z2, tabs2) where
+    z1/z2 are the distinct destinations (small/large degree) and tabs are
+    [len(z), width] tables in items order per destination."""
+    z, counts = np.unique(items_dst, return_counts=True)
+    if not len(z):
+        e = [np.zeros((0, 1), c.dtype if hasattr(c, "dtype") else np.int32)
+             for c in items_cols]
+        return (np.zeros(0, np.int32), e,
+                np.zeros(0, np.int32), [x.copy() for x in e])
+    uniq_deg = np.unique(counts)
+    slots = [(int((counts <= t).sum()) * int(t)
+              + int((counts > t).sum()) * int(counts.max()), int(t))
+             for t in uniq_deg]
+    _, e1 = min(slots)
+    small = counts <= e1
+    e2 = int(counts.max()) if (~small).any() else 0
+    order = np.argsort(items_dst, kind="stable")
+    pos_of = {int(s): i for i, s in enumerate(z)}
+    didx = np.asarray([pos_of[int(d)] for d in items_dst[order]])
+    starts = np.cumsum(counts) - counts
+    rank = np.arange(len(items_dst)) - starts[didx]
+
+    def build(sel, width):
+        zs = z[sel].astype(np.int32)
+        row_of = np.full(len(z), -1, np.int64)
+        row_of[np.nonzero(sel)[0]] = np.arange(int(sel.sum()))
+        tabs = []
+        m = sel[didx]
+        for col, fill in zip(items_cols, fill_vals):
+            tab = np.full((int(sel.sum()), max(width, 1)), fill,
+                          np.asarray(col).dtype)
+            tab[row_of[didx[m]], rank[m]] = np.asarray(col)[order][m]
+            tabs.append(tab)
+        return zs, tabs
+
+    z1, tabs1 = build(small, e1)
+    z2, tabs2 = build(~small, e2)
+    return z1, tabs1, z2, tabs2
+
+
 def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
-                      max_in_degree: int = 1024) -> DeviceDecodeGraph:
+                      max_in_degree: int = 1024,
+                      eps_mode: str = "fold",
+                      max_eps_depth: int = 8,
+                      max_eps_out: int = 16) -> DeviceDecodeGraph:
     """pdf-level decode FST (ilabel = pdf+1, olabel = word) → device tables.
 
     Input-epsilon arcs (word-LM backoff/junction arcs in HCLG-scale graphs)
-    are folded away offline — `remove_input_epsilons` folds the closure on
-    the SOURCE side (s --eps*--> c --emit--> x  ⇒  s --emit--> x), which
-    keeps the destination-emission invariant the search relies on.
+    are handled per ``eps_mode``:
+
+    - ``"fold"`` (default; the SE den-graph path): `remove_input_epsilons`
+      folds the closure offline on the SOURCE side (s --eps*--> c --emit-->
+      x  ⇒  s --emit--> x), which keeps the destination-emission invariant.
+      Exact, but on backoff word-LM graphs the fold MULTIPLIES arcs (every
+      emitting arc once per eps-predecessor — measured 6.1M folded arcs
+      from ~100k at 600-word trigram scale, DESIGN.md §12).
+    - ``"inframe"``: keep eps arcs and run L in-frame eps-relaxation rounds
+      per frame inside the search (L = longest eps chain), exactly like the
+      host decoder's ProcessNonemitting — lane work stays proportional to
+      the RAW arc count. Requires an acyclic eps subgraph with depth ≤
+      ``max_eps_depth``, eps out-degree ≤ ``max_eps_out``, and olabel-free
+      eps arcs; end-of-path eps chains are folded into the finals offline.
+    - ``"auto"``: "inframe" when the graph has eps arcs and meets the
+      inframe requirements, else "fold".
 
     ``max_in_degree`` guards the [S, D] padding: a graph where one state
     collects thousands of in-arcs would make every frame pay D-wide gathers
-    — that is host-decoder territory, not a denominator graph.
+    — that is host-decoder territory.
     """
-    if any(a.ilabel == EPS for s in range(fst.num_states) for a in fst.arcs[s]):
-        fst = fst.remove_input_epsilons()
-    from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst
-    from pykaldi2_tpu.ops.fb_dense import state_emission_pdfs
+    if eps_mode not in ("fold", "inframe", "auto"):
+        raise ValueError(f"eps_mode={eps_mode!r}")
 
-    dense = dense_from_pdf_fst(fst, word_penalty)
-    state_pdf = state_emission_pdfs(dense)
-    if state_pdf is None:
+    def extract(f):
+        src_, ilab_, olab_, w_, dst_ = [], [], [], [], []
+        for s in range(f.num_states):
+            for a in f.arcs[s]:
+                src_.append(s)
+                ilab_.append(a.ilabel)
+                olab_.append(a.olabel)
+                w_.append(a.weight)
+                dst_.append(a.nextstate)
+        return (np.asarray(src_, np.int64), np.asarray(ilab_, np.int64),
+                np.asarray(olab_, np.int64),
+                np.nan_to_num(np.asarray(w_, np.float32), neginf=NEG_INF,
+                              posinf=NEG_INF),
+                np.asarray(dst_, np.int64))
+
+    start0 = int(fst.start)
+    a_src, a_il, a_ol, a_w, a_dst = extract(fst)
+    is_eps = a_il == EPS
+    eps_depth = 0
+    eps_arcs = (np.zeros(0, np.int64),) * 2 + (np.zeros(0, np.float32),)
+    S = int(fst.num_states)
+    final = np.full(S, NEG_INF, np.float32)
+    for s, fw in fst.finals.items():
+        final[s] = np.float32(np.nan_to_num(fw, neginf=NEG_INF,
+                                            posinf=NEG_INF))
+    if is_eps.any():
+        esrc, edst, ew = a_src[is_eps], a_dst[is_eps], a_w[is_eps]
+        depth = _eps_dag_depth(S, esrc, edst)
+        out_deg = int(np.bincount(esrc, minlength=S).max())
+        ok_inframe = (depth is not None and depth <= max_eps_depth
+                      and out_deg <= max_eps_out
+                      and not np.any(a_ol[is_eps]))
+        mode = eps_mode if eps_mode != "auto" else (
+            "inframe" if ok_inframe else "fold")
+        if mode == "inframe":
+            if not ok_inframe:
+                raise ValueError(
+                    "eps_mode='inframe' needs an acyclic, olabel-free eps "
+                    f"subgraph with depth ≤ {max_eps_depth} and out-degree "
+                    f"≤ {max_eps_out} (got depth {depth}, out-degree "
+                    f"{out_deg}, olabeled "
+                    f"{int(np.count_nonzero(a_ol[is_eps]))})")
+            eps_depth = depth
+            eps_arcs = (esrc, edst, ew)
+            # fold trailing eps chains into the finals (host decoder:
+            # ProcessNonemitting on the last frame)
+            for _ in range(depth):
+                cand = ew + final[edst]
+                np.maximum.at(final, esrc, cand.astype(np.float32))
+            a_src, a_il, a_ol, a_w, a_dst = (
+                x[~is_eps] for x in (a_src, a_il, a_ol, a_w, a_dst))
+        else:
+            fst2 = fst.remove_input_epsilons()
+            S = int(fst2.num_states)
+            start0 = int(fst2.start)
+            a_src, a_il, a_ol, a_w, a_dst = extract(fst2)
+            final = np.full(S, NEG_INF, np.float32)
+            for s, fw in fst2.finals.items():
+                final[s] = np.float32(np.nan_to_num(fw, neginf=NEG_INF,
+                                                    posinf=NEG_INF))
+    if np.any(a_il == EPS):
+        raise ValueError("decode FST still has epsilon input arcs")
+    # destination-emission invariant over the EMIT arcs
+    pdf_arc = (a_il - 1).astype(np.int64)
+    state_pdf = np.zeros(S, np.int64)
+    state_pdf[a_dst] = pdf_arc
+    if np.any(state_pdf[a_dst] != pdf_arc):
         raise ValueError(
             "decode graph violates the destination-emission invariant "
             "(arcs into one state carry different pdfs); the device search "
             "needs compiler-emitted graphs (expand_to_pdf_fst)")
-    S = int(dense.num_states)
-    src = np.asarray(dense.src, np.int64)
-    dst = np.asarray(dense.dst, np.int64)
-    w = np.nan_to_num(np.asarray(dense.weight, np.float32),
-                      neginf=NEG_INF, posinf=NEG_INF)
+    src = a_src
+    dst = a_dst
+    w = a_w - np.where(a_ol != 0, np.float32(word_penalty), np.float32(0.0))
     counts = np.bincount(dst, minlength=S)
     d_max = int(counts.max()) if len(counts) else 1
     if d_max > max_in_degree:
@@ -174,8 +345,7 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
     in_w_lo = np.full((s1, d_lo), NEG_INF, np.float32)
     in_src_hi = np.zeros((S - s1, d_hi), np.int32)
     in_w_hi = np.full((S - s1, d_hi), NEG_INF, np.float32)
-    ol = (np.zeros(len(dst), np.int32) if dense.olabel is None
-          else np.asarray(dense.olabel, np.int32))
+    ol = a_ol.astype(np.int32)
     in_ol_lo = np.zeros((s1, d_lo), np.int32)
     in_ol_hi = np.zeros((S - s1, d_hi), np.int32)
     ds, rk, ss, ws, ols = dst[order], rank, src[order], w[order], ol[order]
@@ -187,18 +357,53 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
         in_src_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ss[~lo_arc]
         in_w_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ws[~lo_arc]
         in_ol_hi[ds[~lo_arc] - s1, rk[~lo_arc]] = ols[~lo_arc]
-    final = np.nan_to_num(np.asarray(dense.final, np.float32),
-                          neginf=NEG_INF, posinf=NEG_INF)[perm]
+    final = final[perm]
+
+    # ---- in-frame eps tables (empty when eps_depth == 0) ----
+    esrc, edst, ew = eps_arcs
+    esrc = inv[esrc] if len(esrc) else esrc.astype(np.int64)
+    edst = inv[edst] if len(edst) else edst.astype(np.int64)
+    z1, (ez_src1, ez_w1), z2, (ez_src2, ez_w2) = _degree_split_tables(
+        edst, [esrc.astype(np.int32), ew.astype(np.float32)], S,
+        [0, NEG_INF])
+    d_out = int(np.bincount(esrc, minlength=S).max()) if len(esrc) else 0
+    eps_out_dst = np.zeros((S, max(d_out, 1) if d_out else 0), np.int32)
+    eps_out_w = np.full((S, max(d_out, 1) if d_out else 0), NEG_INF,
+                        np.float32)
+    if d_out:
+        o2 = np.argsort(esrc, kind="stable")
+        oc = np.bincount(esrc, minlength=S)
+        ost = np.cumsum(oc) - oc
+        ork = np.arange(len(esrc)) - ost[esrc[o2]]
+        eps_out_dst[esrc[o2], ork] = edst[o2].astype(np.int32)
+        eps_out_w[esrc[o2], ork] = ew[o2].astype(np.float32)
+    # best eps-chain weight start→s (closes the PRE-frame-0 eps moves:
+    # frame-0 links from eps-reached initial states source slot 0 and carry
+    # this weight folded in; best-path collapse — alternative initial eps
+    # paths to the same state keep only the Viterbi one)
+    eps0_w = np.full(S, NEG_INF, np.float32)
+    eps0_w[int(inv[start0])] = 0.0
+    for _ in range(eps_depth):
+        cand = eps0_w[esrc] + ew.astype(np.float32)
+        np.maximum.at(eps0_w, edst, cand)
+
     return DeviceDecodeGraph(
         in_src_lo=jnp.asarray(in_src_lo), in_w_lo=jnp.asarray(in_w_lo),
         in_src_hi=jnp.asarray(in_src_hi), in_w_hi=jnp.asarray(in_w_hi),
         in_ol_lo=jnp.asarray(in_ol_lo), in_ol_hi=jnp.asarray(in_ol_hi),
         state_pdf=jnp.asarray(state_pdf),
         final=jnp.asarray(final),
-        start=int(inv[int(dense.start)]), num_states=S, s_lo=s1,
+        eps_z1=jnp.asarray(z1), eps_src_z1=jnp.asarray(ez_src1),
+        eps_w_z1=jnp.asarray(ez_w1),
+        eps_z2=jnp.asarray(z2), eps_src_z2=jnp.asarray(ez_src2),
+        eps_w_z2=jnp.asarray(ez_w2),
+        eps_out_dst=jnp.asarray(eps_out_dst),
+        eps_out_w=jnp.asarray(eps_out_w),
+        eps0_w=jnp.asarray(eps0_w),
+        start=int(inv[start0]), num_states=S, s_lo=s1,
         d_lo=int(d_lo), d_hi=int(d_hi),
         num_pdfs=int(np.asarray(state_pdf).max()) + 1 if S else 1,
-        has_olabels=bool(np.any(ol)))
+        has_olabels=bool(np.any(ol)), eps_depth=eps_depth)
 
 
 @functools.partial(jax.jit, static_argnames=("max_active", "max_arcs",
@@ -256,8 +461,12 @@ def device_lattice_generate(
     # dynamic-index gathers), one exact top_k over S for the frontier, one
     # over K*Dc for the band, and two tiny [B, K] scatters. Dynamic-index
     # gathers are confined to [B, A]-sized lookups. ----
-    alpha0 = jnp.full((b, S), NEG_INF, jnp.float32).at[:, g.start].set(0.0)
-    slot0 = jnp.full((b, S), -1, jnp.int32).at[:, g.start].set(0)
+    # initial state = the start's PRE-frame eps closure (eps0_w degenerates
+    # to {start: 0} when eps_depth == 0): eps-reached initial states carry
+    # their chain weight in alpha and source frame-0 links from slot 0
+    alpha0 = jnp.broadcast_to(g.eps0_w[None], (b, S))
+    slot0 = jnp.broadcast_to(
+        jnp.where(g.eps0_w > 0.5 * NEG_INF, 0, -1)[None], (b, S))
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, K), 1)
     # the band sort carries (pdf << bits_k) | frontier_pos as one payload
     bits_k = max((K - 1).bit_length(), 1)
@@ -279,6 +488,25 @@ def device_lattice_generate(
                            + g.in_w_hi[None], NEG_INF)
         return r_lo, r_hi
 
+    L = g.eps_depth
+    Z1, Z2 = g.eps_z1.shape[0], g.eps_z2.shape[0]
+
+    def eps_round(al):
+        """One in-frame eps relaxation (host: ProcessNonemitting): states
+        with eps in-arcs take the max over sources — constant-index gathers
+        over the compact z-lists, constant-index scatter-max back."""
+        if Z1:
+            e1 = g.eps_src_z1.shape[1]
+            rz = jnp.max(al[:, g.eps_src_z1.reshape(-1)].reshape(b, Z1, e1)
+                         + g.eps_w_z1[None], axis=2)
+            al = al.at[:, g.eps_z1].max(rz)
+        if Z2:
+            e2 = g.eps_src_z2.shape[1]
+            rz = jnp.max(al[:, g.eps_src_z2.reshape(-1)].reshape(b, Z2, e2)
+                         + g.eps_w_z2[None], axis=2)
+            al = al.at[:, g.eps_z2].max(rz)
+        return al
+
     def step(carry, inp):
         alpha, slot_prev = carry
         obs_t, t = inp                                            # [B, P]
@@ -290,6 +518,8 @@ def device_lattice_generate(
         live_s = m > 0.5 * NEG_INF
         obs_s = obs_t[:, g.state_pdf]                             # [B, S]
         new_alpha = jnp.where(live_s, m + obs_s, NEG_INF)
+        for _ in range(L):
+            new_alpha = eps_round(new_alpha)
         best = jnp.max(new_alpha, axis=1)                         # [B]
         vals, idx = jax.lax.top_k(new_alpha, K)                   # [B, K]
         # search frontier: top-K within the search beam shapes the alpha
@@ -356,6 +586,13 @@ def device_lattice_generate(
                     [ol_band, jnp.take(g.in_ol_hi, idx_hi, axis=0)], axis=2)
         else:
             link_kd = band_lo
+        if L:
+            # frame 0 only: links from eps-reached initial states fold the
+            # start→src eps-chain weight into the stored link weight (their
+            # slot is 0; scores already include it through alpha0)
+            w_band = jnp.maximum(
+                w_band + jnp.where(t == 0, g.eps0_w[src_band], 0.0),
+                NEG_INF)
         # band top-A: a top_k over the full S*D scores lowers to
         # multi-stage sorts + shard DMAs (~6 ms/frame traced); the exact
         # sort at n = K*Dc is ~0.3 ms, and carrying the payload operands
@@ -377,17 +614,70 @@ def device_lattice_generate(
             operands.append(ol_band.reshape(b, K * Dc))
         sorted_ops = jax.lax.sort(tuple(operands), dimension=1, num_keys=1)
         neg, pay_w, w_w, src_w = sorted_ops[:4]
-        kvals = -neg[:, :A]
-        valid = kvals > 0.5 * NEG_INF
-        k_win = pay_w[:, :A] & ((1 << bits_k) - 1)
-        e_src = jnp.where(valid, slot_prev[bi, src_w[:, :A]], 0)
-        e_dst = jnp.where(valid, k_win, 0)          # dst slot == frontier pos
-        e_pdf = jnp.where(valid, pay_w[:, :A] >> bits_k, 0)
-        e_w = jnp.where(valid, w_w[:, :A], NEG_INF)
-        e_ol = (jnp.where(valid, sorted_ops[4][:, :A], 0)
-                if return_olabels else jnp.zeros((b, 0), jnp.int32))
+        score_a = -neg[:, :A]
+        pay_a, w_a, src_a = pay_w[:, :A], w_w[:, :A], src_w[:, :A]
+        ol_a = sorted_ops[4][:, :A] if return_olabels else None
         dropped_t = jnp.maximum(
             jnp.sum(keep_kd.astype(jnp.int32), axis=(1, 2)) - A, 0)
+        # in-frame eps rounds on the BAND: each link whose dst state has
+        # eps out-arcs spawns folded links to the eps destinations (weight
+        # accumulates, pdf/src/olabel ride along) — the runtime equivalent
+        # of offline folding, but only for BEAM-SURVIVING combinations, so
+        # no arc blowup (DESIGN.md §12). One sort per round caps at A.
+        if L:
+            pmask = (1 << bits_k) - 1
+            dstst = jnp.where(score_a > 0.5 * NEG_INF,
+                              idx[bi, pay_a & pmask], 0)       # dst STATE
+            d_out = g.eps_out_dst.shape[1]
+            for _ in range(L):
+                va = score_a > 0.5 * NEG_INF
+                cdst = jnp.take(g.eps_out_dst, dstst, axis=0)  # [B,A,Do]
+                cw_eps = jnp.take(g.eps_out_w, dstst, axis=0)
+                cscore = jnp.where(va[:, :, None],
+                                   score_a[:, :, None] + cw_eps, NEG_INF)
+                cslot = jnp.take_along_axis(
+                    slot_cur, cdst.reshape(b, A * d_out),
+                    axis=1).reshape(b, A, d_out)
+                # per-dst lattice beam, same rule as the emit band: within
+                # lattice_beam of the DESTINATION state's alpha
+                calpha = vals[bi[:, :, None],
+                              jnp.maximum(cslot, 0)]           # [B,A,Do]
+                ok = (cslot >= 0) & (cscore >= calpha - lattice_beam)
+                cscore = jnp.where(ok, cscore, NEG_INF)
+                cpay = (((pay_a[:, :, None] >> bits_k) << bits_k)
+                        | jnp.maximum(cslot, 0))
+                cw = jnp.where(ok, w_a[:, :, None] + cw_eps, NEG_INF)
+
+                def cat(a0, c):
+                    return jnp.concatenate(
+                        [a0, c.reshape(b, A * d_out)], axis=1)
+
+                ops2 = [cat(-score_a, -cscore), cat(pay_a, cpay),
+                        cat(w_a, cw),
+                        cat(src_a, jnp.broadcast_to(
+                            src_a[:, :, None], (b, A, d_out)))]
+                if return_olabels:
+                    ops2.append(cat(ol_a, jnp.broadcast_to(
+                        ol_a[:, :, None], (b, A, d_out))))
+                ops2.append(cat(dstst, cdst))
+                sorted2 = jax.lax.sort(tuple(ops2), dimension=1, num_keys=1)
+                n_valid = jnp.sum((-sorted2[0] > 0.5 * NEG_INF)
+                                  .astype(jnp.int32), axis=1)
+                dropped_t = dropped_t + jnp.maximum(n_valid - A, 0)
+                score_a = -sorted2[0][:, :A]
+                pay_a, w_a, src_a = (sorted2[1][:, :A], sorted2[2][:, :A],
+                                     sorted2[3][:, :A])
+                if return_olabels:
+                    ol_a = sorted2[4][:, :A]
+                dstst = sorted2[-1][:, :A]
+        valid = score_a > 0.5 * NEG_INF
+        k_win = pay_a & ((1 << bits_k) - 1)
+        e_src = jnp.where(valid, slot_prev[bi, src_a], 0)
+        e_dst = jnp.where(valid, k_win, 0)          # dst slot == frontier pos
+        e_pdf = jnp.where(valid, pay_a >> bits_k, 0)
+        e_w = jnp.where(valid, w_a, NEG_INF)
+        e_ol = (jnp.where(valid, ol_a, 0)
+                if return_olabels else jnp.zeros((b, 0), jnp.int32))
         act1 = active[:, :, 0]
         new_carry = (jnp.where(act1, alpha_next, alpha),
                      jnp.where(act1, slot_cur, slot_prev))

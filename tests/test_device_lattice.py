@@ -49,7 +49,7 @@ def host_lattices(graph, obs, lens, beam, max_active, lattice_beam):
 
 
 def _parity(graph, obs, lens, beam, max_active, lattice_beam, max_arcs=256,
-            atol=1e-3, check_structure=True):
+            atol=1e-3, check_structure=True, pack_kwargs=None):
     """Host and device lattices must agree on every FB-consumable quantity.
 
     ``check_structure=False`` for graphs with input-epsilon arcs: the host
@@ -59,7 +59,7 @@ def _parity(graph, obs, lens, beam, max_active, lattice_beam, max_arcs=256,
     agree) but per-frame arc multiplicity legitimately differs."""
     host_lat, host_scores = host_lattices(
         graph, obs, lens, beam, max_active, lattice_beam)
-    g = pack_decode_graph(graph)
+    g = pack_decode_graph(graph, **(pack_kwargs or {}))
     dev_lat, dev_scores, dropped = device_lattice_generate(
         jnp.asarray(obs), g, jnp.asarray(lens), max_active=max_active,
         max_arcs=max_arcs, beam=beam, lattice_beam=lattice_beam)
@@ -406,3 +406,134 @@ def test_device_word_decoding_arpa_backoff_graph():
         d_words, _ = best_path(wf)
         assert d_words == h_words == [word_ids[w] for w in words], (
             i, d_words, h_words, words)
+
+
+# ---------------------------------------------------------------------------
+# In-frame epsilon closure (eps_mode="inframe")
+# ---------------------------------------------------------------------------
+
+
+def _backoff_style_graph():
+    from pykaldi2_tpu.graph.fst import EPS, Fst
+
+    rng = np.random.RandomState(11)
+    f = Fst()
+    start = f.add_state()
+    f.set_start(start)
+    backoff = f.add_state()
+    units = {p: f.add_state() for p in range(NUM_PDFS)}
+    f.add_arc(start, EPS, EPS, -0.3, backoff)
+    for p in range(NUM_PDFS):
+        f.add_arc(start, p + 1, p + 1, float(-0.5 - rng.rand()), units[p])
+        f.add_arc(backoff, p + 1, EPS, float(-0.2 - rng.rand()), units[p])
+    for p in range(NUM_PDFS):
+        f.add_arc(units[p], EPS, EPS, float(-0.4 - rng.rand()), backoff)
+        f.add_arc(units[p], (p % NUM_PDFS) + 1, (p % NUM_PDFS) + 1,
+                  float(-0.6 - rng.rand()), units[p % NUM_PDFS])
+        f.set_final(units[p], float(-0.1 * p))
+    return f
+
+
+def test_inframe_eps_matches_host_and_fold():
+    """eps_mode='inframe' (L in-frame eps rounds + runtime band folding) on
+    a backoff-style graph: host parity on every FB quantity, and exactly
+    the fold-mode scores (same path set, runtime- vs offline-folded)."""
+    rng = np.random.RandomState(12)
+    f = _backoff_style_graph()
+    obs = (rng.randn(2, 10, NUM_PDFS) * 1.5).astype(np.float32)
+    lens = np.asarray([10, 7], np.int32)
+    g_in = pack_decode_graph(f, eps_mode="inframe")
+    assert g_in.eps_depth >= 1
+    assert g_in.eps_z1.shape[0] + g_in.eps_z2.shape[0] >= 1
+    _parity(f, obs, lens, beam=24.0, max_active=64, lattice_beam=12.0,
+            check_structure=False, pack_kwargs={"eps_mode": "inframe"})
+    # fold-vs-inframe: identical best scores and FB quantities
+    g_f = pack_decode_graph(f, eps_mode="fold")
+    lat_f, sc_f, d_f = device_lattice_generate(
+        jnp.asarray(obs), g_f, jnp.asarray(lens), max_active=64,
+        max_arcs=256, beam=24.0, lattice_beam=12.0)
+    lat_i, sc_i, d_i = device_lattice_generate(
+        jnp.asarray(obs), g_in, jnp.asarray(lens), max_active=64,
+        max_arcs=256, beam=24.0, lattice_beam=12.0)
+    assert np.all(np.asarray(d_f) == 0) and np.all(np.asarray(d_i) == 0)
+    np.testing.assert_allclose(np.asarray(sc_i), np.asarray(sc_f),
+                               rtol=1e-5, atol=1e-4)
+    lens_j = jnp.asarray(lens)
+    z_f, g_gf = lattice_occupancies_ts(jnp.asarray(obs), lat_f, lens_j)
+    z_i, g_gi = lattice_occupancies_ts(jnp.asarray(obs), lat_i, lens_j)
+    np.testing.assert_allclose(np.asarray(z_i), np.asarray(z_f),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_gi), np.asarray(g_gf),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_inframe_eps_word_decoding_arpa():
+    """Word decoding parity host vs device-INFRAME on the real ARPA backoff
+    word-HCLG — the raw-arc path (no offline fold, no arc blowup)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_arpa import _obs_for_words, _sentences, _toy_system
+    from pykaldi2_tpu.decode.device_lattice import banded_to_fsas
+    from pykaldi2_tpu.decode.lattice import best_path, lattice_word_fst
+    from pykaldi2_tpu.graph.arpa import arpa_to_fst, train_arpa
+    from pykaldi2_tpu.graph.compile import make_word_decode_graph
+
+    rng = np.random.RandomState(5)
+    tm, vocab, word_ids, lexicon = _toy_system(rng, n_words=12)
+    model = train_arpa(_sentences(rng, vocab, n=50, lo=2, hi=5), order=2)
+    hclg = make_word_decode_graph(tm, lexicon, word_ids,
+                                  arpa_to_fst(model, word_ids)).to_fst()
+    g = pack_decode_graph(hclg, eps_mode="inframe")
+    assert g.eps_depth >= 1 and g.has_olabels
+    # inframe keeps the raw arc count: the emit tables must be (much)
+    # smaller than the folded pack's
+    g_fold = pack_decode_graph(hclg, eps_mode="fold")
+
+    def table_lanes(gr):
+        return (gr.in_src_lo.size + gr.in_src_hi.size)
+
+    assert table_lanes(g) < table_lanes(g_fold)
+    dec = LatticeDecoder(hclg, beam=14.0, max_active=64, lattice_beam=7.0)
+    utts, t_max = [], 0
+    for _ in range(4):
+        words = [vocab[rng.randint(len(vocab))]
+                 for _ in range(rng.randint(1, 4))]
+        o = _obs_for_words(tm, lexicon, words, rng)
+        utts.append((words, o))
+        t_max = max(t_max, o.shape[0])
+    obs = np.zeros((len(utts), t_max, tm.num_pdfs), np.float32)
+    lens = np.asarray([o.shape[0] for (_w, o) in utts], np.int32)
+    for i, (_w, o) in enumerate(utts):
+        obs[i, : o.shape[0]] = o
+    lat, scores, dropped, olab = device_lattice_generate(
+        jnp.asarray(obs), g, jnp.asarray(lens), max_active=64, max_arcs=512,
+        beam=14.0, lattice_beam=7.0, return_olabels=True)
+    assert np.all(np.asarray(dropped) == 0)
+    framed = banded_to_fsas(lat, lens, olabels=olab)
+    for i, (words, o) in enumerate(utts):
+        h_words, _pdfs, h_score = dec.decode(o)
+        wf = lattice_word_fst(framed[i][0], loglikes=o,
+                              frames=framed[i][1], acoustic_scale=1.0)
+        d_words, d_score = best_path(wf)
+        assert d_words == h_words == [word_ids[w] for w in words], (
+            i, d_words, h_words, words)
+        np.testing.assert_allclose(d_score, h_score, rtol=1e-5, atol=1e-3)
+
+
+def test_eps_mode_auto_and_guards():
+    """auto resolves to inframe on a qualifying graph; inframe raises
+    loudly on graphs it cannot run (olabeled eps arc)."""
+    from pykaldi2_tpu.graph.fst import EPS, Fst
+
+    f = _backoff_style_graph()
+    g = pack_decode_graph(f, eps_mode="auto")
+    assert g.eps_depth >= 1       # resolved to inframe
+    # an olabel on an eps arc disqualifies inframe — and offline folding
+    # cannot absorb it either (remove_input_epsilons keeps olabeled eps
+    # arcs), so both routes fail LOUDLY instead of silently dropping words
+    f2 = _backoff_style_graph()
+    f2.add_arc(0, EPS, 3, -0.9, 1)
+    with pytest.raises(ValueError, match="olabel-free"):
+        pack_decode_graph(f2, eps_mode="inframe")
+    with pytest.raises(ValueError, match="epsilon input arcs"):
+        pack_decode_graph(f2, eps_mode="auto")
