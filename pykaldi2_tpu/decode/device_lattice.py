@@ -599,9 +599,17 @@ def device_lattice_generate(
         # through it costs ~40 us/frame more than lax.top_k while saving
         # four post-top_k gathers. Overflow drops the worst links, counted
         # in `dropped`.
-        keep_kd = ((link_kd >= vals[:, :, None] - lattice_beam)
+        # with in-frame eps (L > 0) the band also holds EXPANSION CARRIERS:
+        # entries whose dst is within the SEARCH beam but not necessarily
+        # the lattice beam — the host propagates eps chains through any
+        # surviving token, so intermediates must not be lattice-beam-pruned
+        # (the final per-dst lattice-beam + emitted-dst filter re-applies
+        # after the rounds). L == 0 keeps the tight single-rule band.
+        band_thr = beam if L else lattice_beam
+        band_keep = keep_k if L else emit_k
+        keep_kd = ((link_kd >= vals[:, :, None] - band_thr)
                    & (link_kd > 0.5 * NEG_INF)
-                   & emit_k[:, :, None] & active)
+                   & band_keep[:, :, None] & active)
         score_kd = jnp.where(keep_kd, link_kd, NEG_INF)
         kpos = jax.lax.broadcasted_iota(jnp.int32, (b, K, Dc), 1)
         pdf_k = g.state_pdf[idx]                                  # [B, K]
@@ -629,6 +637,10 @@ def device_lattice_generate(
             dstst = jnp.where(score_a > 0.5 * NEG_INF,
                               idx[bi, pay_a & pmask], 0)       # dst STATE
             d_out = g.eps_out_dst.shape[1]
+            # keep-based (search-beam) frontier slot map, LOCAL to the
+            # frame: expansion routes through any surviving token
+            slot_keep = (jnp.full((b, S), -1, jnp.int32)
+                         .at[bi, idx].set(jnp.where(keep_k, slot_ids, -1)))
             for _ in range(L):
                 va = score_a > 0.5 * NEG_INF
                 cdst = jnp.take(g.eps_out_dst, dstst, axis=0)  # [B,A,Do]
@@ -636,13 +648,11 @@ def device_lattice_generate(
                 cscore = jnp.where(va[:, :, None],
                                    score_a[:, :, None] + cw_eps, NEG_INF)
                 cslot = jnp.take_along_axis(
-                    slot_cur, cdst.reshape(b, A * d_out),
+                    slot_keep, cdst.reshape(b, A * d_out),
                     axis=1).reshape(b, A, d_out)
-                # per-dst lattice beam, same rule as the emit band: within
-                # lattice_beam of the DESTINATION state's alpha
                 calpha = vals[bi[:, :, None],
                               jnp.maximum(cslot, 0)]           # [B,A,Do]
-                ok = (cslot >= 0) & (cscore >= calpha - lattice_beam)
+                ok = (cslot >= 0) & (cscore >= calpha - beam)
                 cscore = jnp.where(ok, cscore, NEG_INF)
                 cpay = (((pay_a[:, :, None] >> bits_k) << bits_k)
                         | jnp.maximum(cslot, 0))
@@ -672,6 +682,13 @@ def device_lattice_generate(
                 dstst = sorted2[-1][:, :A]
         valid = score_a > 0.5 * NEG_INF
         k_win = pay_a & ((1 << bits_k) - 1)
+        if L:
+            # final filter: a LINK (as opposed to an expansion carrier)
+            # needs an EMITTED dst within the per-dst lattice beam — the
+            # same rule the L == 0 band applies up front
+            valid = (valid & emit_k[bi, k_win]
+                     & (score_a >= vals[bi, k_win] - lattice_beam))
+            score_a = jnp.where(valid, score_a, NEG_INF)
         e_src = jnp.where(valid, slot_prev[bi, src_a], 0)
         e_dst = jnp.where(valid, k_win, 0)          # dst slot == frontier pos
         e_pdf = jnp.where(valid, pay_a >> bits_k, 0)
