@@ -538,24 +538,17 @@ def device_lattice_generate(
         alpha_next = jnp.where(new_alpha >= cutoff, new_alpha, NEG_INF)
         slot_cur = (jnp.full((b, S), -1, jnp.int32)
                     .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
-        # link candidates: the first relaxation masked by "source was
-        # emitted last frame" — the mask rides a bool [B, S·d] gather over
-        # the SAME constant arc indices (4x fewer bytes than re-gathering
-        # alpha f32, and the +w add disappears); compaction into the
-        # [B, K, Dc] frontier band picks each frontier state's row from ITS
-        # bucket (the other bucket's lanes are NEG_INF) — the only
-        # dynamic-index gathers on big shapes.
-        emit_prev = (slot_prev >= 0).astype(jnp.int8)             # [B, S]
-        l_lo = jnp.where(
-            emit_prev[:, g.in_src_lo.reshape(-1)]
-            .reshape(b, S1, g.d_lo) > 0,
-            r_lo, NEG_INF)
-        l_hi = None
-        if S2:
-            l_hi = jnp.where(
-                emit_prev[:, g.in_src_hi.reshape(-1)]
-                .reshape(b, S2, g.d_hi) > 0,
-                r_hi, NEG_INF)
+        # link candidates: a SECOND relaxation over the emitted-masked alpha
+        # (another constant-index gather) makes links from unemitted
+        # sources NEG_INF by construction; compaction into the [B, K, Dc]
+        # frontier band picks each frontier state's row from ITS bucket
+        # (the other bucket's lanes are NEG_INF) — the only dynamic-index
+        # gathers on big shapes. (A leaner variant — int8 emit-mask gather
+        # over the same constant indices reusing r_lo/r_hi — is staged for
+        # on-chip timing; its BOOL predecessor compiled pathologically
+        # through the Mosaic tunnel, so it ships only once measured.)
+        alpha_emit = jnp.where(slot_prev >= 0, alpha, NEG_INF)
+        l_lo, l_hi = relax(alpha_emit)
         active = (t < num_frames)[:, None, None]
         lo_m = idx < S1                                           # [B, K]
         idx_lo = jnp.where(lo_m, idx, 0)
