@@ -741,37 +741,77 @@ def _smbr_fwd_frame(g, lab, level, silence, num_frames, carry, inp):
     return alpha, aacc, norm
 
 
+def _smbr_fwd_frame_lin(g, lab, level, silence, num_frames, carry, inp):
+    """Linear-carry expected-accuracy frame (see _fwd_frame_lin): the obs
+    factor cancels in the numer/denom acc ratio, so only the alpha side
+    multiplies by exp(obs)."""
+    ah, ac, norm = carry
+    eobs_f, om_f, ref_t, t = inp
+    bsz = ah.shape[0]
+    dn = _block_matvec(jnp.concatenate([ah, ah * ac], axis=0), g, False)
+    denom, numer = dn[:bsz], dn[bsz:]
+    a_t = frame_accuracy(lab[None, :], ref_t[:, None], level, silence)
+    u = denom * eobs_f[:, g.state_pdf]
+    new_ac = jnp.where(denom > 0, numer / jnp.where(denom > 0, denom, 1.0),
+                       0.0) + a_t
+    m2 = jnp.max(u, axis=1, keepdims=True)
+    m2s = jnp.where(m2 > 0.0, m2, 1.0)
+    new_ah = u / m2s
+    new_norm = norm + om_f + jnp.log(m2s[:, 0])
+    active = (t < num_frames)[:, None]
+    ah = jnp.where(active, new_ah, ah)
+    ac = jnp.where(active, new_ac, ac)
+    norm = jnp.where(active[:, 0], new_norm, norm)
+    return ah, ac, norm
+
+
+def _smbr_refs_seg(ref, g, t_len):
+    """[B, T] refs → [n_seg, C, B] padded to the segment grid."""
+    c = g.seg_len
+    n_seg = -(-t_len // c)
+    ref_t = jnp.swapaxes(ref, 0, 1)
+    tp = n_seg * c
+    if tp > ref_t.shape[0]:
+        ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
+                        constant_values=-1)
+    return ref_t.reshape(n_seg, c, ref.shape[0])
+
+
 def _smbr_fwd_block(obs, g: BlockSparseGraph, ref, num_frames, level,
                     silence=None):
     b, t_len = obs.shape[0], obs.shape[1]
+    lin = _lincarry()
     lab = _state_labels_b(g, level)
     alpha0 = _alpha_init_b(g, b, obs)
+    if lin:
+        alpha0 = jnp.exp(jnp.maximum(alpha0, NEG_INF))
     acc0 = jnp.zeros((b, g.num_padded), jnp.float32) + 0.0 * alpha0
     norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]
+    frame = _smbr_fwd_frame_lin if lin else _smbr_fwd_frame
+
+    def save_of(new):
+        return (_log_safe_b(new[0]), new[1], new[2]) if lin else new
+
     if _full_save_smbr(g, b, t_len):
         def inner(carry, inp):
-            new = _smbr_fwd_frame(g, lab, level, silence, num_frames,
-                                  carry, inp)
-            return new, new
+            new = frame(g, lab, level, silence, num_frames, carry, inp)
+            return new, save_of(new)
 
+        if lin:
+            eobs, om = _exp_obs_b(obs)
+            xs_f = (jnp.swapaxes(eobs, 0, 1), jnp.swapaxes(om, 0, 1))
+        else:
+            xs_f = (jnp.swapaxes(obs, 0, 1),)
         (alpha_T, acc_T, norm_T), segs = jax.lax.scan(
             inner, (alpha0, acc0, norm0),
-            (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
-             jnp.arange(t_len)),
+            xs_f + (jnp.swapaxes(ref, 0, 1), jnp.arange(t_len)),
             unroll=_scan_unroll())
     else:
-        (xs,), ts, n_seg = _segmented_xs(obs, g)
-        c = g.seg_len
-        ref_t = jnp.swapaxes(ref, 0, 1)
-        tp = n_seg * c
-        if tp > ref_t.shape[0]:
-            ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
-                            constant_values=-1)
-        refs = ref_t.reshape(n_seg, c, b)
+        parts, ts, n_seg = _segmented_xs(obs, g, lin=lin)
+        refs = _smbr_refs_seg(ref, g, t_len)
 
         def inner(carry, inp):
-            return _smbr_fwd_frame(g, lab, level, silence, num_frames,
-                                   carry, inp), None
+            return frame(g, lab, level, silence, num_frames, carry, inp), None
 
         def outer(carry, inp):
             new_carry, _ = jax.lax.scan(inner, carry, inp,
@@ -779,8 +819,9 @@ def _smbr_fwd_block(obs, g: BlockSparseGraph, ref, num_frames, level,
             return new_carry, carry
 
         (alpha_T, acc_T, norm_T), segs = jax.lax.scan(
-            outer, (alpha0, acc0, norm0), (xs, refs, ts))
-    total = jnp.maximum(alpha_T + g.final[None, :], NEG_INF)
+            outer, (alpha0, acc0, norm0), parts + (refs, ts))
+    alpha_T_log = _log_safe_b(alpha_T) if lin else alpha_T
+    total = jnp.maximum(alpha_T_log + g.final[None, :], NEG_INF)
     w = jax.nn.softmax(total, axis=1)
     f = jnp.sum(w * acc_T, axis=1)
     logz = jax.nn.logsumexp(total, axis=1) + norm_T
@@ -807,11 +848,20 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
     g = graph
     (obs, ref, num_frames, seg_alphas, seg_aaccs, seg_norms, logz, f) = res
     b, t_len, p_dim = obs.shape
+    lin = _lincarry()
     lab = _state_labels_b(g, level)
-    beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
-             + 0.0 * seg_alphas[0])
+    if lin:
+        bm0 = jnp.max(g.final)
+        bm0 = jnp.where(bm0 > 0.5 * NEG_INF, bm0, 0.0)
+        beta0 = (jnp.broadcast_to(
+            jnp.exp(jnp.maximum(g.final - bm0, NEG_INF))[None, :],
+            (b, g.num_padded)) + 0.0 * seg_alphas[0])
+        bnorm0 = jnp.full((b,), bm0, jnp.float32) + 0.0 * seg_norms[0]
+    else:
+        beta0 = (jnp.broadcast_to(g.final[None, :], (b, g.num_padded))
+                 + 0.0 * seg_alphas[0])
+        bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * seg_norms[0]
     bacc0 = jnp.zeros((b, g.num_padded), jnp.float32) + 0.0 * seg_alphas[0]
-    bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * seg_norms[0]
 
     def bwd_frame(carry, inp):
         beta, bacc, bnorm = carry
@@ -844,56 +894,89 @@ def _smbr_b_bwd(graph, level, silence, res, ct):
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
         return (beta, bacc, bnorm), contrib
 
+    def bwd_frame_lin(carry, inp):
+        bh, bacc, bnorm = carry                   # beta LINEAR, normalized
+        eobs_f, om_f, ref_f, alpha_t, aacc_t, anorm_t, t = inp
+        log_gamma = (alpha_t + anorm_t[:, None] + _log_safe_b(bh)
+                     + bnorm[:, None] - logz[:, None])
+        gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_s = jnp.where(active, gamma_s, 0.0)
+        contrib = gamma_s * (aacc_t + bacc - f[:, None])
+        a_t = frame_accuracy(lab[None, :], ref_f[:, None], level, silence)
+        y = bh * eobs_f[:, g.state_pdf]
+        bsz = y.shape[0]
+        dn = _block_matvec(jnp.concatenate([y, y * (a_t + bacc)], axis=0),
+                           g, transpose=True)
+        denom, numer = dn[:bsz], dn[bsz:]
+        new_bacc = jnp.where(denom > 0,
+                             numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+        m2 = jnp.max(denom, axis=1, keepdims=True)
+        m2s = jnp.where(m2 > 0.0, m2, 1.0)
+        new_bh = denom / m2s
+        new_bnorm = bnorm + om_f + jnp.log(m2s[:, 0])
+        bh = jnp.where(active, new_bh, bh)
+        bacc = jnp.where(active, new_bacc, bacc)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        return (bh, bacc, bnorm), contrib
+
     def scatter_pdf(contribs):
         cc = contribs.shape[0]
         return jax.vmap(lambda row: jax.ops.segment_sum(
             row, g.state_pdf, num_segments=p_dim))(
                 contribs.reshape(cc * b, g.num_padded)).reshape(cc, b, p_dim)
 
+    bwd = bwd_frame_lin if lin else bwd_frame
+    fwd_frame_s = _smbr_fwd_frame_lin if lin else _smbr_fwd_frame
+
     if _full_save_smbr(g, b, t_len):
-        # every post-frame (alpha, acc, norm) was saved: one backward pass
+        # every post-frame (alpha [log], acc, norm) was saved: one backward
+        # pass
+        if lin:
+            eobs, om = _exp_obs_b(obs)
+            xs_f = (jnp.swapaxes(eobs, 0, 1), jnp.swapaxes(om, 0, 1))
+        else:
+            xs_f = (jnp.swapaxes(obs, 0, 1),)
         _, contribs = jax.lax.scan(
-            bwd_frame, (beta0, bacc0, bnorm0),
-            (jnp.swapaxes(obs, 0, 1), jnp.swapaxes(ref, 0, 1),
-             seg_alphas, seg_aaccs, seg_norms, jnp.arange(t_len)),
+            bwd, (beta0, bacc0, bnorm0),
+            xs_f + (jnp.swapaxes(ref, 0, 1),
+                    seg_alphas, seg_aaccs, seg_norms, jnp.arange(t_len)),
             reverse=True, unroll=_scan_unroll())
         grad = scatter_pdf(contribs)
         return (ct[:, None, None] * jnp.swapaxes(grad, 0, 1), None, None)
 
-    (xs,), ts, n_seg = _segmented_xs(obs, g)
+    parts, ts, n_seg = _segmented_xs(obs, g, lin=lin)
+    n_parts = len(parts)
     c = g.seg_len
-    ref_t = jnp.swapaxes(ref, 0, 1)
-    tp = n_seg * c
-    if tp > ref_t.shape[0]:
-        ref_t = jnp.pad(ref_t, [(0, tp - ref_t.shape[0]), (0, 0)],
-                        constant_values=-1)
-    refs = ref_t.reshape(n_seg, c, b)
+    refs = _smbr_refs_seg(ref, g, t_len)
 
-    def recompute(alpha_in, acc_in, norm_in, obs_seg, refs_seg, ts_seg):
+    def recompute(alpha_in, acc_in, norm_in, parts_seg, refs_seg, ts_seg):
         def inner(carry, inp):
-            new = _smbr_fwd_frame(g, lab, level, silence, num_frames,
-                                  carry, inp)
-            return new, new
+            new = fwd_frame_s(g, lab, level, silence, num_frames,
+                              carry, inp)
+            return new, ((_log_safe_b(new[0]), new[1], new[2]) if lin
+                         else new)
 
         _, saved = jax.lax.scan(inner, (alpha_in, acc_in, norm_in),
-                                (obs_seg, refs_seg, ts_seg),
+                                parts_seg + (refs_seg, ts_seg),
                                 unroll=_scan_unroll())
         return saved
 
     def outer(carry, inp):
         beta, bacc, bnorm = carry
-        obs_seg, refs_seg, ts_seg, alpha_in, acc_in, norm_in = inp
+        parts_seg = inp[:n_parts]
+        refs_seg, ts_seg, alpha_in, acc_in, norm_in = inp[n_parts:]
         alphas, aaccs, norms = recompute(alpha_in, acc_in, norm_in,
-                                         obs_seg, refs_seg, ts_seg)
+                                         parts_seg, refs_seg, ts_seg)
         (beta, bacc, bnorm), contribs = jax.lax.scan(
-            bwd_frame, (beta, bacc, bnorm),
-            (obs_seg, refs_seg, alphas, aaccs, norms, ts_seg), reverse=True,
-            unroll=_scan_unroll())
+            bwd, (beta, bacc, bnorm),
+            parts_seg + (refs_seg, alphas, aaccs, norms, ts_seg),
+            reverse=True, unroll=_scan_unroll())
         return (beta, bacc, bnorm), scatter_pdf(contribs)
 
     _, grads = jax.lax.scan(
         outer, (beta0, bacc0, bnorm0),
-        (xs, refs, ts, seg_alphas, seg_aaccs, seg_norms), reverse=True)
+        parts + (refs, ts, seg_alphas, seg_aaccs, seg_norms), reverse=True)
     grad = grads.reshape(n_seg * c, b, p_dim)[:t_len]
     return (ct[:, None, None] * jnp.swapaxes(grad, 0, 1), None, None)
 

@@ -456,14 +456,25 @@ def test_linear_carry_matches_log_carry(save_mode, monkeypatch):
 
     v0, gv0 = jax.value_and_grad(f)(obs)
     z0, gam0 = fsa_occupancies_block(obs, g, lens)
+    ref_lab = jnp.asarray(
+        np.random.RandomState(16).randint(0, P, (B, T)).astype(np.int32))
+
+    def fs(o):
+        return jnp.sum(fsa_expected_accuracy_block(o, g, ref_lab, lens))
+
+    vs0, gs0 = jax.value_and_grad(fs)(obs)
     monkeypatch.setenv("PK2_BLOCKFB_LINCARRY", "1")
     jax.clear_caches()
     v1, gv1 = jax.value_and_grad(f)(obs)
     z1, gam1 = fsa_occupancies_block(obs, g, lens)
+    vs1, gs1 = jax.value_and_grad(fs)(obs)
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gam1), np.asarray(gam0),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(vs1), float(vs0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs0),
                                rtol=1e-4, atol=1e-6)
