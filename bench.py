@@ -109,6 +109,7 @@ def _dispatch(args):
             ("dense_fb", _measure_dense_fb),
             ("lat_mmi", _measure_banded_lattice),
             ("block_fb", _measure_block_fb),
+            ("dev_eval", _measure_device_eval),
         ):
             try:
                 extras[name] = round(fn(), 3)
@@ -439,6 +440,83 @@ def _make_chain_graph(num_chains: int = 3200, chain_len: int = 30,
     final = np.full(S, -np.inf, np.float32)
     final[loop] = 0.0
     return DenseFsa(S, src, dst, pdf, np.asarray(wt, np.float32), final, 0)
+
+
+def _measure_device_eval(batch_size: int = 16, t_len: int = 300,
+                         n_words: int = 300) -> float:
+    """Batched EVAL decoding on the chip (bin/decode -decoder device): AM
+    forward + device word-lattice search over an ARPA-bigram word HCLG
+    (in-frame eps closure) + banded→DenseFsa conversion. utt/s end-to-end —
+    the host alternative ships [B,T,P] posteriors over PCIe and decodes
+    per-utterance on CPU cores."""
+    import jax
+    import jax.numpy as jnp
+
+    from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts,
+                                     MelOpts, ModelConfig)
+    from pykaldi2_tpu.data.dataloader import chunk_samples
+    from pykaldi2_tpu.decode.device_lattice import (
+        banded_to_fsas, device_lattice_generate, pack_decode_graph)
+    from pykaldi2_tpu.graph import HmmTopology, TransitionModel
+    from pykaldi2_tpu.graph.arpa import arpa_to_fst, train_arpa
+    from pykaldi2_tpu.graph.compile import make_word_decode_graph
+    from pykaldi2_tpu.models import build_model
+    from pykaldi2_tpu.pipeline import FeaturePipeline
+
+    rng = np.random.RandomState(0)
+    n_phones = 41
+    tm = TransitionModel(HmmTopology.three_state(range(1, n_phones + 1)))
+    vocab = [f"w{i}" for i in range(n_words)]
+    word_ids = {w: i + 1 for i, w in enumerate(vocab)}
+    lexicon = {w: [list(rng.randint(1, n_phones + 1,
+                                    rng.randint(4, 10)))] for w in vocab}
+    sents = [[vocab[rng.randint(n_words)] for _ in range(rng.randint(3, 9))]
+             for _ in range(2000)]
+    hclg = make_word_decode_graph(
+        tm, lexicon, word_ids, arpa_to_fst(train_arpa(sents, order=2),
+                                           word_ids)).to_fst()
+    graph = pack_decode_graph(hclg, eps_mode="auto", max_in_degree=4096)
+
+    feat_cfg = FeatConfig(fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0),
+                                          mel_opts=MelOpts(num_bins=80)))
+    feat_fn = FeaturePipeline(feat_cfg).for_eval()
+    model = build_model(ModelConfig(
+        type="lstm", input_size=feat_fn.dim, hidden_size=1024, num_layers=4,
+        output_size=tm.num_pdfs, compute_dtype="bfloat16"))
+    params = model.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def forward(batch):
+        feats = feat_fn(batch)
+        logits = model.apply(params, feats, batch["mask"])
+        return 0.1 * jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    fo = feat_cfg.fbank.frame_opts
+    S = chunk_samples(t_len, fo)
+    batch = {
+        "wave": jax.device_put(
+            (rng.randn(batch_size, S) * 4000).astype(np.float32)),
+        "mask": jax.device_put(np.ones((batch_size, t_len), np.float32)),
+        "num_frames": jax.device_put(np.full((batch_size,), t_len,
+                                             np.int32)),
+    }
+
+    def decode_once():
+        obs = forward(batch)
+        lat, _sc, _dropped, olab = device_lattice_generate(
+            obs, graph, batch["num_frames"], max_active=200, max_arcs=1024,
+            beam=16.0, lattice_beam=10.0, return_olabels=True)
+        return banded_to_fsas(lat, np.asarray(batch["num_frames"]),
+                              olabels=np.asarray(olab))
+
+    framed = decode_once()
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        framed = decode_once()
+    dt = time.perf_counter() - t0
+    assert sum(f.num_arcs for (f, _fr) in framed) > 0
+    return n * batch_size / dt
 
 
 def _measure_block_fb(batch_size: int = 64, t_len: int = 100,
