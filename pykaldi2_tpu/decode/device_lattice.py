@@ -141,6 +141,16 @@ jax.tree_util.register_pytree_node(
     lambda aux, leaves: DeviceDecodeGraph(*leaves, *aux))
 
 
+def _mask8() -> bool:
+    """Opt-in int8 emit-mask link candidates (see the step body comment)."""
+    import os
+
+    env = os.environ.get("PK2_DEV_SEARCH_MASK8")
+    if env not in (None, "", "0", "1"):
+        raise ValueError(f"PK2_DEV_SEARCH_MASK8={env!r}: expected 0 or 1")
+    return env == "1"
+
+
 def _eps_dag_depth(S: int, esrc: np.ndarray, edst: np.ndarray):
     """Longest eps-chain length via Kahn topo order; None when cyclic."""
     order = np.argsort(esrc, kind="stable")
@@ -543,12 +553,26 @@ def device_lattice_generate(
         # sources NEG_INF by construction; compaction into the [B, K, Dc]
         # frontier band picks each frontier state's row from ITS bucket
         # (the other bucket's lanes are NEG_INF) — the only dynamic-index
-        # gathers on big shapes. (A leaner variant — int8 emit-mask gather
-        # over the same constant indices reusing r_lo/r_hi — is staged for
-        # on-chip timing; its BOOL predecessor compiled pathologically
-        # through the Mosaic tunnel, so it ships only once measured.)
-        alpha_emit = jnp.where(slot_prev >= 0, alpha, NEG_INF)
-        l_lo, l_hi = relax(alpha_emit)
+        # gathers on big shapes. PK2_DEV_SEARCH_MASK8=1 opt-in: reuse
+        # r_lo/r_hi and mask by an int8 emit gather over the SAME constant
+        # indices (4x fewer mask bytes, the +w add disappears) — ships dark
+        # until timed on chip (its BOOL predecessor compiled pathologically
+        # through the Mosaic tunnel).
+        if _mask8():
+            emit_prev = (slot_prev >= 0).astype(jnp.int8)         # [B, S]
+            l_lo = jnp.where(
+                emit_prev[:, g.in_src_lo.reshape(-1)]
+                .reshape(b, S1, g.d_lo) > 0,
+                r_lo, NEG_INF)
+            l_hi = None
+            if S2:
+                l_hi = jnp.where(
+                    emit_prev[:, g.in_src_hi.reshape(-1)]
+                    .reshape(b, S2, g.d_hi) > 0,
+                    r_hi, NEG_INF)
+        else:
+            alpha_emit = jnp.where(slot_prev >= 0, alpha, NEG_INF)
+            l_lo, l_hi = relax(alpha_emit)
         active = (t < num_frames)[:, None, None]
         lo_m = idx < S1                                           # [B, K]
         idx_lo = jnp.where(lo_m, idx, 0)
