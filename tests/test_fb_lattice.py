@@ -230,3 +230,37 @@ def test_banded_memory_shape(decoded):
     frame_of_arc = arcs[0]
     assert frame_of_arc.max() == nf - 1
     assert counts.sum() == framed[0][0].num_states
+
+
+def test_matvec_form_under_shard_map(decoded, monkeypatch):
+    """The matvec banded form must run inside shard_map (the mesh train
+    path) and match the unsharded math — segment-sum + batched einsum under
+    per-shard shapes."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    monkeypatch.setenv("PK2_LATFB_MATVEC", "1")
+    obs, lens, _fsas, framed, _p = decoded
+    framed8 = (list(framed) * 3)[:8]
+    lens8 = jnp.asarray((list(lens) * 3)[:8], jnp.int32)
+    obs8 = jnp.asarray(np.concatenate([obs] * 3, axis=0)[:8])
+    lat = pack_time_sync(framed8, t_pad=obs.shape[1])
+    z0, g0 = lattice_occupancies_ts(obs8, lat, lens8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+
+    def f(o, s, d, pf, w, fin, nf):
+        z, g = lattice_occupancies_ts(
+            o, TimeSyncLattice(s, d, pf, w, fin), nf)
+        return z, g
+
+    sharded = jax.jit(shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"),) * 7, out_specs=(P("data"), P("data"))))
+    z1, g1 = sharded(obs8, lat.src, lat.dst, lat.pdf, lat.weight,
+                     lat.final, lens8)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
