@@ -443,10 +443,13 @@ def device_lattice_generate(
     consume). Returns the banded lattice (slots = frontier positions,
     K = max_active, A = max_arcs per frame), the best end-to-end path
     log-score per utterance (final weights folded, host-decoder fallback
-    when no final state survives), and the number of lattice links dropped
-    to the [B, A] band cap (overflow drops the LOWEST-scoring links; 0
+    when no final state survives), and the number of band entries dropped
+    to the [B, A] cap (overflow drops the LOWEST-scoring entries; 0
     everywhere ⇒ the band was wide enough — otherwise widen ``max_arcs`` or
-    tighten ``lattice_beam``).
+    tighten ``lattice_beam``). Under in-frame eps (eps_depth > 0) the band
+    also holds search-beam expansion carriers, so a nonzero count is a
+    CONSERVATIVE overflow signal: a dropped carrier may or may not have
+    produced an emitted link.
 
     Differentiation: lattice STRUCTURE is data, not a differentiable
     quantity — call under ``stop_gradient``-ed obs (the SE loss re-folds obs
