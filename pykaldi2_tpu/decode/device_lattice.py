@@ -55,7 +55,8 @@ junctions are collapsed). Input-epsilon arcs are handled two ways
            at emission time — only beam-surviving combinations materialize.
            Same 600-word graph: pack 80 s → 0.3 s, relax lanes 6.1M → 168k,
            band width 7053 → 3.  Pre-frame-0 eps chains fold via the packed
-           ``eps0_w`` start closure; trailing chains fold into the finals.
+           ``eps0_w`` start closure; eps-reached final states become real
+           last-frame lattice nodes (finals stay raw).
 
 Word-HCLG EVAL decoding rides the same search (``bin/decode -decoder
 device``, eps_mode="auto"): word olabels ride the band sort as one extra
@@ -63,8 +64,11 @@ payload operand (``return_olabels=True``) and ``banded_to_fsas`` converts
 the banded lattices to the host decoder's ``(DenseFsa, frames)`` contract,
 so N-best / oracle / MBR-consensus / LM-scale sweeps consume device
 lattices unchanged (parity tests: same hypotheses/scores as
-native/latdec.cc at the same beams, fold ≡ inframe). Million-state graphs
-stay on the host C++ decoder (the [B, S] dense alpha is the scale bound).
+native/latdec.cc at the same beams; fold ≡ inframe on FB quantities except
+when an eps-chain crosses FINAL states — offline folding Viterbi-collapses
+those endings while inframe keeps each as a distinct lattice node, matching
+the host). Million-state graphs stay on the host C++ decoder (the [B, S]
+dense alpha is the scale bound).
 """
 
 from __future__ import annotations
@@ -295,11 +299,11 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
                     f"{int(np.count_nonzero(a_ol[is_eps]))})")
             eps_depth = depth
             eps_arcs = (esrc, edst, ew)
-            # fold trailing eps chains into the finals (host decoder:
-            # ProcessNonemitting on the last frame)
-            for _ in range(depth):
-                cand = ew + final[edst]
-                np.maximum.at(final, esrc, cand.astype(np.float32))
+            # finals stay RAW: the search's in-frame closure makes
+            # eps-reached final states real last-frame lattice nodes with
+            # their own finals — folding trailing chains here would count
+            # the same ending twice (once via the folded final, once via
+            # the explicit node)
             a_src, a_il, a_ol, a_w, a_dst = (
                 x[~is_eps] for x in (a_src, a_il, a_ol, a_w, a_dst))
         else:
@@ -464,7 +468,13 @@ def device_lattice_generate(
     S, S1 = g.num_states, g.s_lo
     S2, Dc = S - S1, g.d_lo + g.d_hi
     K = min(max_active, S)
-    A = min(max_arcs, K * Dc)
+    # upper bound on links per frame: K*Dc emit candidates, each eps round
+    # multiplying by (1 + d_out) — only a CLAMP for max_arcs, the real band
+    # stays max_arcs wide
+    bound = K * Dc
+    for _ in range(g.eps_depth):
+        bound = min(bound * (1 + g.eps_out_dst.shape[1]), 1 << 30)
+    A = min(max_arcs, bound)
     bi = jnp.arange(b, dtype=jnp.int32)[:, None]
 
     # ---- the search scan. Everything per frame is DENSE over the
@@ -609,10 +619,13 @@ def device_lattice_generate(
         if L:
             # frame 0 only: links from eps-reached initial states fold the
             # start→src eps-chain weight into the stored link weight (their
-            # slot is 0; scores already include it through alpha0)
-            w_band = jnp.maximum(
-                w_band + jnp.where(t == 0, g.eps0_w[src_band], 0.0),
-                NEG_INF)
+            # slot is 0; scores already include it through alpha0). The
+            # cond keeps the [B, K, Dc] dynamic gather off frames t > 0.
+            w_band = jax.lax.cond(
+                t == 0,
+                lambda wb: jnp.maximum(wb + g.eps0_w[src_band], NEG_INF),
+                lambda wb: wb,
+                w_band)
         # band top-A: a top_k over the full S*D scores lowers to
         # multi-stage sorts + shard DMAs (~6 ms/frame traced); the exact
         # sort at n = K*Dc is ~0.3 ms, and carrying the payload operands
@@ -642,9 +655,19 @@ def device_lattice_generate(
             operands.append(ol_band.reshape(b, K * Dc))
         sorted_ops = jax.lax.sort(tuple(operands), dimension=1, num_keys=1)
         neg, pay_w, w_w, src_w = sorted_ops[:4]
-        score_a = -neg[:, :A]
-        pay_a, w_a, src_a = pay_w[:, :A], w_w[:, :A], src_w[:, :A]
-        ol_a = sorted_ops[4][:, :A] if return_olabels else None
+        pad_a = max(A - K * Dc, 0)   # eps rounds can outgrow K*Dc
+
+        def slice_a(x, fill):
+            x = x[:, :A]
+            if pad_a:
+                x = jnp.pad(x, [(0, 0), (0, pad_a)], constant_values=fill)
+            return x
+
+        score_a = slice_a(-neg, NEG_INF)
+        pay_a = slice_a(pay_w, 0)
+        w_a = slice_a(w_w, NEG_INF)
+        src_a = slice_a(src_w, 0)
+        ol_a = slice_a(sorted_ops[4], 0) if return_olabels else None
         dropped_t = jnp.maximum(
             jnp.sum(keep_kd.astype(jnp.int32), axis=(1, 2)) - A, 0)
         # in-frame eps rounds on the BAND: each link whose dst state has
@@ -661,8 +684,13 @@ def device_lattice_generate(
             # frame: expansion routes through any surviving token
             slot_keep = (jnp.full((b, S), -1, jnp.int32)
                          .at[bi, idx].set(jnp.where(keep_k, slot_ids, -1)))
-            for _ in range(L):
-                va = score_a > 0.5 * NEG_INF
+            # age payload: entries spawned in round r expand ONLY in round
+            # r+1 — re-expanding the whole band each round would duplicate
+            # every earlier link once per remaining round (each duplicate
+            # doubles that path's mass in sum-semiring consumers)
+            age_a = jnp.zeros((b, A), jnp.int32)
+            for r in range(L):
+                va = (score_a > 0.5 * NEG_INF) & (age_a == r)
                 cdst = jnp.take(g.eps_out_dst, dstst, axis=0)  # [B,A,Do]
                 cw_eps = jnp.take(g.eps_out_w, dstst, axis=0)
                 cscore = jnp.where(va[:, :, None],
@@ -685,7 +713,9 @@ def device_lattice_generate(
                 ops2 = [cat(-score_a, -cscore), cat(pay_a, cpay),
                         cat(w_a, cw),
                         cat(src_a, jnp.broadcast_to(
-                            src_a[:, :, None], (b, A, d_out)))]
+                            src_a[:, :, None], (b, A, d_out))),
+                        cat(age_a, jnp.full((b, A, d_out), r + 1,
+                                            jnp.int32))]
                 if return_olabels:
                     ops2.append(cat(ol_a, jnp.broadcast_to(
                         ol_a[:, :, None], (b, A, d_out))))
@@ -697,8 +727,9 @@ def device_lattice_generate(
                 score_a = -sorted2[0][:, :A]
                 pay_a, w_a, src_a = (sorted2[1][:, :A], sorted2[2][:, :A],
                                      sorted2[3][:, :A])
+                age_a = sorted2[4][:, :A]
                 if return_olabels:
-                    ol_a = sorted2[4][:, :A]
+                    ol_a = sorted2[5][:, :A]
                 dstst = sorted2[-1][:, :A]
         valid = score_a > 0.5 * NEG_INF
         k_win = pay_a & ((1 << bits_k) - 1)

@@ -537,3 +537,101 @@ def test_eps_mode_auto_and_guards():
         pack_decode_graph(f2, eps_mode="inframe")
     with pytest.raises(ValueError, match="epsilon input arcs"):
         pack_decode_graph(f2, eps_mode="auto")
+
+
+def test_inframe_deep_eps_chain_no_duplicate_links():
+    """Depth-2 eps chains: each band entry must expand exactly once per
+    round (age-gated), or every link created in round r duplicates L-r
+    times and sum-semiring consumers double-count its path mass. Gold
+    reference is the FULL-GRAPH logZ (wide beams prune nothing): the host
+    decoder itself UNDER-collects alternative links on depth>=2 chains
+    (Viterbi-collapses multi-hop eps alternatives), so device > host here
+    is correct — duplicates would push the device ABOVE the exact value."""
+    from pykaldi2_tpu.graph.fst import EPS, Fst
+
+    rng = np.random.RandomState(13)
+    f = Fst()
+    start = f.add_state()
+    f.set_start(start)
+    # units u_p (emitting); u_p --eps--> h1 --eps--> h2; h1/h2 fan back out
+    units = {p: f.add_state() for p in range(NUM_PDFS)}
+    h1, h2 = f.add_state(), f.add_state()
+    for p in range(NUM_PDFS):
+        f.add_arc(start, p + 1, p + 1, float(-0.4 - rng.rand()), units[p])
+        f.add_arc(h1, p + 1, EPS, float(-0.8 - rng.rand()), units[p])
+        f.add_arc(h2, p + 1, EPS, float(-0.3 - rng.rand()), units[p])
+        f.add_arc(units[p], (p + 1) % NUM_PDFS + 1, EPS,
+                  float(-0.9 - rng.rand()), units[(p + 1) % NUM_PDFS])
+        f.set_final(units[p], float(-0.1 * (p + 1)))
+        f.add_arc(units[p], EPS, EPS, float(-0.5 - rng.rand()), h1)
+    f.add_arc(h1, EPS, EPS, -0.25, h2)
+    g = pack_decode_graph(f, eps_mode="inframe")
+    assert g.eps_depth >= 2
+    obs = (rng.randn(2, 9, NUM_PDFS) * 1.5).astype(np.float32)
+    lens = np.asarray([9, 6], np.int32)
+    from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst
+    from pykaldi2_tpu.ops.fb import fsa_logz, pack_graph
+
+    ga = pack_graph(dense_from_pdf_fst(f.remove_input_epsilons()))
+    lat, scores, dropped = device_lattice_generate(
+        jnp.asarray(obs), g, jnp.asarray(lens), max_active=64,
+        max_arcs=2048, beam=24.0, lattice_beam=12.0)
+    assert np.all(np.asarray(dropped) == 0)
+    z_d, _ = lattice_occupancies_ts(jnp.asarray(obs), lat, jnp.asarray(lens))
+    for i in range(2):
+        z_full = float(fsa_logz(jnp.asarray(obs[i:i + 1, :lens[i]]), ga,
+                                jnp.asarray(lens[i:i + 1]))[0])
+        np.testing.assert_allclose(float(z_d[i]), z_full,
+                                   rtol=1e-5, atol=1e-4)
+    # Viterbi best scores still match the host decoder exactly
+    _, host_scores = host_lattices(f, obs, lens, 24.0, 64, 12.0)
+    np.testing.assert_allclose(np.asarray(scores), host_scores,
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_inframe_eps_final_chain_matches_host():
+    """eps chains that CROSS final states: inframe must keep each ending as
+    a distinct last-frame lattice node (raw finals), matching the host —
+    folding finals would double- or under-count endings."""
+    from pykaldi2_tpu.graph.fst import EPS, Fst
+
+    rng = np.random.RandomState(14)
+    f = Fst()
+    start = f.add_state()
+    f.set_start(start)
+    units = {p: f.add_state() for p in range(NUM_PDFS)}
+    fin_hub = f.add_state()
+    for p in range(NUM_PDFS):
+        f.add_arc(start, p + 1, p + 1, float(-0.4 - rng.rand()), units[p])
+        f.add_arc(units[p], (p + 1) % NUM_PDFS + 1, EPS,
+                  float(-0.6 - rng.rand()), units[(p + 1) % NUM_PDFS])
+        # every unit is final AND eps-reaches another final state
+        f.set_final(units[p], float(-0.2 * (p + 1)))
+        f.add_arc(units[p], EPS, EPS, float(-0.3 - rng.rand()), fin_hub)
+    f.set_final(fin_hub, -0.05)
+    g = pack_decode_graph(f, eps_mode="inframe")
+    assert g.eps_depth >= 1
+    obs = (rng.randn(2, 8, NUM_PDFS) * 1.5).astype(np.float32)
+    lens = np.asarray([8, 5], np.int32)
+    _parity(f, obs, lens, beam=24.0, max_active=64, lattice_beam=12.0,
+            max_arcs=512, check_structure=False,
+            pack_kwargs={"eps_mode": "inframe"})
+
+
+def test_mask8_link_candidates_match_default(toy, monkeypatch):
+    """PK2_DEV_SEARCH_MASK8=1 (int8 emit-mask link candidates) must produce
+    identical lattices to the default second-relaxation form."""
+    graph, obs, lens = toy
+    g = pack_decode_graph(graph)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("PK2_DEV_SEARCH_MASK8", mode)
+        jax.clear_caches()
+        lat, sc, dropped = device_lattice_generate(
+            jnp.asarray(obs), g, jnp.asarray(lens), max_active=16,
+            max_arcs=128, beam=24.0, lattice_beam=12.0)
+        outs[mode] = (np.asarray(lat.src), np.asarray(lat.dst),
+                      np.asarray(lat.pdf), np.asarray(lat.weight),
+                      np.asarray(sc))
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_array_equal(a, b)

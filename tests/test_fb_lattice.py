@@ -237,7 +237,7 @@ def test_matvec_form_under_shard_map(decoded, monkeypatch):
     path) and match the unsharded math — segment-sum + batched einsum under
     per-shard shapes."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     monkeypatch.setenv("PK2_LATFB_MATVEC", "1")
