@@ -29,6 +29,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <limits>
 #include <vector>
 
@@ -44,6 +45,11 @@ struct Graph {
   std::vector<int> dst, ilabel, olabel;
   std::vector<float> cost;
   std::vector<float> final_cost;
+  // topological position of each state in the eps subgraph (sum-exact
+  // closure processes tokens in this order); eps_cyclic falls back to the
+  // queue closure, which is Viterbi-exact but collapses parallel eps routes
+  std::vector<int> eps_topo_pos;
+  bool eps_cyclic = false;
 };
 
 struct Link {           // an incoming arc alternative
@@ -54,7 +60,11 @@ struct Link {           // an incoming arc alternative
 };
 
 struct Token {
-  float cost;           // best cost (== alts front's cost)
+  float cost;           // best (Viterbi) cost (== alts front's cost)
+  float cost0_sum;      // frame-0 closure only: log-sum-folded cost over all
+                        // initial eps routes (== cost elsewhere); the t==1
+                        // emit folds THIS into the first arc so parallel
+                        // pre-frame-0 eps routes keep their full mass
   int state;
   std::vector<Link> alts;  // kept links, alts[0] is the best
 };
@@ -128,6 +138,34 @@ void* latdec_new(int num_states, int start, const int* src, const int* dst,
     g.olabel[pos] = olabel[e];
     g.cost[pos] = cost[e];
   }
+  // Kahn topological order over the eps subgraph. Self-loops count as
+  // cycles: a zero-cost eps self-loop carries divergent sum mass, so such
+  // graphs use the queue closure (Viterbi-exact) instead.
+  {
+    std::vector<int> indeg(num_states, 0);
+    bool self_loop = false;
+    for (int s = 0; s < num_states; ++s)
+      for (int e = g.row_off[s]; e < g.eps_end[s]; ++e) {
+        if (g.dst[e] == s) self_loop = true;
+        else indeg[g.dst[e]]++;
+      }
+    g.eps_topo_pos.assign(num_states, 0);
+    std::vector<int> stack;
+    stack.reserve(num_states);
+    for (int s = 0; s < num_states; ++s)
+      if (indeg[s] == 0) stack.push_back(s);
+    int done = 0;
+    while (!stack.empty()) {
+      int s = stack.back();
+      stack.pop_back();
+      g.eps_topo_pos[s] = done++;
+      for (int e = g.row_off[s]; e < g.eps_end[s]; ++e) {
+        if (g.dst[e] == s) continue;
+        if (--indeg[g.dst[e]] == 0) stack.push_back(g.dst[e]);
+      }
+    }
+    g.eps_cyclic = self_loop || done != num_states;
+  }
   return d;
 }
 
@@ -135,14 +173,112 @@ void latdec_free(void* h) { delete static_cast<Decoder*>(h); }
 
 namespace {
 
-// Within-frame epsilon closure (Kaldi ProcessNonemitting): Dijkstra-style
-// relaxation over ilabel==0 arcs. Each propagated link keeps its original
-// emitting arc and accumulates the epsilon graph cost, so lattices remain
-// time-synchronous. Re-queues only on strict cost improvement, so zero-cost
-// epsilon cycles terminate.
-void EpsClosure(const Graph& g, std::vector<Token>& toks,
-                std::vector<int>& state_tok, std::vector<int>& touched,
-                float cutoff, float lattice_beam) {
+// -log(e^-a + e^-b): fold two path costs into their sum-semiring total.
+inline float LogAddCost(float a, float b) {
+  float lo = std::min(a, b), hi = std::max(a, b);
+  if (std::isinf(lo)) return lo < 0 ? lo : hi;  // +inf operand: other wins
+  return lo - std::log1p(std::exp(lo - hi));
+}
+
+// Within-frame epsilon closure (Kaldi ProcessNonemitting). Each propagated
+// link keeps its original emitting arc and accumulates the epsilon graph
+// cost, so lattices remain time-synchronous.
+//
+// Acyclic eps subgraphs (every graph our builders emit) use the SUM-EXACT
+// topo-order pass: tokens are processed in eps-topological order, so every
+// eps route is traversed exactly once; parallel routes reaching the same
+// (prev, arc) link fold their lattice mass by LogAddCost while the Viterbi
+// cost min-folds — the emitted lattice then carries the full sum-semiring
+// mass (host logZ == ground truth; Kaldi gets the same result by keeping
+// eps arcs explicit in its lattices). Cyclic eps subgraphs fall back to
+// the Dijkstra-style queue pass below, which is Viterbi-exact and
+// terminates on zero-cost cycles but collapses parallel eps routes to
+// their cheapest representative.
+
+void EpsClosureTopo(const Graph& g, std::vector<Token>& toks,
+                    std::vector<int>& state_tok, std::vector<int>& touched,
+                    float cutoff, float lattice_beam) {
+  // min-heap of (eps topo position, token index); every token whose state
+  // has eps out-arcs enters exactly once. Pops are monotone in topo
+  // position (new tokens are always created downstream of the current
+  // min), so each token's cost/links/mass are FINAL when it propagates.
+  std::priority_queue<std::pair<int, int>, std::vector<std::pair<int, int>>,
+                      std::greater<std::pair<int, int>>>
+      heap;
+  for (int i = 0; i < (int)toks.size(); ++i) {
+    int s = toks[i].state;
+    if (g.eps_end[s] > g.row_off[s]) heap.push({g.eps_topo_pos[s], i});
+  }
+  while (!heap.empty()) {
+    int i = heap.top().second;
+    heap.pop();
+    int s = toks[i].state;
+    float base = toks[i].cost;
+    for (int e = g.row_off[s]; e < g.eps_end[s]; ++e) {
+      float w = g.cost[e];
+      float c = base + w;
+      if (c > cutoff) continue;
+      int s2 = g.dst[e];
+      int ti = state_tok[s2];
+      if (ti < 0) {
+        Token nt;
+        nt.cost = c;
+        nt.cost0_sum = toks[i].cost0_sum + w;
+        nt.state = s2;
+        nt.alts.reserve(toks[i].alts.size());
+        for (const Link& l : toks[i].alts)
+          if (l.cost + w <= c + lattice_beam)
+            nt.alts.push_back({l.prev, l.arc, l.cost + w, l.graph_cost + w});
+        state_tok[s2] = (int)toks.size();
+        touched.push_back(s2);
+        toks.push_back(std::move(nt));
+        if (g.eps_end[s2] > g.row_off[s2])
+          heap.push({g.eps_topo_pos[s2], (int)toks.size() - 1});
+      } else {
+        Token& tk = toks[ti];
+        bool improved = c < tk.cost;
+        tk.cost0_sum = LogAddCost(tk.cost0_sum, toks[i].cost0_sum + w);
+        size_t n_src = toks[i].alts.size();
+        for (size_t k = 0; k < n_src; ++k) {
+          Link l = toks[i].alts[k];  // copy: push may not alias the source
+          float lc = l.cost + w;
+          if (lc > std::min(c, tk.cost) + lattice_beam) continue;
+          Link* existing = nullptr;
+          for (Link& e2 : tk.alts)
+            if (e2.prev == l.prev && e2.arc == l.arc) { existing = &e2; break; }
+          if (existing != nullptr) {
+            // parallel eps routes to the same link: Viterbi cost min-folds,
+            // lattice mass sum-folds. alts[0] stays the best link: lc >= c
+            // >= tk.cost, so the update can never beat the current front.
+            existing->cost = std::min(existing->cost, lc);
+            existing->graph_cost =
+                LogAddCost(existing->graph_cost, l.graph_cost + w);
+          } else {
+            tk.alts.push_back({l.prev, l.arc, lc, l.graph_cost + w});
+          }
+        }
+        if (improved) {
+          tk.cost = c;
+          int best = 0;
+          for (int k = 1; k < (int)tk.alts.size(); ++k)
+            if (tk.alts[k].cost < tk.alts[best].cost) best = k;
+          if (best != 0) std::swap(tk.alts[0], tk.alts[best]);
+        }
+        // no re-queue: ti is still in the heap (or has no eps out-arcs)
+      }
+    }
+  }
+}
+
+// Fallback for cyclic eps subgraphs: Dijkstra-style worklist. Re-queues on
+// cost improvement AND on new-link arrival (multi-hop alternative mass),
+// with (prev, arc) dedup-keep-cheapest making re-propagation idempotent:
+// an append is a new pair (finitely many per token) and an in-place update
+// strictly lowers that link's cost, so zero-cost epsilon cycles reach a
+// fixed point where every candidate is a dedup skip.
+void EpsClosureQueue(const Graph& g, std::vector<Token>& toks,
+                     std::vector<int>& state_tok, std::vector<int>& touched,
+                     float cutoff, float lattice_beam) {
   std::vector<int> queue;
   queue.reserve(toks.size());
   for (int i = 0; i < (int)toks.size(); ++i) queue.push_back(i);
@@ -161,6 +297,7 @@ void EpsClosure(const Graph& g, std::vector<Token>& toks,
       if (ti < 0) {
         Token nt;
         nt.cost = c;
+        nt.cost0_sum = c;
         nt.state = s2;
         nt.alts.reserve(toks[i].alts.size());
         for (const Link& l : toks[i].alts)
@@ -172,25 +309,46 @@ void EpsClosure(const Graph& g, std::vector<Token>& toks,
         queue.push_back((int)toks.size() - 1);
       } else if (ti != i) {
         bool improved = c < toks[ti].cost;
+        bool added = false;
         size_t n_src = toks[i].alts.size();
         for (size_t k = 0; k < n_src; ++k) {
           Link l = toks[i].alts[k];  // copy: push may not alias the source
           float lc = l.cost + w;
-          if (lc <= std::min(c, toks[ti].cost) + lattice_beam)
+          if (lc > std::min(c, toks[ti].cost) + lattice_beam) continue;
+          Link* existing = nullptr;
+          for (Link& e2 : toks[ti].alts)
+            if (e2.prev == l.prev && e2.arc == l.arc) { existing = &e2; break; }
+          if (existing != nullptr) {
+            if (existing->cost <= lc) continue;
+            existing->cost = lc;
+            existing->graph_cost = l.graph_cost + w;
+          } else {
             toks[ti].alts.push_back({l.prev, l.arc, lc, l.graph_cost + w});
+          }
+          added = true;
         }
         if (improved) {
           Token& tk = toks[ti];
           tk.cost = c;
+          tk.cost0_sum = c;
           int best = 0;
           for (int k = 1; k < (int)tk.alts.size(); ++k)
             if (tk.alts[k].cost < tk.alts[best].cost) best = k;
           if (best != 0) std::swap(tk.alts[0], tk.alts[best]);
-          queue.push_back(ti);
         }
+        if (improved || added) queue.push_back(ti);
       }
     }
   }
+}
+
+inline void EpsClosure(const Graph& g, std::vector<Token>& toks,
+                       std::vector<int>& state_tok, std::vector<int>& touched,
+                       float cutoff, float lattice_beam) {
+  if (g.eps_cyclic)
+    EpsClosureQueue(g, toks, state_tok, touched, cutoff, lattice_beam);
+  else
+    EpsClosureTopo(g, toks, state_tok, touched, cutoff, lattice_beam);
 }
 
 int RunSearch(Decoder* d, const float* loglikes, int T, int P,
@@ -198,7 +356,7 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
   Decoder& dec = *d;
   const Graph& g = dec.g;
   dec.frames.assign(T + 1, {});
-  dec.frames[0].push_back({0.0f, g.start, {}});
+  dec.frames[0].push_back({0.0f, 0.0f, g.start, {}});
 
   std::vector<int> state_tok(g.num_states, -1);
   std::vector<int> touched;
@@ -261,7 +419,7 @@ int RunSearch(Decoder* d, const float* loglikes, int T, int P,
       for (int s : touched) {
         if (state_cost[s] <= cutoff_emit) {
           state_tok[s] = (int)nxt.size();
-          nxt.push_back({state_cost[s], s, {}});
+          nxt.push_back({state_cost[s], state_cost[s], s, {}});
           touched[w++] = s;
         } else {
           state_cost[s] = kInf;  // reset dropped states now
@@ -443,9 +601,10 @@ int latdec_emit_lattice(void* h, int* lat_src, int* lat_dst, int* lat_pdf,
         if (lat_olabel != nullptr) lat_olabel[n_arcs] = d->g.olabel[l.arc];
         // graph_cost folds in epsilon arcs taken after the emitting arc;
         // frame-0 tokens all map to lattice state 0, so initial-epsilon
-        // costs (pure graph, no acoustics yet) move onto the first arc
+        // costs (pure graph, no acoustics yet) move onto the first arc —
+        // cost0_sum: the SUM-folded mass over parallel initial eps routes
         lat_weight[n_arcs] =
-            -(l.graph_cost + (t == 1 ? d->frames[0][l.prev].cost : 0.0f));
+            -(l.graph_cost + (t == 1 ? d->frames[0][l.prev].cost0_sum : 0.0f));
         ++n_arcs;
       }
     }

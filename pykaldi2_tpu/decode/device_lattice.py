@@ -307,6 +307,14 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
             a_src, a_il, a_ol, a_w, a_dst = (
                 x[~is_eps] for x in (a_src, a_il, a_ol, a_w, a_dst))
         else:
+            # tropical fold: keeps exact Viterbi parity with the host
+            # decoder (the documented fold-mode contract). Where parallel
+            # eps routes between the same state pair exist, a tropical fold
+            # keeps only the best route's mass in sum-semiring FB — use
+            # eps_mode="inframe" (or "auto") there; the in-frame search
+            # keeps parallel routes as separate band entries and matches
+            # the full-graph logZ exactly (see tests/test_device_lattice
+            # test_random_eps_dag_host_device_ground_truth).
             fst2 = fst.remove_input_epsilons()
             S = int(fst2.num_states)
             start0 = int(fst2.start)

@@ -149,44 +149,90 @@ class Fst:
                         queue.append(nxt)
         return out.connect()
 
-    def remove_input_epsilons(self) -> "Fst":
-        """Eliminate ilabel==EPS arcs by epsilon-closure folding.
+    def remove_input_epsilons(self, semiring: str = "tropical") -> "Fst":
+        """Eliminate ilabel==EPS arcs by exact epsilon-closure folding.
+
+        Parallel epsilon routes between the same state pair are combined by
+        the semiring plus: ``"tropical"`` keeps the best route (max log-prob
+        — Viterbi/N-best/decode-graph semantics, matching OpenFst tropical
+        eps removal and the Kaldi mkgraph convention), ``"log"`` log-adds
+        them (sum-exact — what forward-backward/posterior consumers need;
+        the two agree exactly whenever no parallel eps routes exist, which
+        is the common HCLG case). The closure runs once per source state in
+        topological order over the eps subgraph, so every route is counted
+        exactly once (the previous DFS both Viterbi-collapsed parallel
+        routes and emitted duplicate arcs with stale weights when a route
+        improved after first visit).
 
         Exact only for ACYCLIC epsilon subgraphs (which our builders
-        produce); a cyclic epsilon subgraph would silently drop the cycle's
-        weight mass, so it is rejected here instead (VERDICT r1)."""
+        produce); a cyclic epsilon subgraph would carry unbounded (log) or
+        ill-defined weight mass, so it is rejected here instead (VERDICT
+        r1)."""
+        if semiring not in ("tropical", "log"):
+            raise ValueError(f"semiring={semiring!r}: expected tropical|log")
         self._check_eps_acyclic()
+        import math
+
+        if semiring == "tropical":
+            def plus(a, b):
+                return a if a >= b else b
+        else:
+            def plus(a, b):
+                m, n = (a, b) if a >= b else (b, a)
+                return m + math.log1p(math.exp(n - m))
+
+        # one global topological order over the (acyclic) eps subgraph;
+        # per-source relaxation in this order counts each route once
+        indeg = [0] * self.num_states
+        eps_out: List[List[Tuple[int, float]]] = [[] for _ in range(self.num_states)]
+        for s in range(self.num_states):
+            for a in self.arcs[s]:
+                if a.ilabel == EPS and a.olabel == EPS:
+                    eps_out[s].append((a.nextstate, a.weight))
+                    indeg[a.nextstate] += 1
+        stack = [s for s in range(self.num_states) if indeg[s] == 0]
+        topo_pos = [0] * self.num_states
+        order = []
+        while stack:
+            s = stack.pop()
+            topo_pos[s] = len(order)
+            order.append(s)
+            for (d, _w) in eps_out[s]:
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    stack.append(d)
+
         out = Fst()
         for _ in range(self.num_states):
             out.add_state()
         out.set_start(self.start)
 
-        def closure(s):
-            """[(state, weight, olabel_accumulated?)] — olabels must be EPS on folded arcs."""
-            result = [(s, 0.0)]
-            stack = [(s, 0.0)]
-            seen = {s: 0.0}
-            while stack:
-                cur, w = stack.pop()
-                for a in self.arcs[cur]:
-                    if a.ilabel == EPS and a.olabel == EPS:
-                        nw = w + a.weight
-                        if a.nextstate not in seen or nw > seen[a.nextstate]:
-                            seen[a.nextstate] = nw
-                            result.append((a.nextstate, nw))
-                            stack.append((a.nextstate, nw))
-            return result
+        import heapq
 
         for s in range(self.num_states):
-            for (c, w) in closure(s):
+            dist: Dict[int, float] = {s: 0.0}
+            if eps_out[s]:
+                # relax eps-reachable states in topo order (min-heap on the
+                # global topo position): every predecessor of a state is
+                # relaxed before it, so each route is counted exactly once
+                heap = [(topo_pos[s], s)]
+                seen = {s}
+                while heap:
+                    _, cur = heapq.heappop(heap)
+                    for (d, w) in eps_out[cur]:
+                        nw = dist[cur] + w
+                        dist[d] = plus(dist[d], nw) if d in dist else nw
+                        if d not in seen:
+                            seen.add(d)
+                            heapq.heappush(heap, (topo_pos[d], d))
+            for c, w in dist.items():
                 for a in self.arcs[c]:
                     if not (a.ilabel == EPS and a.olabel == EPS):
                         out.add_arc(s, a.ilabel, a.olabel, w + a.weight, a.nextstate)
                 if c in self.finals:
-                    prev = out.finals.get(s)
                     cand = w + self.finals[c]
-                    if prev is None or cand > prev:
-                        out.set_final(s, cand)
+                    prev = out.finals.get(s)
+                    out.set_final(s, cand if prev is None else plus(prev, cand))
         return out.connect()
 
     def _check_eps_acyclic(self):

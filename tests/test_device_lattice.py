@@ -543,10 +543,12 @@ def test_inframe_deep_eps_chain_no_duplicate_links():
     """Depth-2 eps chains: each band entry must expand exactly once per
     round (age-gated), or every link created in round r duplicates L-r
     times and sum-semiring consumers double-count its path mass. Gold
-    reference is the FULL-GRAPH logZ (wide beams prune nothing): the host
-    decoder itself UNDER-collects alternative links on depth>=2 chains
-    (Viterbi-collapses multi-hop eps alternatives), so device > host here
-    is correct — duplicates would push the device ABOVE the exact value."""
+    reference is the FULL-GRAPH logZ (wide beams prune nothing) —
+    duplicates would push the device ABOVE the exact value. The host
+    decoder historically UNDER-collected here (its eps closure re-queued
+    only on Viterbi improvement, collapsing multi-hop alternatives);
+    native/latdec.cc now re-queues on new-link arrival too, so host logZ
+    is asserted against the same ground truth below."""
     from pykaldi2_tpu.graph.fst import EPS, Fst
 
     rng = np.random.RandomState(13)
@@ -572,19 +574,93 @@ def test_inframe_deep_eps_chain_no_duplicate_links():
     from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst
     from pykaldi2_tpu.ops.fb import fsa_logz, pack_graph
 
-    ga = pack_graph(dense_from_pdf_fst(f.remove_input_epsilons()))
+    ga = pack_graph(dense_from_pdf_fst(f.remove_input_epsilons('log')))
     lat, scores, dropped = device_lattice_generate(
         jnp.asarray(obs), g, jnp.asarray(lens), max_active=64,
         max_arcs=2048, beam=24.0, lattice_beam=12.0)
     assert np.all(np.asarray(dropped) == 0)
     z_d, _ = lattice_occupancies_ts(jnp.asarray(obs), lat, jnp.asarray(lens))
+    host_lat, host_scores = host_lattices(f, obs, lens, 24.0, 64, 12.0)
+    z_h, _ = lattice_occupancies_ts(jnp.asarray(obs), host_lat,
+                                    jnp.asarray(lens))
     for i in range(2):
         z_full = float(fsa_logz(jnp.asarray(obs[i:i + 1, :lens[i]]), ga,
                                 jnp.asarray(lens[i:i + 1]))[0])
         np.testing.assert_allclose(float(z_d[i]), z_full,
                                    rtol=1e-5, atol=1e-4)
+        # host closure must carry alternative mass down the depth-2 chain
+        # (re-queue on new-link arrival, not just Viterbi improvement)
+        np.testing.assert_allclose(float(z_h[i]), z_full,
+                                   rtol=1e-5, atol=1e-4)
     # Viterbi best scores still match the host decoder exactly
-    _, host_scores = host_lattices(f, obs, lens, 24.0, 64, 12.0)
+    np.testing.assert_allclose(np.asarray(scores), host_scores,
+                               rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_random_eps_dag_host_device_ground_truth(seed):
+    """Randomized eps DAGs with chains of depth >= 3: host lattices, device
+    inframe lattices, and the exact full-graph logZ must all agree at wide
+    beams. Property-tests both closure implementations (host: re-queue on
+    new-link arrival with (prev, arc) dedup; device: age-gated band
+    expansion over L rounds) against ``fsa_logz`` ground truth."""
+    from pykaldi2_tpu.graph.fst import EPS, Fst
+    from pykaldi2_tpu.decode.on_device import dense_from_pdf_fst
+    from pykaldi2_tpu.ops.fb import fsa_logz, pack_graph
+
+    rng = np.random.RandomState(seed)
+    f = Fst()
+    start = f.add_state()
+    f.set_start(start)
+    units = [f.add_state() for _ in range(NUM_PDFS)]
+    hubs = [f.add_state() for _ in range(3)]
+    # eps arcs only run "uphill" in this rank order => acyclic eps subgraph
+    eps_rank = {s: r for r, s in
+                enumerate(list(rng.permutation(units)) + hubs)}
+    for p, u in enumerate(units):
+        f.add_arc(start, p + 1, p + 1, float(-0.4 - rng.rand()), u)
+        f.set_final(u, float(-0.1 * (p + 1)))
+    # guaranteed depth-3 chain: some unit -> h1 -> h2 -> h3
+    f.add_arc(units[0], EPS, EPS, float(-0.5 - rng.rand()), hubs[0])
+    f.add_arc(hubs[0], EPS, EPS, float(-0.3 - rng.rand()), hubs[1])
+    f.add_arc(hubs[1], EPS, EPS, float(-0.2 - rng.rand()), hubs[2])
+    for h in hubs:  # every hub fans back out with emitting arcs
+        for p in range(NUM_PDFS):
+            if rng.rand() < 0.7:
+                f.add_arc(h, p + 1, EPS, float(-0.3 - rng.rand()), units[p])
+    # random extra eps arcs, uphill only
+    all_eps_states = units + hubs
+    for _ in range(2 * NUM_PDFS):
+        a, b = rng.choice(len(all_eps_states), 2, replace=False)
+        sa, sb = all_eps_states[a], all_eps_states[b]
+        if eps_rank[sa] > eps_rank[sb]:
+            sa, sb = sb, sa
+        f.add_arc(sa, EPS, EPS, float(-0.2 - rng.rand()), sb)
+    # random emitting bigram arcs between units
+    for _ in range(2 * NUM_PDFS):
+        a, b = rng.randint(NUM_PDFS), rng.randint(NUM_PDFS)
+        f.add_arc(units[a], b + 1, EPS, float(-0.6 - rng.rand()), units[b])
+
+    g = pack_decode_graph(f, eps_mode="inframe")
+    assert g.eps_depth >= 3
+    obs = (rng.randn(2, 8, NUM_PDFS) * 1.5).astype(np.float32)
+    lens = np.asarray([8, 5], np.int32)
+    ga = pack_graph(dense_from_pdf_fst(f.remove_input_epsilons('log')))
+    lat, scores, dropped = device_lattice_generate(
+        jnp.asarray(obs), g, jnp.asarray(lens), max_active=64,
+        max_arcs=4096, beam=30.0, lattice_beam=15.0)
+    assert np.all(np.asarray(dropped) == 0)
+    host_lat, host_scores = host_lattices(f, obs, lens, 30.0, 64, 15.0)
+    lens_j = jnp.asarray(lens)
+    z_d, _ = lattice_occupancies_ts(jnp.asarray(obs), lat, lens_j)
+    z_h, _ = lattice_occupancies_ts(jnp.asarray(obs), host_lat, lens_j)
+    for i in range(2):
+        z_full = float(fsa_logz(jnp.asarray(obs[i:i + 1, :lens[i]]), ga,
+                                jnp.asarray(lens[i:i + 1]))[0])
+        np.testing.assert_allclose(float(z_d[i]), z_full, rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_allclose(float(z_h[i]), z_full, rtol=1e-5,
+                                   atol=1e-4)
     np.testing.assert_allclose(np.asarray(scores), host_scores,
                                rtol=1e-5, atol=1e-3)
 

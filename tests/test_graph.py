@@ -169,6 +169,48 @@ def test_remove_input_epsilons_rejects_cycles():
     assert out.num_states > 0
 
 
+def test_remove_input_epsilons_parallel_routes_semiring():
+    """Parallel eps routes between the same state pair fold by the semiring
+    plus: tropical keeps the best route (Viterbi/decode semantics), log
+    log-adds them (sum-exact for FB consumers). The old DFS closure both
+    Viterbi-collapsed parallel routes AND emitted duplicate arcs with stale
+    weights when a route improved after first visit — each folded (s -> c)
+    pair must now appear exactly once."""
+    from pykaldi2_tpu.graph.fst import EPS, Fst
+
+    # two eps routes start->c: direct (-0.7) and via mid (-0.2 + -0.3 = -0.5)
+    f = Fst()
+    start, mid, c, end = (f.add_state() for _ in range(4))
+    f.set_start(start)
+    f.add_arc(start, EPS, EPS, -0.7, c)
+    f.add_arc(start, EPS, EPS, -0.2, mid)
+    f.add_arc(mid, EPS, EPS, -0.3, c)
+    f.add_arc(c, 1, 1, -0.1, end)
+    f.set_final(end, 0.0)
+    f.set_final(c, -0.05)
+
+    trop = f.remove_input_epsilons()          # default: tropical
+    logf = f.remove_input_epsilons("log")
+    for out in (trop, logf):
+        arcs = [(a.ilabel, a.weight, a.nextstate) for a in out.arcs[out.start]
+                if a.nextstate != out.start]
+        emit = [a for a in arcs if a[0] == 1]
+        assert len(emit) == 1, f"duplicate folded arcs: {arcs}"
+    w_best = max(-0.7, -0.5)
+    w_sum = np.logaddexp(-0.7, -0.5)
+    emit_t = [a for a in trop.arcs[trop.start] if a.ilabel == 1][0]
+    emit_l = [a for a in logf.arcs[logf.start] if a.ilabel == 1][0]
+    np.testing.assert_allclose(emit_t.weight, w_best + (-0.1), atol=1e-6)
+    np.testing.assert_allclose(emit_l.weight, float(w_sum) + (-0.1), atol=1e-6)
+    # finals fold the same way (start eps-reaches final c)
+    np.testing.assert_allclose(trop.finals[trop.start], w_best - 0.05,
+                               atol=1e-6)
+    np.testing.assert_allclose(logf.finals[logf.start], float(w_sum) - 0.05,
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="semiring"):
+        f.remove_input_epsilons("viterbi")
+
+
 # ---------------------------------------------------------------------------
 # determinize / push_weights / minimize (OpenFst fstdeterminize/fstpush/
 # fstminimize parity for the graph-build slice)
