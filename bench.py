@@ -56,16 +56,17 @@ CHECK_FLOORS = {
     # ≈ 205 utt/s); floor set from the r3 on-chip measurement minus ~10%
     "dense_fb": 180.0,
     # banded time-sync lattice MMI fwd+grad (ops/fb_lattice.py) at the
-    # worst-case on-the-fly shape B=32/T=448/K=A=256/P=8952 (BASELINE.md r2
-    # session-2: 277 ms/step ≈ 42 utt/s)
-    "lat_mmi": 37.0,
+    # worst-case on-the-fly shape B=32/T=448/K=A=256/P=8952 (r3: matvec
+    # form default-on, 252 ms/step ≈ 46.3 utt/s; scan form was 277 ms)
+    "lat_mmi": 42.0,
     # FULL on-the-fly SE step with the ON-DEVICE decoder (forward + batched
     # beam search over the 79k-arc den HCLG + banded train step; VERDICT r2
-    # item 1): measured r3 1.68 s/batch at B=32/T=448 = 7.0 utt/s (search
-    # 0.70 s after degree bucketing + payload-sort band compaction). NOTE:
+    # item 1): measured r3 1.55 s/batch at B=32/T=448 = 7.5 utt/s (search
+    # 0.70 s after degree bucketing + payload-sort band compaction; banded
+    # train step 0.65 s with the matvec-form lattice FB default-on). NOTE:
     # long compile through the remote tunnel — excluded from the plain
     # bench JSON extras for that reason, guarded here only.
-    "dev_otf": 6.0,
+    "dev_otf": 6.8,
     # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
     # (ops/fb_block.py; measured r3 255 ms/step = 20.4 utt/s = 3.7x the
     # arc tables, which OOM outright at B=16/T=300). History: 447 ms COO

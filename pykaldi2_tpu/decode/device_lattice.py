@@ -576,9 +576,11 @@ def device_lattice_generate(
         # (the other bucket's lanes are NEG_INF) — the only dynamic-index
         # gathers on big shapes. PK2_DEV_SEARCH_MASK8=1 opt-in: reuse
         # r_lo/r_hi and mask by an int8 emit gather over the SAME constant
-        # indices (4x fewer mask bytes, the +w add disappears) — ships dark
-        # until timed on chip (its BOOL predecessor compiled pathologically
-        # through the Mosaic tunnel).
+        # indices (4x fewer mask bytes, the +w add disappears). Timed on
+        # chip (round 3, B=32/T=448 den-HCLG config): identical to the
+        # default within noise (7.50 vs 7.50 utt/s full-step) — the second
+        # relaxation is already overlapped with the band sort, so the byte
+        # saving buys nothing; stays opt-in for future shapes.
         if _mask8():
             emit_prev = (slot_prev >= 0).astype(jnp.int8)         # [B, S]
             l_lo = jnp.where(

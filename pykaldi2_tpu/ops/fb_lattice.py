@@ -232,9 +232,12 @@ def use_matvec_latfb(t_len: int, b: int, k: int, n_mats: int = 1) -> bool:
     return 4 * flat * n_mats <= budget
 
 
-# flipped to True once the matvec form is timed on the real chip (repo rule:
-# no perf-path default changes without an on-TPU measurement)
-_MATVEC_DEFAULT_ON = False
+# On-chip timing (round 3, v5e, worst-case dense bands B=32/T=448/K=A=256,
+# P=8952): MMI fwd+grad 277 -> 252 ms (42.1 -> 46.3 utt/s), sMBR 452 ->
+# 407 ms (25.8 -> 28.6 utt/s) — the matvec form wins both, so auto is ON
+# within the byte budget (repo rule: no perf-path default changes without
+# an on-TPU measurement).
+_MATVEC_DEFAULT_ON = True
 
 
 def _band_lin_ts(obs_arc, lat: TimeSyncLattice):

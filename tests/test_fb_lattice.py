@@ -160,10 +160,15 @@ def test_matvec_form_matches_scan_form(decoded, monkeypatch):
         z, g = lattice_occupancies_ts(o, lat, lens_j)
         outs[mode] = (np.asarray(z), np.asarray(g), float(mmi(o)),
                       np.asarray(jax.grad(mmi)(o)))
-    # sanity: the gate actually routes (tiny shapes are always under budget)
+    # sanity: the gate actually routes (tiny shapes are always under budget);
+    # unset = auto-ON since the on-chip win (BASELINE.md r3 session 7), and
+    # the byte budget still gates the auto path off
     assert fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
     monkeypatch.delenv("PK2_LATFB_MATVEC")
+    assert fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
+    monkeypatch.setenv("PK2_LATFB_MATVEC_BYTES", "1")
     assert not fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
+    monkeypatch.delenv("PK2_LATFB_MATVEC_BYTES")
     z0, g0, f0, gr0 = outs["0"]
     z1, g1, f1, gr1 = outs["1"]
     np.testing.assert_allclose(z1, z0, rtol=1e-5, atol=1e-5)
