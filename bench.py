@@ -63,9 +63,10 @@ CHECK_FLOORS = {
     # beam search over the 79k-arc den HCLG + banded train step; VERDICT r2
     # item 1): measured r3 1.55 s/batch at B=32/T=448 = 7.5 utt/s (search
     # 0.70 s after degree bucketing + payload-sort band compaction; banded
-    # train step 0.65 s with the matvec-form lattice FB default-on). NOTE:
-    # long compile through the remote tunnel — excluded from the plain
-    # bench JSON extras for that reason, guarded here only.
+    # train step 0.65 s with the matvec-form lattice FB default-on). Long
+    # compile through the remote tunnel, but the number is the round-3/4
+    # headline — included in the plain bench JSON since r4 (VERDICT r3
+    # missing #2), with one retry on transient tunnel errors.
     "dev_otf": 6.8,
     # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
     # (ops/fb_block.py; measured r3 255 ms/step = 20.4 utt/s = 3.7x the
@@ -111,14 +112,23 @@ def _dispatch(args):
             ("lat_mmi", _measure_banded_lattice),
             ("block_fb", _measure_block_fb),
             ("dev_eval", _measure_device_eval),
+            ("dev_otf", _measure_device_otf),
         ):
-            try:
-                extras[name] = round(fn(), 3)
-            except Exception:
-                import traceback
+            # one retry per extra: the known failure mode is a TRANSIENT
+            # remote-tunnel transport error (r3 lost a measured 46.3 utt/s
+            # to a single "response body closed" — VERDICT r3 weak #1)
+            extras[name] = None
+            for attempt in range(2):
+                try:
+                    extras[name] = round(fn(), 3)
+                    break
+                except Exception:
+                    import traceback
 
-                traceback.print_exc()
-                extras[name] = None
+                    traceback.print_exc()
+                    print(f"extra {name!r} attempt {attempt + 1} failed"
+                          + ("; retrying once" if attempt == 0 else ""),
+                          flush=True)
         print(json.dumps({
             "metric": "ce_train_utt_per_sec_per_chip",
             "value": round(utt_per_sec, 3),

@@ -5,8 +5,10 @@ Replaces PyKaldi's ``kaldi.util.table`` readers/writers (SURVEY.md §3.1
 util/kaldi-table}). Supports:
 
   * binary float/double matrices ("FM"/"DM") and vectors ("FV"/"DV")
-  * compressed matrices ("CM"/"CM2"/"CM3") — read side (see
-    ``_read_compressed_matrix``; writing always uses uncompressed "FM")
+  * compressed matrices ("CM"/"CM2"/"CM3") — read (``_read_compressed_matrix``)
+    AND write (``write_compressed_matrix``, percentile-coded, byte-exact vs
+    the independent fixture writer); matrix writes default to uncompressed
+    "FM" unless compression is requested
   * int32 vectors (alignments, WriteIntegerVector layout)
   * text-mode tables
   * ark, scp (with byte offsets), and ark+scp writing

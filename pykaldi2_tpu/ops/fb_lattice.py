@@ -212,6 +212,11 @@ def use_matvec_latfb(t_len: int, b: int, k: int, n_mats: int = 1) -> bool:
     ``PK2_LATFB_MATVEC_BYTES``, default 5 GiB, and the flat index fits s32).
     The sMBR/MPE recursion carries a second (accuracy-weighted) matrix, so
     it gates with ``n_mats=2``.
+
+    Precedence (ADVICE r3): an explicit ``PK2_LATFB_MATVEC=0/1`` always
+    wins; otherwise an explicit ``PK2_PALLAS_LATFB=1`` opt-in disables the
+    matvec auto-default so the Pallas path is actually reachable; otherwise
+    auto.
     """
     env = os.environ.get("PK2_LATFB_MATVEC")
     if env == "":
@@ -225,10 +230,15 @@ def use_matvec_latfb(t_len: int, b: int, k: int, n_mats: int = 1) -> bool:
         return False
     if env == "1":
         return True
+    if os.environ.get("PK2_PALLAS_LATFB") == "1":
+        return False          # explicit Pallas opt-in beats the auto default
     if not _MATVEC_DEFAULT_ON:
         return False
+    # default 8 GiB (ADVICE r3): the measured sMBR win shape (B=32/T=448/
+    # K=256, n_mats=2 -> 7.34 GB, 407 ms on chip r3 session 7) must engage
+    # by default; the matrices are rebuilt, not saved, between fwd and bwd
     budget = int(os.environ.get("PK2_LATFB_MATVEC_BYTES",
-                                str(5 * 1024**3)))
+                                str(8 * 1024**3)))
     return 4 * flat * n_mats <= budget
 
 

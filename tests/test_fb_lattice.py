@@ -169,6 +169,18 @@ def test_matvec_form_matches_scan_form(decoded, monkeypatch):
     monkeypatch.setenv("PK2_LATFB_MATVEC_BYTES", "1")
     assert not fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
     monkeypatch.delenv("PK2_LATFB_MATVEC_BYTES")
+    # precedence (ADVICE r3): explicit PK2_PALLAS_LATFB=1 opt-in disables
+    # the matvec AUTO default (so Pallas is reachable) but not an explicit
+    # PK2_LATFB_MATVEC=1
+    monkeypatch.setenv("PK2_PALLAS_LATFB", "1")
+    assert not fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
+    monkeypatch.setenv("PK2_LATFB_MATVEC", "1")
+    assert fl.use_matvec_latfb(obs.shape[1], obs.shape[0], lat.num_slots)
+    monkeypatch.delenv("PK2_LATFB_MATVEC")
+    monkeypatch.delenv("PK2_PALLAS_LATFB")
+    # default budget admits the measured sMBR shape (B=32/T=448/K=256,
+    # n_mats=2 = 7.34 GB; ADVICE r3 item 1)
+    assert fl.use_matvec_latfb(448, 32, 256, n_mats=2)
     z0, g0, f0, gr0 = outs["0"]
     z1, g1, f1, gr1 = outs["1"]
     np.testing.assert_allclose(z1, z0, rtol=1e-5, atol=1e-5)
