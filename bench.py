@@ -69,11 +69,12 @@ CHECK_FLOORS = {
     # missing #2), with one retry on transient tunnel errors.
     "dev_otf": 6.8,
     # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
-    # (ops/fb_block.py; measured r3 255 ms/step = 20.4 utt/s = 3.7x the
+    # (ops/fb_block.py; measured r4 206.8 ms/step = 25.2 utt/s = 4.6x the
     # arc tables, which OOM outright at B=16/T=300). History: 447 ms COO
     # gather/einsum/segment-sum -> 410 ms dense-band matvec -> 255 ms
     # band + full-save backward (no recompute pass under the HBM budget)
-    "block_fb": 18.0,
+    # -> 206.8 ms lincarry + fused-band einsum + bf16 tiles (r4 defaults)
+    "block_fb": 22.0,
 }
 
 

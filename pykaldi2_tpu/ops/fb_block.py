@@ -126,12 +126,16 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
     segment-sum intermediates). ``band_frac=0`` disables banding (all-COO;
     the representation the opt-in Pallas kernel consumes).
 
-    ``tile_dtype`` (default env ``PK2_BLOCKFB_TILE_DTYPE`` or "float32"):
-    storage dtype of the tile tensors. "bfloat16" HALVES the recursion's
-    dominant HBM stream — the [|O|, nblk, k, k] band re-read every frame —
-    at a one-time ~0.4% relative rounding of each transition probability
-    (the convert back to f32 fuses into the einsum read; accumulation stays
-    f32). Opt-in until the on-chip error/throughput trade is measured."""
+    ``tile_dtype`` (default env ``PK2_BLOCKFB_TILE_DTYPE``; unset = bf16 on
+    the TPU backend, f32 elsewhere): storage dtype of the tile tensors.
+    "bfloat16" HALVES the recursion's dominant HBM stream — the
+    [|O|, nblk, k, k] band re-read every frame — at a one-time ~0.4%
+    relative rounding of each transition probability (the convert back to
+    f32 fuses into the einsum read; accumulation stays f32). Measured on
+    chip (r4, 96k-state graph, B=64/T=100 grad step): 220.6 → 206.8 ms on
+    top of lincarry+fuseband, grad rel err 6e-5 alone / 3e-4 for the combo
+    — default ON for TPU, f32 on CPU so the brute-force parity tests stay
+    exact."""
     fsa.validate()
     state_pdf = state_emission_pdfs(fsa)
     if state_pdf is None:
@@ -230,7 +234,10 @@ def pack_graph_blocks(fsa: DenseFsa, block: int = 128, seg_len: int = 16,
         state_phone = jnp.asarray(
             np.concatenate([state_phone, np.zeros(pad, np.int32)]))
     if tile_dtype is None:
-        tile_dtype = os.environ.get("PK2_BLOCKFB_TILE_DTYPE", "float32")
+        tile_dtype = os.environ.get("PK2_BLOCKFB_TILE_DTYPE")
+    if tile_dtype is None:
+        tile_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                      else "float32")
     if tile_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"tile_dtype={tile_dtype!r}: expected float32 or "
                          "bfloat16")
@@ -259,13 +266,16 @@ def _scan_unroll() -> int:
 
 def _fuse_band() -> bool:
     """Apply all band offsets as ONE concatenated einsum instead of a
-    per-offset einsum + add chain. PK2_BLOCKFB_FUSEBAND=1 opt-in until the
-    on-chip measurement lands (same accumulation space — exp-domain sums —
-    so the two forms agree to reassociation)."""
+    per-offset einsum + add chain (same accumulation space — exp-domain
+    sums — so the two forms agree to reassociation). Default ON after the
+    r4 on-chip win: 252.7 → 241.2 ms alone, 242.7 → 220.6 ms on top of
+    lincarry (96k-state graph, B=64/T=100 grad step) — the wider [B, nblk,
+    |O|k] GEMM keeps the MXU busier than |O| narrow ones.
+    PK2_BLOCKFB_FUSEBAND=0 restores the per-offset chain."""
     env = os.environ.get("PK2_BLOCKFB_FUSEBAND")
     if env not in (None, "", "0", "1"):
         raise ValueError(f"PK2_BLOCKFB_FUSEBAND={env!r}: expected 0 or 1")
-    return env == "1"
+    return env != "0"
 
 
 def _use_pallas_block() -> bool:
@@ -355,8 +365,9 @@ def _block_matvec(lin: jax.Array, g: BlockSparseGraph,
     if not offs and tiles.shape[0] and _use_pallas_block():
         if tiles.dtype != jnp.float32:
             raise ValueError(
-                "PK2_PALLAS_BLOCKFB=1 needs float32 tiles; repack without "
-                "tile_dtype='bfloat16' (the Pallas matvec has no bf16 path)")
+                "PK2_PALLAS_BLOCKFB=1 needs float32 tiles; repack with "
+                "PK2_BLOCKFB_TILE_DTYPE=float32 (bf16 is the TPU default "
+                "since r4; the Pallas matvec has no bf16 path)")
         return _block_matvec_pallas(lin, tiles, i_idx, j_idx, nblk, k)
     xb = lin.reshape(b, nblk, k)
     out = None
@@ -415,13 +426,16 @@ def _lincarry() -> bool:
     table exp'd OUTSIDE the scan — ~3 fewer [B, Sp] elementwise passes per
     frame-pair. Semantically identical to the log carry: states >~87 nats
     under the frame max underflow exp() to exact 0 in BOTH forms (the log
-    form exps inside `_log_matvec_b`). PK2_BLOCKFB_LINCARRY=1 opt-in until
-    timed on chip. Saved activations stay in LOG form either way, so the
-    gamma pass is mode-independent."""
+    form exps inside `_log_matvec_b`). Default ON after the r4 on-chip win:
+    252.7 → 242.7 ms alone, 220.6 ms with fuseband, 206.8 ms with bf16
+    tiles (= 25.2 utt/s, 4.6× the arc tables; grad rel err 3e-4, from GEMM
+    reassociation) at the 96k-state / B=64 / T=100 grad step.
+    PK2_BLOCKFB_LINCARRY=0 restores the log carry. Saved activations stay
+    in LOG form either way, so the gamma pass is mode-independent."""
     env = os.environ.get("PK2_BLOCKFB_LINCARRY")
     if env not in (None, "", "0", "1"):
         raise ValueError(f"PK2_BLOCKFB_LINCARRY={env!r}: expected 0 or 1")
-    return env == "1"
+    return env != "0"
 
 
 def _exp_obs_b(obs):

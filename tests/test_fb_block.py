@@ -393,8 +393,9 @@ def test_band_split_logz_grad_and_accuracy_match(save_mode):
 
 
 def test_fused_band_matches_per_offset(monkeypatch):
-    """PK2_BLOCKFB_FUSEBAND=1 (all band offsets as one concatenated einsum)
-    must agree with the per-offset einsum chain through logZ grad."""
+    """The fused band (all offsets as one concatenated einsum — the r4
+    default) must agree with the per-offset einsum chain
+    (PK2_BLOCKFB_FUSEBAND=0) through logZ grad."""
     fsa = _chain_fsa(num_chains=4, chain_len=9)
     rng = np.random.RandomState(13)
     B, T, P = 2, 6, 5
@@ -406,6 +407,7 @@ def test_fused_band_matches_per_offset(monkeypatch):
     def f(o):
         return jnp.sum(fsa_logz_block(o, g, lens))
 
+    monkeypatch.setenv("PK2_BLOCKFB_FUSEBAND", "0")
     v0, gv0 = jax.value_and_grad(f)(obs)
     monkeypatch.setenv("PK2_BLOCKFB_FUSEBAND", "1")
     jax.clear_caches()
@@ -441,9 +443,10 @@ def test_bf16_tiles_close_to_f32(save_mode):
 
 
 def test_linear_carry_matches_log_carry(save_mode, monkeypatch):
-    """PK2_BLOCKFB_LINCARRY=1 (linear renormalized alpha/beta carries, exp
-    of obs hoisted outside the scans) must reproduce the log-carry form's
-    logZ, occupancies, and grad in BOTH save modes."""
+    """The linear renormalized alpha/beta carries (exp of obs hoisted
+    outside the scans — the r4 default) must reproduce the log-carry form
+    (PK2_BLOCKFB_LINCARRY=0): logZ, occupancies, and grad in BOTH save
+    modes."""
     fsa = _chain_fsa(num_chains=4, chain_len=9)
     rng = np.random.RandomState(15)
     B, T, P = 2, 7, 5
@@ -454,6 +457,8 @@ def test_linear_carry_matches_log_carry(save_mode, monkeypatch):
     def f(o):
         return jnp.sum(fsa_logz_block(o, g, lens))
 
+    monkeypatch.setenv("PK2_BLOCKFB_LINCARRY", "0")
+    jax.clear_caches()
     v0, gv0 = jax.value_and_grad(f)(obs)
     z0, gam0 = fsa_occupancies_block(obs, g, lens)
     ref_lab = jnp.asarray(
