@@ -56,6 +56,11 @@ def _load():
     lib.latdec_emit_lattice.argtypes = [
         ctypes.c_void_p, ip, ip, ip, fp, ctypes.c_int, ip, fp, ctypes.c_int,
         ip, ip, ip]
+    lib.banded_trim_extract.restype = ctypes.c_int
+    lib.banded_trim_extract.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ip, ip, ip, fp, ip, fp, ip, ctypes.c_float,
+        ip, ip, ip, ip, ip, fp, ip, ip, ip]
     _lib = lib
     return lib
 

@@ -74,6 +74,7 @@ dense alpha is the scale bound).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -818,7 +819,95 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
     labels.  States unable to reach a final state (the beam search keeps
     dead branches the host decoder's backward prune removes) are trimmed
     here with a backward sweep.
+
+    Two equivalent implementations (VERDICT r3 item 4 — this epilogue, not
+    the TPU search, dominated dev_eval):
+      - native (default): one cache-friendly C pass per utterance
+        (``native/latdec.cc banded_trim_extract``), ~50x the numpy form at
+        the B=16/T=300/A=1024 worst case. ``PK2_B2F_NATIVE=0`` disables.
+      - numpy fallback: BATCH-vectorized (liveness is one [B, T+1, K] flat
+        scatter, the backward trim loops over T — not B×T — dense over
+        [B, A], arc extraction is ONE global nonzero split by searchsorted).
+        Still gather-bound: nine ~5M-row random ``np.take`` calls ≈ 2.8 s
+        warm at the worst case (the first per-utterance formulation was
+        5.9 s).
     """
+    if os.environ.get("PK2_B2F_NATIVE", "1") != "0":
+        try:
+            return _banded_to_fsas_native(lat, num_frames, olabels)
+        except OSError:                     # toolchain missing: numpy path
+            pass
+    return _banded_to_fsas_np(lat, num_frames, olabels)
+
+
+def _banded_to_fsas_native(lat: TimeSyncLattice, num_frames, olabels=None):
+    """C-pass epilogue; bit-identical outputs to ``_banded_to_fsas_np``
+    (covered by tests/test_device_lattice.py parity)."""
+    import ctypes
+
+    from pykaldi2_tpu.decode.decoder import _fptr, _iptr, _load
+    from pykaldi2_tpu.ops.fsa import DenseFsa
+
+    lib = _load()
+    ci = np.ascontiguousarray
+    src_all = ci(np.asarray(lat.src, np.int32))
+    dst_all = ci(np.asarray(lat.dst, np.int32))
+    pdf_all = ci(np.asarray(lat.pdf, np.int32))
+    w_all = ci(np.asarray(lat.weight, np.float32))
+    fin_all = ci(np.asarray(lat.final, np.float32))
+    ol_all = None if olabels is None else ci(np.asarray(olabels, np.int32))
+    nf_all = ci(np.clip(np.asarray(num_frames), 0, None).astype(np.int32))
+    b, t_dim, a_dim = src_all.shape
+    k = lat.num_slots
+    n_states = np.zeros(b, np.int32)
+    n_arcs = np.zeros(b, np.int32)
+    cap = t_dim * a_dim
+    out_src = np.empty((b, cap), np.int32)
+    out_dst = np.empty((b, cap), np.int32)
+    out_pdf = np.empty((b, cap), np.int32)
+    out_w = np.empty((b, cap), np.float32)
+    out_ol = None if ol_all is None else np.empty((b, cap), np.int32)
+    out_frames = np.empty((b, (t_dim + 1) * k), np.int32)
+    out_final_sid = np.empty((b, k), np.int32)
+    null_i = ctypes.POINTER(ctypes.c_int)()
+    rc = lib.banded_trim_extract(
+        b, t_dim, a_dim, k, _iptr(src_all), _iptr(dst_all), _iptr(pdf_all),
+        _fptr(w_all), null_i if ol_all is None else _iptr(ol_all),
+        _fptr(fin_all), _iptr(nf_all), ctypes.c_float(0.5 * NEG_INF),
+        _iptr(n_states), _iptr(n_arcs), _iptr(out_src), _iptr(out_dst),
+        _iptr(out_pdf), _fptr(out_w),
+        null_i if out_ol is None else _iptr(out_ol),
+        _iptr(out_frames), _iptr(out_final_sid))
+    assert rc == 0
+    out = []
+    empty_i32 = np.zeros(0, np.int32)
+    for i in range(b):
+        nf = int(nf_all[i])
+        if nf <= 0:
+            fsa = DenseFsa(1, empty_i32, empty_i32, empty_i32,
+                           np.zeros(0, np.float32),
+                           np.zeros(1, np.float32), 0, None,
+                           None if ol_all is None else empty_i32)
+            out.append((fsa, np.zeros(1, np.int64)))
+            continue
+        ns, na = int(n_states[i]), int(n_arcs[i])
+        final = np.full(ns, -np.inf, np.float32)
+        last_sid = out_final_sid[i]
+        last = np.nonzero(last_sid >= 0)[0]
+        # NEG_INF sentinels must become true -inf: downstream
+        # (lattice_word_fst) treats any finite value as a real final
+        fv = fin_all[i, last]
+        final[last_sid[last]] = np.where(fv > 0.5 * NEG_INF, fv, -np.inf)
+        fsa = DenseFsa(
+            ns, out_src[i, :na].copy(), out_dst[i, :na].copy(),
+            out_pdf[i, :na].copy(), out_w[i, :na].copy(), final, 0, None,
+            None if out_ol is None else out_ol[i, :na].copy())
+        out.append((fsa.validate(), out_frames[i, :ns].astype(np.int64)))
+    return out
+
+
+def _banded_to_fsas_np(lat: TimeSyncLattice, num_frames, olabels=None):
+    """Pure-numpy epilogue (fallback + parity reference)."""
     from pykaldi2_tpu.ops.fsa import DenseFsa
 
     src_all = np.asarray(lat.src)
@@ -827,55 +916,97 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
     w_all = np.asarray(lat.weight)
     fin_all = np.asarray(lat.final)
     ol_all = None if olabels is None else np.asarray(olabels)
-    nf_all = np.asarray(num_frames)
-    b, _t, a_dim = src_all.shape
+    nf_all = np.asarray(num_frames, np.int64)
+    b, t_dim, a_dim = src_all.shape
     k = lat.num_slots
+    t_act = np.arange(t_dim)[None, :, None] < nf_all[:, None, None]
+    valid = (w_all > 0.5 * NEG_INF) & t_act                   # [B, T, A]
+
+    # flat [B*(T+1)*K] addressing (np.take on flat int indices measures ~2x
+    # the three-index-array fancy gathers at these sizes)
+    base_bt = ((np.arange(b, dtype=np.int64)[:, None, None] * (t_dim + 1)
+                + np.arange(t_dim, dtype=np.int64)[None, :, None]) * k)
+    src_flat = base_bt + src_all                              # [B, T, A]
+    dst_flat = base_bt + k + dst_all
+
+    # liveness: one flat scatter over [B, T+1, K] (live[b, t+1, dst])
+    live = np.zeros((b, t_dim + 1, k), bool)
+    live[:, 0, 0] = True
+    live.reshape(-1)[dst_flat[valid]] = True
+
+    # backward trim, batched: alive[:, t] from alive[:, t+1] — T iterations
+    # of [B, A]-wide ops instead of B×T scalar-loop steps. Variable nf is
+    # handled by seeding each utterance's own last frame (t_act masks arcs
+    # past nf, so shorter utterances stay frozen through later t).
+    alive = np.zeros((b, t_dim + 1, k), bool)
+    is_fin = fin_all > 0.5 * NEG_INF                          # [B, K]
+    alive[np.arange(b), nf_all] = live[np.arange(b), nf_all] & is_fin
+    bcol = np.arange(b)[:, None]                              # [B, 1]
+    bmat = np.broadcast_to(bcol, (b, a_dim))
+    for t in range(t_dim - 1, -1, -1):
+        v = valid[:, t] & alive[:, t + 1][bcol, dst_all[:, t]]  # [B, A]
+        alive[bmat[v], t, src_all[:, t][v]] = True
+    alive &= live
+    # degenerate utterances (band overflow cut every final-reaching path):
+    # fall back to forward liveness for THOSE rows only
+    degen = ~alive[:, 0, 0]
+    if degen.any():
+        alive[degen] = live[degen]
+
+    # per-utterance state ids: cumsum over each utterance's alive grid,
+    # valid frames only (t ≤ nf) — states past nf are never referenced
+    t_keep = np.arange(t_dim + 1)[None, :, None] <= nf_all[:, None, None]
+    alive &= t_keep
+    flat_alive = alive.reshape(b, -1)
+    sid = flat_alive.cumsum(axis=1, dtype=np.int64) - 1       # [B,(T+1)*K]
+    n_states = flat_alive.sum(axis=1)                         # [B]
+    sid = sid.reshape(b, t_dim + 1, k)
+
+    # arc extraction: ONE flat nonzero over the whole batch, split by
+    # utterance (keep indices flat; all gathers are np.take on flat ids)
+    alive_flat = alive.reshape(-1)
+    keep = (valid & np.take(alive_flat, src_flat)
+            & np.take(alive_flat, dst_flat))
+    e_flat = np.flatnonzero(keep)
+    e_b = e_flat // (t_dim * a_dim)
+    splits = np.searchsorted(e_b, np.arange(1, b))
+    sid_flat = sid.reshape(-1)
+    fsa_src = np.take(sid_flat, np.take(src_flat.reshape(-1), e_flat)
+                      ).astype(np.int32)
+    fsa_dst = np.take(sid_flat, np.take(dst_flat.reshape(-1), e_flat)
+                      ).astype(np.int32)
+    e_pdf = np.take(pdf_all.reshape(-1), e_flat).astype(np.int32, copy=False)
+    e_w = np.take(w_all.reshape(-1), e_flat).astype(np.float32, copy=False)
+    e_ol = (None if ol_all is None
+            else np.take(ol_all.reshape(-1), e_flat)
+            .astype(np.int32, copy=False))
+    frames_grid = np.broadcast_to(np.arange(t_dim + 1)[None, :, None],
+                                  alive.shape)
+
     out = []
-    for i in range(b):
+    empty_i32 = np.zeros(0, np.int32)
+    for i, (s0, s1) in enumerate(zip(
+            np.concatenate([[0], splits]),
+            np.concatenate([splits, [len(e_b)]]))):
         nf = int(nf_all[i])
         if nf <= 0:
-            fsa = DenseFsa(1, np.zeros(0, np.int32), np.zeros(0, np.int32),
-                           np.zeros(0, np.int32), np.zeros(0, np.float32),
+            fsa = DenseFsa(1, empty_i32, empty_i32, empty_i32,
+                           np.zeros(0, np.float32),
                            np.zeros(1, np.float32), 0, None,
-                           None if ol_all is None else np.zeros(0, np.int32))
+                           None if ol_all is None else empty_i32)
             out.append((fsa, np.zeros(1, np.int64)))
             continue
-        w = w_all[i, :nf]                                     # [nf, A]
-        valid = w > 0.5 * NEG_INF
-        src, dst, pdf = src_all[i, :nf], dst_all[i, :nf], pdf_all[i, :nf]
-        live = np.zeros((nf + 1, k), bool)
-        live[0, 0] = True
-        tt = np.repeat(np.arange(nf), a_dim).reshape(nf, a_dim)
-        live[tt[valid] + 1, dst[valid]] = True
-        # backward trim to final-reaching states (final_out guarantees the
-        # last frame's emitted slots carry a finite weight)
-        alive = np.zeros((nf + 1, k), bool)
-        alive[nf] = live[nf] & (fin_all[i] > 0.5 * NEG_INF)
-        for t in range(nf - 1, -1, -1):
-            v = valid[t] & alive[t + 1, dst[t]]
-            alive[t, src[t][v]] = True
-        alive &= live
-        if not alive[0, 0]:
-            alive = live                  # degenerate (band overflow): keep
-        sid = np.full((nf + 1, k), -1, np.int64)
-        sid[alive] = np.arange(int(alive.sum()))
-        frames = np.repeat(np.arange(nf + 1), k)[alive.reshape(-1)]
-        keep = valid & alive[tt, src] & alive[tt + 1, dst]
-        e_t, e_a = np.nonzero(keep)
-        fsa_src = sid[e_t, src[e_t, e_a]].astype(np.int32)
-        fsa_dst = sid[e_t + 1, dst[e_t, e_a]].astype(np.int32)
-        n_states = int(alive.sum())
-        final = np.full(n_states, -np.inf, np.float32)
-        last = np.nonzero(alive[nf])[0]
+        frames = frames_grid[i][alive[i]]
+        ns = int(n_states[i])
+        final = np.full(ns, -np.inf, np.float32)
+        last = np.nonzero(alive[i, nf])[0]
         # NEG_INF sentinels must become true -inf: downstream
         # (lattice_word_fst) treats any finite value as a real final
         fv = fin_all[i, last]
-        final[sid[nf, last]] = np.where(fv > 0.5 * NEG_INF, fv, -np.inf)
+        final[sid[i, nf, last]] = np.where(fv > 0.5 * NEG_INF, fv, -np.inf)
         fsa = DenseFsa(
-            n_states, fsa_src, fsa_dst,
-            pdf[e_t, e_a].astype(np.int32),
-            w[e_t, e_a].astype(np.float32), final, 0, None,
-            None if ol_all is None
-            else ol_all[i, e_t, e_a].astype(np.int32))
+            ns, fsa_src[s0:s1], fsa_dst[s0:s1], e_pdf[s0:s1], e_w[s0:s1],
+            final, 0, None,
+            None if ol_all is None else e_ol[s0:s1])
         out.append((fsa.validate(), frames))
     return out

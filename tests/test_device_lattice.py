@@ -711,3 +711,44 @@ def test_mask8_link_candidates_match_default(toy, monkeypatch):
                       np.asarray(sc))
     for a, b in zip(outs["0"], outs["1"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_banded_to_fsas_native_matches_numpy():
+    """The C epilogue (native/latdec.cc banded_trim_extract) must be
+    bit-identical to the numpy reference on random bands covering padding,
+    variable nf, nf=0, no-final (degenerate) rows, and olabels."""
+    from pykaldi2_tpu.decode.device_lattice import (
+        _banded_to_fsas_native, _banded_to_fsas_np)
+    from pykaldi2_tpu.ops.fb import NEG_INF
+    from pykaldi2_tpu.ops.fb_lattice import TimeSyncLattice
+
+    rng = np.random.RandomState(7)
+    B, T, A, K = 5, 12, 64, 16
+    w = (rng.randn(B, T, A) * 0.5).astype(np.float32)
+    w[rng.rand(B, T, A) < 0.5] = NEG_INF
+    src = rng.randint(0, K, (B, T, A)).astype(np.int32)
+    dst = rng.randint(0, K, (B, T, A)).astype(np.int32)
+    pdf = rng.randint(0, 40, (B, T, A)).astype(np.int32)
+    ol = rng.randint(0, 9, (B, T, A)).astype(np.int32)
+    fin = np.where(rng.rand(B, K) < 0.3,
+                   rng.randn(B, K).astype(np.float32) * 0.2,
+                   np.float32(NEG_INF)).astype(np.float32)
+    fin[2] = NEG_INF          # degenerate row: no finals at all
+    nf = np.asarray([12, 7, 12, 0, 3], np.int32)
+    lat = TimeSyncLattice(src=src, dst=dst, pdf=pdf, weight=w, final=fin)
+    for olab in (None, ol):
+        ref = _banded_to_fsas_np(lat, nf, olabels=olab)
+        got = _banded_to_fsas_native(lat, nf, olabels=olab)
+        assert len(ref) == len(got)
+        for (fr, rr), (fg, rg) in zip(ref, got):
+            np.testing.assert_array_equal(rr, rg)
+            assert fr.num_states == fg.num_states
+            np.testing.assert_array_equal(fr.src, fg.src)
+            np.testing.assert_array_equal(fr.dst, fg.dst)
+            np.testing.assert_array_equal(fr.pdf, fg.pdf)
+            np.testing.assert_array_equal(fr.weight, fg.weight)
+            np.testing.assert_array_equal(fr.final, fg.final)
+            if olab is None:
+                assert fg.olabel is None or fg.olabel.size == 0
+            else:
+                np.testing.assert_array_equal(fr.olabel, fg.olabel)
