@@ -164,7 +164,8 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
     hclg = os.path.join(root, "hclg.npz")
     words_txt = os.path.join(root, "words.txt")
     assert bg_main(["decode", "-lexicon", lex_path, "-arpa", arpa,
-                    "-out", hclg, "-words_out", words_txt]) == 0
+                    "-trans_model", mdl, "-out", hclg,
+                    "-words_out", words_txt]) == 0
     metrics["graph_s"] = round(time.time() - t0, 1)
     from pykaldi2_tpu.graph.vfst import VectorFst
 
