@@ -41,7 +41,9 @@ MEASURE_STEPS = 30
 # --check floors: measured round-2 numbers minus ~10% headroom, so refactors
 # can't silently lose the Pallas/structured-kernel wins
 CHECK_FLOORS = {
-    "ce": 350.0,       # 4x1024 LSTM CE, B=128 (measured ~410 r1)
+    "ce": 385.0,       # 4x1024 LSTM CE, B=128 (r4 re-baseline: 5 runs in one
+                       # session mean 406.0 / sigma 3.6 — the 410->402
+                       # cross-round "drift" is tunnel noise; floor = mean-5%)
     "mmi": 300.0,      # structured bigram den, B=128, T=400 (measured ~334 r2:
                        # gather/GEMM hoisted out of the FB scan bodies)
     "smbr": 320.0,     # bigram expected-accuracy kernels, B=128 (measured ~358 r2)
