@@ -18,4 +18,10 @@ def apply_platform_env():
     if plat:
         import jax
 
+        if plat == "tpu" and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+            # Remote-TPU tunnel: the chip registers as platform "axon" and
+            # initializing "tpu" fails outright (no local device; explicit
+            # jax_platforms lists have no fallback semantics). Honor the
+            # PK2_PLATFORM=tpu contract by pinning the tunnel platform.
+            plat = "axon"
         jax.config.update("jax_platforms", plat)

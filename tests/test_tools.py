@@ -148,3 +148,23 @@ def test_compute_priors_cli(tmp_path):
     p2 = np.exp(np.load(out2))
     np.testing.assert_allclose(p2[:2], [0.75, 0.25], atol=1e-6)
     assert (p2[2:] < 1e-9).all()   # floored unseen pdfs
+
+
+def test_apply_platform_env_axon_alias(monkeypatch):
+    """PK2_PLATFORM=tpu must pin the tunnel platform ("axon") when the chip
+    is only reachable through it: explicit jax_platforms lists have no
+    fallback, so a literal "tpu" dies with "No jellyfish device found"."""
+    from pykaldi2_tpu.utils import apply_platform_env
+
+    old = jax.config.jax_platforms
+    try:
+        monkeypatch.setenv("PK2_PLATFORM", "tpu")
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        apply_platform_env()
+        assert jax.config.jax_platforms == "axon"
+        # without the tunnel env, tpu stays tpu (real-TPU machines)
+        monkeypatch.setenv("JAX_PLATFORMS", "")
+        apply_platform_env()
+        assert jax.config.jax_platforms == "tpu"
+    finally:
+        jax.config.update("jax_platforms", old)
