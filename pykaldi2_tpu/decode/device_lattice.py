@@ -156,6 +156,82 @@ def _mask8() -> bool:
     return env == "1"
 
 
+_SEG = 128  # one TPU lane row per segment
+
+
+def _seg_topk_mode() -> str:
+    """PK2_DEV_TOPK=seg|sort|auto — frontier top-K formulation.
+
+    ``sort``: plain ``lax.top_k`` over [B, S] (lowers to multi-stage
+    bitonic sorts, ~linear in S — ~20 ms/frame at S=204k on v5e).
+    ``seg``: the segment-bound form below. ``auto`` (default): ``seg``
+    once S is large enough that the S-domain sort loses (eval-scale word
+    HCLGs); the small den graphs of the SE path keep the plain top_k.
+    """
+    import os
+
+    env = os.environ.get("PK2_DEV_TOPK", "auto")
+    if env not in ("seg", "sort", "auto"):
+        raise ValueError(f"PK2_DEV_TOPK={env!r}: expected seg|sort|auto")
+    return env
+
+
+def _frontier_top_k(new_alpha: jax.Array, k: int):
+    """EXACT top-K over [B, S] without an S-domain sort.
+
+    Segment-max bound: split the state axis into contiguous 128-lane
+    segments. Any global top-K item's segment is among the top-K segments
+    ranked by (segment max desc, segment idx asc) — if K segments beat it,
+    each contains an element that outranks the item (strictly larger, or
+    equal with a smaller global index, segments being contiguous index
+    ranges). So: one [B, S] max-reduce, a top_k over S/128 maxima, a
+    [B, K, 128] segment gather, then ONE S-independent two-key sort
+    (-value, global index) over the K*128 candidates — which reproduces
+    ``lax.top_k``'s output exactly, ties included (ties -> lowest state
+    index), so lattices are bit-identical either way.
+
+    Replaces the per-frame cost that dominates eval-scale decoding (the
+    dev_eval S-sweep, BASELINE.md r4: search ~linear in S up to 204k
+    states) with one streaming pass over [B, S] plus S-independent sorts.
+    """
+    b, s = new_alpha.shape
+    nseg = -(-s // _SEG)
+    pad = nseg * _SEG - s
+    imin = jnp.int32(-(1 << 31))
+    # monotone total-order int32 key: skey ascending == float total order
+    # ascending, INCLUDING -0.0 < +0.0 — lax.top_k uses the total order, so
+    # a plain float comparator would mis-rank ±0.0 ties (caught by
+    # test_frontier_top_k_matches_lax_top_k). Int keys also make every
+    # tie-break below bit-exact.
+    bits = jax.lax.bitcast_convert_type(new_alpha, jnp.int32)
+    skey = jnp.where(bits < 0, ~bits ^ imin, bits)
+    if pad:  # pad with skey(NEG_INF) so padded lanes decode to NEG_INF
+        neg_inf_key = int(~np.float32(NEG_INF).view(np.int32) ^ np.int32(
+            -(1 << 31)))
+        skey = jnp.pad(skey, [(0, 0), (0, pad)],
+                       constant_values=neg_inf_key)
+    seg = skey.reshape(b, nseg, _SEG)
+    seg_best = jnp.max(seg, axis=2)                               # [B, nseg]
+    kseg = min(k, nseg)
+    _, seg_idx = jax.lax.top_k(seg_best, kseg)                    # [B, kseg]
+    cand = jnp.take_along_axis(seg, seg_idx[:, :, None], axis=1)  # [B,kseg,128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, kseg, _SEG), 2)
+    gidx = seg_idx[:, :, None] * _SEG + lane                      # global idx
+    nkey, idx = jax.lax.sort(
+        (~cand.reshape(b, kseg * _SEG), gidx.reshape(b, kseg * _SEG)),
+        dimension=1, num_keys=2)                # ~skey asc == value desc
+    skey_top, idx = ~nkey[:, :k], idx[:, :k]
+    vals = jax.lax.bitcast_convert_type(
+        jnp.where(skey_top < 0, ~(skey_top ^ imin), skey_top), jnp.float32)
+    # padded lanes are NEG_INF-ranked and can only be selected when fewer
+    # than K finite states exist; keep their indices in-range for the
+    # downstream state_pdf/final gathers (lax.top_k would return a real
+    # index whose value is also dead — equivalent, both beam-masked; the
+    # slot scatters use .max so a dead index colliding with a live one
+    # cannot clobber its slot)
+    return vals, jnp.minimum(idx, s - 1)
+
+
 def _eps_dag_depth(S: int, esrc: np.ndarray, edst: np.ndarray):
     """Longest eps-chain length via Kahn topo order; None when cyclic."""
     order = np.argsort(esrc, kind="stable")
@@ -500,6 +576,12 @@ def device_lattice_generate(
     slot0 = jnp.broadcast_to(
         jnp.where(g.eps0_w > 0.5 * NEG_INF, 0, -1)[None], (b, S))
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, K), 1)
+    # frontier top-K formulation: the segment-bound form beats the S-domain
+    # lax.top_k sort once S dwarfs the K*128 candidate set (measured on
+    # chip, see BASELINE.md r4 dev_eval rows); identical output either way
+    topk_mode = _seg_topk_mode()
+    use_seg_topk = (topk_mode == "seg" or
+                    (topk_mode == "auto" and S >= 2 * K * _SEG))
     # the band sort carries (pdf << bits_k) | frontier_pos as one payload
     bits_k = max((K - 1).bit_length(), 1)
     n_pdf = g.num_pdfs
@@ -553,7 +635,10 @@ def device_lattice_generate(
         for _ in range(L):
             new_alpha = eps_round(new_alpha)
         best = jnp.max(new_alpha, axis=1)                         # [B]
-        vals, idx = jax.lax.top_k(new_alpha, K)                   # [B, K]
+        if use_seg_topk:
+            vals, idx = _frontier_top_k(new_alpha, K)             # [B, K]
+        else:
+            vals, idx = jax.lax.top_k(new_alpha, K)               # [B, K]
         # search frontier: top-K within the search beam shapes the alpha
         # recursion; lattice nodes are the subset within lattice_beam of
         # the frame best (host decoder: latdec_search's per-frame rule).
@@ -568,8 +653,12 @@ def device_lattice_generate(
                              jnp.where(keep_k[:, K - 1], vals[:, K - 1],
                                        best - beam))[:, None]
         alpha_next = jnp.where(new_alpha >= cutoff, new_alpha, NEG_INF)
+        # .max, not .set: under the segment top-K a dead (NEG_INF) entry's
+        # clamped index may collide with a live state's — a -1 write must
+        # never clobber a real slot (identical to .set when indices are
+        # distinct, which is always the case for the plain top_k)
         slot_cur = (jnp.full((b, S), -1, jnp.int32)
-                    .at[bi, idx].set(jnp.where(emit_k, slot_ids, -1)))
+                    .at[bi, idx].max(jnp.where(emit_k, slot_ids, -1)))
         # link candidates: a SECOND relaxation over the emitted-masked alpha
         # (another constant-index gather) makes links from unemitted
         # sources NEG_INF by construction; compaction into the [B, K, Dc]
@@ -694,7 +783,7 @@ def device_lattice_generate(
             # keep-based (search-beam) frontier slot map, LOCAL to the
             # frame: expansion routes through any surviving token
             slot_keep = (jnp.full((b, S), -1, jnp.int32)
-                         .at[bi, idx].set(jnp.where(keep_k, slot_ids, -1)))
+                         .at[bi, idx].max(jnp.where(keep_k, slot_ids, -1)))
             # age payload: entries spawned in round r expand ONLY in round
             # r+1 — re-expanding the whole band each round would duplicate
             # every earlier link once per remaining round (each duplicate

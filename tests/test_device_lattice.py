@@ -752,3 +752,69 @@ def test_banded_to_fsas_native_matches_numpy():
                 assert fg.olabel is None or fg.olabel.size == 0
             else:
                 np.testing.assert_array_equal(fr.olabel, fg.olabel)
+
+
+def test_frontier_top_k_matches_lax_top_k():
+    """The segment-bound top-K (decode/device_lattice._frontier_top_k) must
+    reproduce lax.top_k exactly — values AND indices, ties included — except
+    on NEG_INF entries (dead states: values agree, indices are free)."""
+    from pykaldi2_tpu.decode.device_lattice import NEG_INF, _frontier_top_k
+
+    rng = np.random.RandomState(3)
+    for b, s, k, tie_q in [(4, 1000, 8, None), (3, 4096, 64, 0.5),
+                           (2, 777, 16, 2.0), (5, 300, 32, 1.0),
+                           (2, 513, 200, 0.25)]:
+        a = rng.randn(b, s).astype(np.float32)
+        if tie_q is not None:  # quantize -> many exact ties
+            a = np.round(a / tie_q) * tie_q
+        a[rng.rand(b, s) < 0.6] = NEG_INF  # sparse live set, like a frontier
+        k = min(k, s)
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(a), k)
+        got_v, got_i = _frontier_top_k(jnp.asarray(a), k)
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+        live = np.asarray(ref_v) > 0.5 * NEG_INF
+        np.testing.assert_array_equal(np.asarray(ref_i)[live],
+                                      np.asarray(got_i)[live])
+        assert np.all(np.asarray(got_i) < s)
+
+
+def test_seg_topk_search_matches_sort(monkeypatch):
+    """PK2_DEV_TOPK=seg must produce bit-identical lattices to the plain
+    lax.top_k form, on an ARPA word-HCLG with olabels (multi-segment S,
+    K spanning several segments, dead-entry index clamping exercised)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_arpa import _obs_for_words, _sentences, _toy_system
+    from pykaldi2_tpu.graph.arpa import arpa_to_fst, train_arpa
+    from pykaldi2_tpu.graph.compile import make_word_decode_graph
+
+    rng = np.random.RandomState(11)
+    tm, vocab, word_ids, lexicon = _toy_system(rng, n_words=12)
+    model = train_arpa(_sentences(rng, vocab, n=50, lo=2, hi=5), order=2)
+    hclg = make_word_decode_graph(tm, lexicon, word_ids,
+                                  arpa_to_fst(model, word_ids)).to_fst()
+    utts = []
+    for _ in range(3):
+        words = [vocab[rng.randint(len(vocab))]
+                 for _ in range(rng.randint(1, 4))]
+        utts.append(_obs_for_words(tm, lexicon, words, rng))
+    t_max = max(o.shape[0] for o in utts)
+    obs = np.zeros((len(utts), t_max, tm.num_pdfs), np.float32)
+    lens = np.asarray([o.shape[0] for o in utts], np.int32)
+    for i, o in enumerate(utts):
+        obs[i, : o.shape[0]] = o
+    outs = {}
+    for eps_mode in ("fold", "inframe"):
+        g = pack_decode_graph(hclg, eps_mode=eps_mode)
+        for mode in ("sort", "seg"):
+            monkeypatch.setenv("PK2_DEV_TOPK", mode)
+            jax.clear_caches()
+            lat, sc, dropped, olab = device_lattice_generate(
+                jnp.asarray(obs), g, jnp.asarray(lens), max_active=64,
+                max_arcs=512, beam=14.0, lattice_beam=7.0,
+                return_olabels=True)
+            outs[mode] = tuple(
+                np.asarray(x) for x in (lat.src, lat.dst, lat.pdf, lat.weight,
+                                        lat.final, sc, dropped, olab))
+        for a, b in zip(outs["sort"], outs["seg"]):
+            np.testing.assert_array_equal(a, b)
