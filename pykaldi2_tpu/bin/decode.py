@@ -226,33 +226,17 @@ def main(argv=None):
                                                batch_sizes=8), shuffle=False,
                            extras_fn=(feat_fn.batch_extras
                                       if feat_fn.has_extras else None))
-    for batch in loader:
-        utt_ids = batch.pop("utt_ids")
-        nf = batch["num_frames"]
-        obs = np.asarray(forward(batch))
-        if dump is not None:
-            for i, uid in enumerate(utt_ids):
-                dump.write(uid, obs[i, : nf[i]])
-
-        if dense_packed is not None:
-            from pykaldi2_tpu.decode.on_device import viterbi_decode_words
-
-            words_b, _pdfs, _scores = viterbi_decode_words(
-                jnp.asarray(obs), dense_packed, jnp.asarray(np.asarray(nf)))
-            for uid, ws in zip(utt_ids, words_b):
-                hyps[uid] = [id2w.get(w, f"<{w}>") for w in ws]
-            continue
-
+    def host_side(utt_ids, obs, nf, dev_out):
+        """Per-batch host post-processing: banded→FSA conversion (device
+        mode) + lattice scoring/best-path. Device mode calls this one batch
+        LATE — the search dispatch is async, so the chip runs batch i+1's
+        search while the host converts and scores batch i (the first
+        np.asarray on the search outputs is the sync point)."""
         pre = None
-        if dev_graph is not None:
-            from pykaldi2_tpu.decode.device_lattice import (
-                banded_to_fsas, device_lattice_generate)
+        if dev_out is not None:
+            from pykaldi2_tpu.decode.device_lattice import banded_to_fsas
 
-            lat_b, _scores_b, dropped, olab = device_lattice_generate(
-                jnp.asarray(obs), dev_graph, jnp.asarray(np.asarray(nf)),
-                max_active=args.max_active, max_arcs=args.max_arcs,
-                beam=args.beam, lattice_beam=args.lattice_beam,
-                return_olabels=True)
+            lat_b, dropped, olab = dev_out
             n_drop = int(np.asarray(dropped).sum())
             if n_drop:
                 log.warning("device search dropped %d lattice links to the "
@@ -320,6 +304,41 @@ def main(argv=None):
                 for uid, words in shard:
                     if words is not None:
                         hyps[uid] = words
+
+    pending = None
+    for batch in loader:
+        utt_ids = batch.pop("utt_ids")
+        nf = batch["num_frames"]
+        obs = np.asarray(forward(batch))
+        if dump is not None:
+            for i, uid in enumerate(utt_ids):
+                dump.write(uid, obs[i, : nf[i]])
+
+        if dense_packed is not None:
+            from pykaldi2_tpu.decode.on_device import viterbi_decode_words
+
+            words_b, _pdfs, _scores = viterbi_decode_words(
+                jnp.asarray(obs), dense_packed, jnp.asarray(np.asarray(nf)))
+            for uid, ws in zip(utt_ids, words_b):
+                hyps[uid] = [id2w.get(w, f"<{w}>") for w in ws]
+            continue
+
+        if dev_graph is not None:
+            from pykaldi2_tpu.decode.device_lattice import (
+                device_lattice_generate)
+
+            lat_b, _scores_b, dropped, olab = device_lattice_generate(
+                jnp.asarray(obs), dev_graph, jnp.asarray(np.asarray(nf)),
+                max_active=args.max_active, max_arcs=args.max_arcs,
+                beam=args.beam, lattice_beam=args.lattice_beam,
+                return_olabels=True)
+            if pending is not None:  # chip searches this batch meanwhile
+                host_side(*pending)
+            pending = (utt_ids, obs, nf, (lat_b, dropped, olab))
+        else:
+            host_side(utt_ids, obs, nf, None)
+    if pending is not None:
+        host_side(*pending)
     if dump is not None:
         dump.close()
     if args.ctm_out:
