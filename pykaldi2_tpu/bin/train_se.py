@@ -82,6 +82,12 @@ def build_argparser():
                    help="-decoder device: lattice-link band width per frame "
                         "(default 4*max_active); overflows are counted and "
                         "logged, widen if nonzero")
+    p.add_argument("-max_active", type=int, default=None,
+                   help="decoder frontier cap (overrides trainer.max_active; "
+                        "the config default of 7000 suits the host decoder — "
+                        "the DEVICE search sizes its per-frame band sort by "
+                        "max_active*max_in_degree, so keep it a few hundred "
+                        "there)")
     p.add_argument("-beam", type=float, default=None)
     p.add_argument("-lattice_beam", type=float, default=None)
     p.add_argument("-num_threads", type=int, default=4,
@@ -403,6 +409,8 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
             f.set_final(junction[p], float(lm["log_final"][p]))
         den_fst = expand_to_pdf_fst(f, tm)
     beam = args.beam if args.beam is not None else cfg.trainer.beam
+    max_active = (args.max_active if args.max_active is not None
+                  else cfg.trainer.max_active)
     lat_beam = args.lattice_beam if args.lattice_beam is not None else cfg.trainer.lattice_beam
     n_threads = max(int(getattr(args, "num_threads", 4) or 4), 1)
     use_device_dec = getattr(args, "decoder", "host") == "device"
@@ -414,16 +422,16 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         # no D2H copy in this mode — keep the search obs full precision
         args.obs_transfer = "float32"
         dev_graph = pack_decode_graph(den_fst)
-        max_arcs = int(args.max_arcs or 4 * cfg.trainer.max_active)
+        max_arcs = int(args.max_arcs or 4 * max_active)
         log.info("on-the-fly den decoding ON DEVICE: graph %d states, "
                  "in-degree buckets %dx%d + %dx%d (eps folded), beam %.1f "
                  "lat_beam %.1f max_active %d max_arcs %d, same-step params",
                  dev_graph.num_states, dev_graph.s_lo, dev_graph.d_lo,
                  dev_graph.num_states - dev_graph.s_lo, dev_graph.d_hi, beam,
-                 lat_beam, cfg.trainer.max_active, max_arcs)
+                 lat_beam, max_active, max_arcs)
     else:
         decoders = [LatticeDecoder(den_fst, beam=beam,
-                                   max_active=cfg.trainer.max_active,
+                                   max_active=max_active,
                                    lattice_beam=lat_beam)
                     for _ in range(n_threads)]
         log.info("on-the-fly den decoding: graph %d states %d arcs, beam %.1f "
@@ -546,7 +554,7 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                 obs = forward_fn(params, batch)
                 den_b, _scores, dropped = device_lattice_generate(
                     obs, dev_graph, batch["num_frames"],
-                    max_active=cfg.trainer.max_active, max_arcs=max_arcs,
+                    max_active=max_active, max_arcs=max_arcs,
                     beam=beam, lattice_beam=lat_beam)
                 dropped_acc = dropped_acc + dropped.sum()  # lazy device scalar
             key, sk = jax.random.split(key)

@@ -258,6 +258,7 @@ def test_train_se_cli_device_decoder(tmp_path, criterion):
     exp = tmp_path / "exp"
     rc = se_main(["-config", str(cfg_path), "-exp_dir", str(exp),
                   "-single_device", "-on_the_fly", "-decoder", "device",
+                  "-max_active", "16",   # CLI override of trainer.max_active
                   "-criterion", criterion])
     assert rc == 0
     meta = json.load(open(os.path.join(exp, "model.1.npz.json")))

@@ -79,7 +79,8 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
                  model_type="blstm", ce_epochs=4, se_epochs=1,
                  ce_batch=32, se_batch=16, decode_batch=8, seed=0,
                  beam=14.0, lattice_beam=8.0, max_active=7000,
-                 dev_max_active=256, dev_max_arcs=1024, skip_se=False):
+                 dev_max_active=256, dev_max_arcs=1024,
+                 se_max_active=512, se_max_arcs=2048, skip_se=False):
     """Full recipe through the production CLIs; returns a metrics dict."""
     from pykaldi2_tpu.bin.build_graph import main as bg_main
     from pykaldi2_tpu.bin.decode import main as dec_main
@@ -148,6 +149,11 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
                         "-seed_model", ce_ckpt, "-lr", "1e-4",
                         "-batch_size", str(se_batch),
                         "-num_epochs", str(se_epochs),
+                        # device-search frontier knobs: the trainer-config
+                        # default (7000, host-decoder-sized) would make the
+                        # device band sort K*Dc-wide per frame
+                        "-max_active", str(se_max_active),
+                        "-max_arcs", str(se_max_arcs),
                         "-single_device"]) == 0
         model_ckpt = os.path.join(se_dir, f"model.{se_epochs - 1}.npz")
         metrics["se_s"] = round(time.time() - t0, 1)
@@ -212,7 +218,8 @@ def test_midscale_e2e_small(tmp_path):
         str(tmp_path), n_phones=14, n_words=60, n_train=100, n_test=8,
         sent_len=(2, 5), order=3, hidden=48, layers=1, ce_epochs=10,
         se_epochs=1, ce_batch=8, se_batch=4, decode_batch=4,
-        dev_max_active=128, dev_max_arcs=512)
+        dev_max_active=128, dev_max_arcs=512,
+        se_max_active=128, se_max_arcs=512)
     print(m)
     assert m["ce_frame_acc"] is None or m["ce_frame_acc"] > 0.6
     assert m["wer_host"] <= 15.0, m
