@@ -271,6 +271,73 @@ def _band_lin_ts(obs_arc, lat: TimeSyncLattice):
     return lin, mx, idx
 
 
+def _trans_build_mode() -> str:
+    """PK2_LATFB_BUILD=scatter|einsum|auto — transition-matrix builder.
+
+    ``scatter``: one segment-sum over [T*B*A] flat (frame, batch, src, dst)
+    cells — scatter-RATE-bound (~27M elem/s on v5e: 423 ms of the 856 ms
+    on-the-fly train step at B=32/T=448/A=800, xprof r4). ``einsum``: chunked
+    one-hot matmuls on the MXU — M[t,b] = U^T V with U[a,i] = lin_a·δ(src_a=i),
+    V[a,j] = δ(dst_a=j); every product is lin·{0,1} so each partial is exact
+    in any GEMM decomposition and only the f32 accumulation order differs
+    from the scatter (~1 ulp). ``auto`` (default): scatter, pending the
+    on-chip timing (repo rule: no perf-path default change without an
+    on-TPU measurement — flip auto once BASELINE.md carries the number).
+    """
+    env = os.environ.get("PK2_LATFB_BUILD", "auto")
+    if env not in ("scatter", "einsum", "auto"):
+        raise ValueError(f"PK2_LATFB_BUILD={env!r}: expected "
+                         "scatter|einsum|auto")
+    if env == "auto":
+        return "scatter"
+    return env
+
+
+def _trans_mats_einsum(lin, lat: TimeSyncLattice, arc_acc, t_len, b, k):
+    """One-hot-einsum transition-matrix build (see _trans_build_mode).
+
+    Chunked over frames so the [C, B, A, K] one-hot operands stay a few
+    hundred MB regardless of T."""
+    a = lin.shape[2]
+    per_frame = b * a * k * 4
+    chunk = max(1, min(t_len, (256 << 20) // per_frame))
+    n_chunk = -(-t_len // chunk)
+    pad_t = n_chunk * chunk - t_len
+
+    def pad(x):
+        return jnp.pad(x, [(0, pad_t)] + [(0, 0)] * (x.ndim - 1)) \
+            if pad_t else x
+
+    src = pad(jnp.swapaxes(lat.src, 0, 1)).reshape(n_chunk, chunk, b, a)
+    dst = pad(jnp.swapaxes(lat.dst, 0, 1)).reshape(n_chunk, chunk, b, a)
+    lin_r = pad(lin).reshape(n_chunk, chunk, b, a)
+    acc_r = (pad(lin * arc_acc).reshape(n_chunk, chunk, b, a)
+             if arc_acc is not None else None)
+    slots = jnp.arange(k, dtype=jnp.int32)
+
+    def one(args):
+        lin_c, src_c, dst_c, acc_c = args
+        v = (dst_c[..., None] == slots).astype(jnp.float32)   # [C,B,A,K]
+        u = jnp.where(src_c[..., None] == slots,
+                      lin_c[..., None], 0.0)                  # [C,B,A,K]
+        m = jnp.einsum("cbai,cbaj->cbij", u, v,
+                       precision=jax.lax.Precision.HIGH)
+        if acc_c is None:
+            return m, jnp.zeros((0,), jnp.float32)
+        u2 = jnp.where(src_c[..., None] == slots, acc_c[..., None], 0.0)
+        m2 = jnp.einsum("cbai,cbaj->cbij", u2, v,
+                        precision=jax.lax.Precision.HIGH)
+        return m, m2
+
+    if acc_r is not None:
+        m, m2 = jax.lax.map(one, (lin_r, src, dst, acc_r))
+        m = m.reshape(n_chunk * chunk, b, k, k)[:t_len]
+        return m, m2.reshape(n_chunk * chunk, b, k, k)[:t_len]
+    m, _ = jax.lax.map(lambda xs: one((xs[0], xs[1], xs[2], None)),
+                       (lin_r, src, dst))
+    return m.reshape(n_chunk * chunk, b, k, k)[:t_len], None
+
+
 def _trans_mats_ts(obs_arc, lat: TimeSyncLattice, arc_acc=None):
     """Per-frame exp-space transition matrices: ([T, B, K, K], mx [T, B]).
 
@@ -280,6 +347,11 @@ def _trans_mats_ts(obs_arc, lat: TimeSyncLattice, arc_acc=None):
     t_len, b, _a = obs_arc.shape
     k = lat.num_slots
     lin, mx, idx = _band_lin_ts(obs_arc, lat)
+    if _trans_build_mode() == "einsum":
+        m, m2 = _trans_mats_einsum(lin, lat, arc_acc, t_len, b, k)
+        if arc_acc is None:
+            return m, mx
+        return m, m2, mx
     m = jax.ops.segment_sum(lin.reshape(-1), idx.reshape(-1),
                             num_segments=t_len * b * k * k)
     m = m.reshape(t_len, b, k, k)

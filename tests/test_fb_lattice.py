@@ -281,3 +281,38 @@ def test_matvec_form_under_shard_map(decoded, monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_einsum_trans_build_matches_scatter(decoded, monkeypatch):
+    """PK2_LATFB_BUILD=einsum (one-hot MXU matmuls) must reproduce the
+    scatter-built transition matrices' logZ/occupancies/MMI grad and the
+    sMBR objective/grad — products are lin*{0,1} so only the f32
+    accumulation order differs from the segment-sum."""
+    obs, lens, _fsas, framed, p = decoded
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    o, lens_j = jnp.asarray(obs), jnp.asarray(lens)
+    rng = np.random.RandomState(5)
+    ali = jnp.asarray(rng.randint(0, p, obs.shape[:2]).astype(np.int32))
+    mask = (jnp.arange(obs.shape[1])[None] < lens_j[:, None]).astype(
+        jnp.float32)
+    ref = jnp.asarray(rng.randint(0, p, obs.shape[:2]).astype(np.int32))
+
+    def mmi(o_):
+        return jnp.sum(mmi_objective_lattice_ts(o_, ali, lat, lens_j, mask,
+                                                True, 1.0))
+
+    def smbr(o_):
+        return jnp.sum(lattice_expected_accuracy_ts(o_, lat, ref, lens_j,
+                                                    "pdf", None))
+
+    monkeypatch.setenv("PK2_LATFB_MATVEC", "1")  # builds only exist here
+    outs = {}
+    for mode in ("scatter", "einsum"):
+        monkeypatch.setenv("PK2_LATFB_BUILD", mode)
+        jax.clear_caches()
+        z, g = lattice_occupancies_ts(o, lat, lens_j)
+        outs[mode] = (np.asarray(z), np.asarray(g),
+                      float(mmi(o)), np.asarray(jax.grad(mmi)(o)),
+                      float(smbr(o)), np.asarray(jax.grad(smbr)(o)))
+    for a, b in zip(outs["scatter"], outs["einsum"]):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
