@@ -79,7 +79,7 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
                  model_type="blstm", ce_epochs=4, se_epochs=1,
                  ce_batch=32, se_batch=16, decode_batch=8, seed=0,
                  beam=14.0, lattice_beam=8.0, max_active=7000,
-                 dev_max_active=256, dev_max_arcs=1024,
+                 dev_max_active=512, dev_max_arcs=4096,
                  se_max_active=512, se_max_arcs=2048, skip_se=False):
     """Full recipe through the production CLIs; returns a metrics dict."""
     from pykaldi2_tpu.bin.build_graph import main as bg_main
@@ -98,7 +98,14 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
     t0 = time.time()
     tm, vocab, word_ids, lexicon = _make_system(rng, n_phones, n_words)
     train_sents = _sentences(rng, vocab, n_train, *sent_len)
-    test_sents = _sentences(rng, vocab, n_test, *sent_len)
+    # closed-vocab eval: the LM (trained on train_sents) cannot emit words
+    # it never saw, so drawing test words from the full Zipf tail measures
+    # OOV rate, not decoder quality (measured: 11.7% unseen tokens -> 32%
+    # "WER" at n_words=5000 with every error an unseen word's phones
+    # re-tiled from seen prons). Keep Zipf rank order among SEEN words.
+    seen = {w for s in train_sents for w in s if w != SIL_WORD}
+    seen_vocab = [w for w in vocab if w in seen]
+    test_sents = _sentences(rng, seen_vocab, n_test, *sent_len)
     tr = make_word_corpus(os.path.join(root, "train"), tm, lexicon,
                           train_sents, seed=seed + 1, prefix="tr")
     te = make_word_corpus(os.path.join(root, "test"), tm, lexicon,
