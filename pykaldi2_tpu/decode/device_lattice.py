@@ -115,12 +115,15 @@ class DeviceDecodeGraph(NamedTuple):
     # eps in-arcs (two degree buckets), applied as constant-index
     # scatter-max rounds. Band side: src-CSR out-arc tables over ALL
     # states (eps out-degree is tiny — one backoff arc per LM state). ----
-    eps_z1: jax.Array      # [Z1] int32 states with small eps in-degree
+    eps_z1: jax.Array      # [Z1] int32 states, smallest eps in-degree bucket
     eps_src_z1: jax.Array  # [Z1, e1] int32 eps in-arc sources (pad 0)
     eps_w_z1: jax.Array    # [Z1, e1] f32 (pad NEG_INF)
-    eps_z2: jax.Array      # [Z2] big-degree states (backoff hubs)
+    eps_z2: jax.Array      # [Z2] mid-degree bucket
     eps_src_z2: jax.Array  # [Z2, e2]
     eps_w_z2: jax.Array    # [Z2, e2]
+    eps_z3: jax.Array      # [Z3] largest-degree bucket (backoff hubs)
+    eps_src_z3: jax.Array  # [Z3, e3]
+    eps_w_z3: jax.Array    # [Z3, e3]
     eps_out_dst: jax.Array  # [S, D_out] int32 eps out-arc dests (pad 0)
     eps_out_w: jax.Array    # [S, D_out] f32 (pad NEG_INF)
     eps0_w: jax.Array       # [S] f32 best eps-chain weight start→s
@@ -137,6 +140,7 @@ class DeviceDecodeGraph(NamedTuple):
     # each eps dst once, in topo order (len = eps_depth + 1; () when 0)
     eps_layers_z1: tuple = ()
     eps_layers_z2: tuple = ()
+    eps_layers_z3: tuple = ()
 
 
 jax.tree_util.register_pytree_node(
@@ -145,10 +149,11 @@ jax.tree_util.register_pytree_node(
                 g.in_ol_lo, g.in_ol_hi, g.state_pdf, g.final,
                 g.eps_z1, g.eps_src_z1, g.eps_w_z1,
                 g.eps_z2, g.eps_src_z2, g.eps_w_z2,
+                g.eps_z3, g.eps_src_z3, g.eps_w_z3,
                 g.eps_out_dst, g.eps_out_w, g.eps0_w),
                (g.start, g.num_states, g.s_lo, g.d_lo, g.d_hi, g.num_pdfs,
                 g.has_olabels, g.eps_depth, g.eps_layers_z1,
-                g.eps_layers_z2)),
+                g.eps_layers_z2, g.eps_layers_z3)),
     lambda aux, leaves: DeviceDecodeGraph(*leaves, *aux))
 
 
@@ -264,26 +269,44 @@ def _eps_dag_depth(S: int, esrc: np.ndarray, edst: np.ndarray):
     return (int(depth.max()) if len(depth) else 0), depth
 
 
-def _degree_split_tables(items_dst, items_cols, S, fill_vals):
-    """Compact dst-CSR split into two degree buckets.
+def _degree_split_tables(items_dst, items_cols, S, fill_vals,
+                         n_buckets: int = 2):
+    """Compact dst-CSR split into degree buckets.
 
     ``items_dst`` [E]: destination of each item; ``items_cols``: list of
-    per-item column arrays to scatter. Returns (z1, tabs1, z2, tabs2) where
-    z1/z2 are the distinct destinations (small/large degree) and tabs are
-    [len(z), width] tables in items order per destination."""
+    per-item column arrays to scatter. Returns a list of ``n_buckets``
+    (z, tabs) pairs where z holds the distinct destinations of that degree
+    bucket (ascending degree thresholds, possibly empty) and tabs are
+    [len(z), width] tables in items order per destination. Bucket
+    boundaries minimize total padded slots by brute force over the unique
+    degrees (the eps z-tables of a 4-gram HCLG: 2 buckets pad 3.76M slots
+    for 230k arcs, 3 buckets 0.94M)."""
     z, counts = np.unique(items_dst, return_counts=True)
     if not len(z):
         e = [np.zeros((0, 1), c.dtype if hasattr(c, "dtype") else np.int32)
              for c in items_cols]
-        return (np.zeros(0, np.int32), e,
-                np.zeros(0, np.int32), [x.copy() for x in e])
+        return [(np.zeros(0, np.int32), [x.copy() for x in e])
+                for _ in range(n_buckets)]
     uniq_deg = np.unique(counts)
-    slots = [(int((counts <= t).sum()) * int(t)
-              + int((counts > t).sum()) * int(counts.max()), int(t))
-             for t in uniq_deg]
-    _, e1 = min(slots)
-    small = counts <= e1
-    e2 = int(counts.max()) if (~small).any() else 0
+
+    def slots_for(bounds):
+        total, prev = 0, 0
+        for t in bounds:
+            total += int(((counts > prev) & (counts <= t)).sum()) * int(t)
+            prev = t
+        return total
+
+    best, best_bounds = None, None
+    import itertools
+    top = int(counts.max())
+    inner = [int(t) for t in uniq_deg if t < top]
+    for r in range(min(n_buckets - 1, len(inner)) + 1):
+        for combo in itertools.combinations(inner, r):
+            s = slots_for(list(combo) + [top])
+            if best is None or s < best:
+                best, best_bounds = s, list(combo) + [top]
+    bounds = best_bounds + [top] * (n_buckets - len(best_bounds))
+
     order = np.argsort(items_dst, kind="stable")
     pos_of = {int(s): i for i, s in enumerate(z)}
     didx = np.asarray([pos_of[int(d)] for d in items_dst[order]])
@@ -303,9 +326,12 @@ def _degree_split_tables(items_dst, items_cols, S, fill_vals):
             tabs.append(tab)
         return zs, tabs
 
-    z1, tabs1 = build(small, e1)
-    z2, tabs2 = build(~small, e2)
-    return z1, tabs1, z2, tabs2
+    out, prev = [], 0
+    for i, t in enumerate(bounds):
+        sel = (counts > prev) & (counts <= t)
+        out.append(build(sel, int(t) if sel.any() else 0))
+        prev = t
+    return out
 
 
 def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
@@ -471,17 +497,18 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
     esrc, edst, ew = eps_arcs
     esrc = inv[esrc] if len(esrc) else esrc.astype(np.int64)
     edst = inv[edst] if len(edst) else edst.astype(np.int64)
-    z1, (ez_src1, ez_w1), z2, (ez_src2, ez_w2) = _degree_split_tables(
+    zbuckets = _degree_split_tables(
         edst, [esrc.astype(np.int32), ew.astype(np.float32)], S,
-        [0, NEG_INF])
+        [0, NEG_INF], n_buckets=3)
     # topo-LAYER the z-lists (host latdec.cc's topo-order closure, banded):
     # a state of eps-depth r is final after one update whose sources
     # (depth < r) are already closed, so the per-frame closure touches each
     # eps dst ONCE instead of L times — at 4-gram HCLG scale (eps_depth 4,
     # z-tables [114k, 20] + [292, 5020]) that is 4x fewer gather lanes per
     # frame. Rows are sorted by (depth, state id); the static row offsets
-    # per layer ride the pytree aux.
-    lay_z1, lay_z2 = (), ()
+    # per layer ride the pytree aux. Three degree buckets: the same graph's
+    # 2-bucket split pads 3.76M slots, the 3-bucket one 0.94M.
+    zlay = [(), (), ()]
     if eps_depth:
         sd = state_depth[perm]                       # depth in NEW state ids
 
@@ -493,8 +520,11 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
                 for r in range(1, eps_depth + 1)) + (len(z),)
             return z[o], [t[o] for t in tabs], offs
 
-        z1, (ez_src1, ez_w1), lay_z1 = layer_sort(z1, [ez_src1, ez_w1])
-        z2, (ez_src2, ez_w2), lay_z2 = layer_sort(z2, [ez_src2, ez_w2])
+        for i, (z, tabs) in enumerate(zbuckets):
+            zb, tabs, zlay[i] = layer_sort(z, tabs)
+            zbuckets[i] = (zb, tabs)
+    (z1, (ez_src1, ez_w1)), (z2, (ez_src2, ez_w2)), \
+        (z3, (ez_src3, ez_w3)) = zbuckets
     d_out = int(np.bincount(esrc, minlength=S).max()) if len(esrc) else 0
     eps_out_dst = np.zeros((S, max(d_out, 1) if d_out else 0), np.int32)
     eps_out_w = np.full((S, max(d_out, 1) if d_out else 0), NEG_INF,
@@ -526,6 +556,8 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
         eps_w_z1=jnp.asarray(ez_w1),
         eps_z2=jnp.asarray(z2), eps_src_z2=jnp.asarray(ez_src2),
         eps_w_z2=jnp.asarray(ez_w2),
+        eps_z3=jnp.asarray(z3), eps_src_z3=jnp.asarray(ez_src3),
+        eps_w_z3=jnp.asarray(ez_w3),
         eps_out_dst=jnp.asarray(eps_out_dst),
         eps_out_w=jnp.asarray(eps_out_w),
         eps0_w=jnp.asarray(eps0_w),
@@ -533,7 +565,7 @@ def pack_decode_graph(fst: Fst, word_penalty: float = 0.0,
         d_lo=int(d_lo), d_hi=int(d_hi),
         num_pdfs=int(np.asarray(state_pdf).max()) + 1 if S else 1,
         has_olabels=bool(np.any(ol)), eps_depth=eps_depth,
-        eps_layers_z1=lay_z1, eps_layers_z2=lay_z2)
+        eps_layers_z1=zlay[0], eps_layers_z2=zlay[1], eps_layers_z3=zlay[2])
 
 
 @functools.partial(jax.jit, static_argnames=("max_active", "max_arcs",
@@ -634,32 +666,28 @@ def device_lattice_generate(
         return r_lo, r_hi
 
     L = g.eps_depth
-    Z1, Z2 = g.eps_z1.shape[0], g.eps_z2.shape[0]
+    _zbuckets = [(g.eps_z1, g.eps_src_z1, g.eps_w_z1, g.eps_layers_z1),
+                 (g.eps_z2, g.eps_src_z2, g.eps_w_z2, g.eps_layers_z2),
+                 (g.eps_z3, g.eps_src_z3, g.eps_w_z3, g.eps_layers_z3)]
 
     def eps_layer(al, r):
         """Topo-layer r of the in-frame eps closure (host latdec.cc's
         topo-order ProcessNonemitting): the z tables are (depth, id)-sorted
         with static per-layer row offsets, so each eps dst is updated ONCE
         per frame from already-closed sources — L× fewer gather lanes than
-        re-relaxing every z row each round."""
-        if Z1:
-            lo, hi = g.eps_layers_z1[r], g.eps_layers_z1[r + 1]
+        re-relaxing every z row each round. Three degree buckets keep the
+        padded width near the true arc count."""
+        for z, zsrc, zw, layers in _zbuckets:
+            if not z.shape[0]:
+                continue
+            lo, hi = layers[r], layers[r + 1]
             if hi > lo:
-                e1 = g.eps_src_z1.shape[1]
+                e = zsrc.shape[1]
                 rz = jnp.max(
-                    al[:, g.eps_src_z1[lo:hi].reshape(-1)]
-                    .reshape(b, hi - lo, e1) + g.eps_w_z1[None, lo:hi],
+                    al[:, zsrc[lo:hi].reshape(-1)]
+                    .reshape(b, hi - lo, e) + zw[None, lo:hi],
                     axis=2)
-                al = al.at[:, g.eps_z1[lo:hi]].max(rz)
-        if Z2:
-            lo, hi = g.eps_layers_z2[r], g.eps_layers_z2[r + 1]
-            if hi > lo:
-                e2 = g.eps_src_z2.shape[1]
-                rz = jnp.max(
-                    al[:, g.eps_src_z2[lo:hi].reshape(-1)]
-                    .reshape(b, hi - lo, e2) + g.eps_w_z2[None, lo:hi],
-                    axis=2)
-                al = al.at[:, g.eps_z2[lo:hi]].max(rz)
+                al = al.at[:, z[lo:hi]].max(rz)
         return al
 
     def step(carry, inp):
