@@ -75,6 +75,7 @@ from __future__ import annotations
 
 import functools
 import os
+import subprocess
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -288,11 +289,18 @@ def _degree_split_tables(items_dst, items_cols, S, fill_vals,
         return [(np.zeros(0, np.int32), [x.copy() for x in e])
                 for _ in range(n_buckets)]
     uniq_deg = np.unique(counts)
+    counts_sorted = np.sort(counts)
 
     def slots_for(bounds):
+        # #destinations with degree in (prev, t] times the bucket width t,
+        # via searchsorted on the pre-sorted degree array: O(log N) per
+        # bound instead of an O(N) mask pass (ADVICE r4: the mask form made
+        # the brute force O(U^2 * N) — hours at U~2000 distinct degrees).
         total, prev = 0, 0
         for t in bounds:
-            total += int(((counts > prev) & (counts <= t)).sum()) * int(t)
+            n = int(np.searchsorted(counts_sorted, t, side="right")
+                    - np.searchsorted(counts_sorted, prev, side="right"))
+            total += n * int(t)
             prev = t
         return total
 
@@ -300,6 +308,13 @@ def _degree_split_tables(items_dst, items_cols, S, fill_vals,
     import itertools
     top = int(counts.max())
     inner = [int(t) for t in uniq_deg if t < top]
+    # Bound the O(U^{n_buckets-1}) combination sweep: past ~256 distinct
+    # degrees, quantile-subsample the candidate boundary set. Boundaries
+    # remain exact degrees (so every bucket is tight for its largest
+    # member); only the search grid coarsens.
+    if len(inner) > 256:
+        idx = np.unique(np.linspace(0, len(inner) - 1, 256).astype(int))
+        inner = [inner[i] for i in idx]
     for r in range(min(n_buckets - 1, len(inner)) + 1):
         for combo in itertools.combinations(inner, r):
             s = slots_for(list(combo) + [top])
@@ -995,6 +1010,10 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
             return _banded_to_fsas_native(lat, num_frames, olabels)
         except OSError:                     # toolchain missing: numpy path
             pass
+        except subprocess.CalledProcessError:   # make present, compile fails
+            pass
+        except AttributeError:              # stale .so w/o banded_trim_extract
+            pass
     return _banded_to_fsas_np(lat, num_frames, olabels)
 
 
@@ -1074,9 +1093,12 @@ def _banded_to_fsas_np(lat: TimeSyncLattice, num_frames, olabels=None):
     w_all = np.asarray(lat.weight)
     fin_all = np.asarray(lat.final)
     ol_all = None if olabels is None else np.asarray(olabels)
-    nf_all = np.asarray(num_frames, np.int64)
     b, t_dim, a_dim = src_all.shape
     k = lat.num_slots
+    # clip nf to [0, t_dim], matching the native wrapper (which clips to
+    # >=0 host-side and clamps T<=t_dim in C) — unclipped nf>t_dim raised
+    # IndexError and nf<0 silently wrapped here (ADVICE r4)
+    nf_all = np.clip(np.asarray(num_frames, np.int64), 0, t_dim)
     t_act = np.arange(t_dim)[None, :, None] < nf_all[:, None, None]
     valid = (w_all > 0.5 * NEG_INF) & t_act                   # [B, T, A]
 

@@ -735,7 +735,10 @@ def test_banded_to_fsas_native_matches_numpy():
                    rng.randn(B, K).astype(np.float32) * 0.2,
                    np.float32(NEG_INF)).astype(np.float32)
     fin[2] = NEG_INF          # degenerate row: no finals at all
-    nf = np.asarray([12, 7, 12, 0, 3], np.int32)
+    # out-of-range nf must behave as if clipped to [0, T] in BOTH
+    # implementations (ADVICE r4: the numpy form raised on nf>T and wrapped
+    # on nf<0 while the native wrapper clipped)
+    nf = np.asarray([15, 7, 12, -2, 3], np.int32)
     lat = TimeSyncLattice(src=src, dst=dst, pdf=pdf, weight=w, final=fin)
     for olab in (None, ol):
         ref = _banded_to_fsas_np(lat, nf, olabels=olab)

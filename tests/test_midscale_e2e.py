@@ -80,8 +80,17 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
                  ce_batch=32, se_batch=16, decode_batch=8, seed=0,
                  beam=14.0, lattice_beam=8.0, max_active=7000,
                  dev_max_active=512, dev_max_arcs=4096,
-                 se_max_active=512, se_max_arcs=2048, skip_se=False):
-    """Full recipe through the production CLIs; returns a metrics dict."""
+                 se_max_active=512, se_max_arcs=2048, skip_se=False,
+                 resume=True):
+    """Full recipe through the production CLIs; returns a metrics dict.
+
+    With ``resume=True`` (default), completed stages recorded in
+    ``root/stage_state.json`` are skipped on re-invocation, so a crash
+    mid-recipe (e.g. a transient TPU worker fault — the round-4 failure
+    mode) resumes at the failed stage instead of restarting.  The CE/SE
+    trainers additionally auto-resume intra-stage from their own per-epoch
+    checkpoints (``latest_checkpoint(exp_dir)``).
+    """
     from pykaldi2_tpu.bin.build_graph import main as bg_main
     from pykaldi2_tpu.bin.decode import main as dec_main
     from pykaldi2_tpu.bin.train_ce import main as ce_main
@@ -93,9 +102,23 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
 
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
+    state_path = os.path.join(root, "stage_state.json")
     metrics = {"n_words": n_words, "n_train": n_train, "n_test": n_test}
+    if resume and os.path.exists(state_path):
+        metrics.update(json.load(open(state_path)))
+
+    def stage_done(name):
+        return bool(metrics.get("_done_" + name))
+
+    def mark_done(name):
+        metrics["_done_" + name] = True
+        tmp = state_path + ".tmp"
+        json.dump(metrics, open(tmp, "w"))
+        os.replace(tmp, state_path)
 
     t0 = time.time()
+    # System + sentences are deterministic from `seed` and cheap — always
+    # recomputed; only the corpus *files* (wav/ark writes) are stage-gated.
     tm, vocab, word_ids, lexicon = _make_system(rng, n_phones, n_words)
     train_sents = _sentences(rng, vocab, n_train, *sent_len)
     # closed-vocab eval: the LM (trained on train_sents) cannot emit words
@@ -106,13 +129,22 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
     seen = {w for s in train_sents for w in s if w != SIL_WORD}
     seen_vocab = [w for w in vocab if w in seen]
     test_sents = _sentences(rng, seen_vocab, n_test, *sent_len)
-    tr = make_word_corpus(os.path.join(root, "train"), tm, lexicon,
-                          train_sents, seed=seed + 1, prefix="tr")
-    te = make_word_corpus(os.path.join(root, "test"), tm, lexicon,
-                          test_sents, seed=seed + 2, prefix="te")
     mdl = os.path.join(root, "final.mdl")
-    tm.write_kaldi(mdl)
-    metrics["corpus_s"] = round(time.time() - t0, 1)
+    if stage_done("corpus"):
+        tr = {"wav_scp": os.path.join(root, "train", "wav.scp"),
+              "ali": os.path.join(root, "train", "ali.ark"),
+              "text": os.path.join(root, "train", "text")}
+        te = {"wav_scp": os.path.join(root, "test", "wav.scp"),
+              "ali": os.path.join(root, "test", "ali.ark"),
+              "text": os.path.join(root, "test", "text")}
+    else:
+        tr = make_word_corpus(os.path.join(root, "train"), tm, lexicon,
+                              train_sents, seed=seed + 1, prefix="tr")
+        te = make_word_corpus(os.path.join(root, "test"), tm, lexicon,
+                              test_sents, seed=seed + 2, prefix="te")
+        tm.write_kaldi(mdl)
+        metrics["corpus_s"] = round(time.time() - t0, 1)
+        mark_done("corpus")
 
     # ---- configs ----
     def data_yaml(paths, name):
@@ -134,57 +166,65 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
               open(cp, "w"))
 
     # ---- CE ----
-    t0 = time.time()
     ce_dir = os.path.join(root, "exp_ce")
-    assert ce_main(["-config", cp, "-data", dp_tr, "-exp_dir", ce_dir,
-                    "-single_device"]) == 0
     ce_ckpt = os.path.join(ce_dir, f"model.{ce_epochs - 1}.npz")
-    metrics["ce_s"] = round(time.time() - t0, 1)
-    hist = [json.loads(l) for l in open(os.path.join(ce_dir, "metrics.jsonl"))]
-    accs = [h["frame_acc"] for h in hist if "frame_acc" in h]
-    metrics["ce_frame_acc"] = round(float(accs[-1]), 4) if accs else None
+    if not stage_done("ce"):
+        t0 = time.time()
+        assert ce_main(["-config", cp, "-data", dp_tr, "-exp_dir", ce_dir,
+                        "-single_device"]) == 0
+        metrics["ce_s"] = round(time.time() - t0, 1)
+        hist = [json.loads(l)
+                for l in open(os.path.join(ce_dir, "metrics.jsonl"))]
+        accs = [h["frame_acc"] for h in hist if "frame_acc" in h]
+        metrics["ce_frame_acc"] = round(float(accs[-1]), 4) if accs else None
+        mark_done("ce")
 
     # ---- sMBR with the device decoder + silence phones ----
     model_ckpt = ce_ckpt
     if not skip_se:
-        t0 = time.time()
         se_dir = os.path.join(root, "exp_se")
-        assert se_main(["-config", cp, "-data", dp_tr, "-exp_dir", se_dir,
-                        "-criterion", "smbr", "-on_the_fly",
-                        "-decoder", "device", "-trans_model", mdl,
-                        "-silence_phones", str(SIL_PHONE),
-                        "-seed_model", ce_ckpt, "-lr", "1e-4",
-                        "-batch_size", str(se_batch),
-                        "-num_epochs", str(se_epochs),
-                        # device-search frontier knobs: the trainer-config
-                        # default (7000, host-decoder-sized) would make the
-                        # device band sort K*Dc-wide per frame
-                        "-max_active", str(se_max_active),
-                        "-max_arcs", str(se_max_arcs),
-                        "-single_device"]) == 0
         model_ckpt = os.path.join(se_dir, f"model.{se_epochs - 1}.npz")
-        metrics["se_s"] = round(time.time() - t0, 1)
+        if not stage_done("se"):
+            t0 = time.time()
+            assert se_main(["-config", cp, "-data", dp_tr, "-exp_dir", se_dir,
+                            "-criterion", "smbr", "-on_the_fly",
+                            "-decoder", "device", "-trans_model", mdl,
+                            "-silence_phones", str(SIL_PHONE),
+                            "-seed_model", ce_ckpt, "-lr", "1e-4",
+                            "-batch_size", str(se_batch),
+                            "-num_epochs", str(se_epochs),
+                            # device-search frontier knobs: the trainer-config
+                            # default (7000, host-decoder-sized) would make the
+                            # device band sort K*Dc-wide per frame
+                            "-max_active", str(se_max_active),
+                            "-max_arcs", str(se_max_arcs),
+                            "-single_device"]) == 0
+            metrics["se_s"] = round(time.time() - t0, 1)
+            mark_done("se")
 
     # ---- LM + graph ----
-    t0 = time.time()
-    lm = train_arpa(train_sents, order=order)
-    arpa = os.path.join(root, "lm.arpa")
-    write_arpa(lm, arpa)
-    lex_path = os.path.join(root, "lexicon.txt")
-    with open(lex_path, "w") as f:
-        for w in vocab + [SIL_WORD]:
-            f.write(w + " " + " ".join(str(p) for p in lexicon[w][0]) + "\n")
     hclg = os.path.join(root, "hclg.npz")
     words_txt = os.path.join(root, "words.txt")
-    assert bg_main(["decode", "-lexicon", lex_path, "-arpa", arpa,
-                    "-trans_model", mdl, "-out", hclg,
-                    "-words_out", words_txt]) == 0
-    metrics["graph_s"] = round(time.time() - t0, 1)
-    from pykaldi2_tpu.graph.vfst import VectorFst
+    if not stage_done("graph"):
+        t0 = time.time()
+        lm = train_arpa(train_sents, order=order)
+        arpa = os.path.join(root, "lm.arpa")
+        write_arpa(lm, arpa)
+        lex_path = os.path.join(root, "lexicon.txt")
+        with open(lex_path, "w") as f:
+            for w in vocab + [SIL_WORD]:
+                f.write(w + " "
+                        + " ".join(str(p) for p in lexicon[w][0]) + "\n")
+        assert bg_main(["decode", "-lexicon", lex_path, "-arpa", arpa,
+                        "-trans_model", mdl, "-out", hclg,
+                        "-words_out", words_txt]) == 0
+        metrics["graph_s"] = round(time.time() - t0, 1)
+        from pykaldi2_tpu.graph.vfst import VectorFst
 
-    g = VectorFst.load(hclg)
-    metrics["graph_states"] = int(g.num_states)
-    metrics["graph_arcs"] = int(g.num_arcs)
+        g = VectorFst.load(hclg)
+        metrics["graph_states"] = int(g.num_states)
+        metrics["graph_arcs"] = int(g.num_arcs)
+        mark_done("graph")
 
     # ---- decode: host and device through the same CLI ----
     ref_path = te["text"]
@@ -195,24 +235,27 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
               "-beam", str(beam), "-lattice_beam", str(lattice_beam)]
     results = {}
     for mode in ("host", "device"):
-        t0 = time.time()
         hyp = os.path.join(root, f"hyp_{mode}.txt")
-        argv = common + ["-hyp_out", hyp, "-decoder", mode]
-        if mode == "host":
-            argv += ["-max_active", str(max_active)]
-        else:
-            argv += ["-max_active", str(dev_max_active),
-                     "-max_arcs", str(dev_max_arcs)]
-        assert dec_main(argv) == 0
-        dt = time.time() - t0
+        if not stage_done("decode_" + mode):
+            t0 = time.time()
+            argv = common + ["-hyp_out", hyp, "-decoder", mode]
+            if mode == "host":
+                argv += ["-max_active", str(max_active)]
+            else:
+                argv += ["-max_active", str(dev_max_active),
+                         "-max_arcs", str(dev_max_arcs)]
+            assert dec_main(argv) == 0
+            dt = time.time() - t0
+            metrics[f"decode_{mode}_s"] = round(dt, 1)
+            metrics[f"decode_{mode}_utt_s"] = round(n_test / dt, 2)
+            mark_done("decode_" + mode)
         hyps = {u: _strip_sil(ws) for u, ws in _read_hyps(hyp).items()}
         s = score_corpus(refs, hyps)
         results[mode] = hyps
         metrics[f"wer_{mode}"] = round(s["wer"], 2)
-        metrics[f"decode_{mode}_s"] = round(dt, 1)
-        metrics[f"decode_{mode}_utt_s"] = round(n_test / dt, 2)
     same = sum(results["host"][u] == results["device"][u] for u in refs)
     metrics["host_device_same_hyp"] = f"{same}/{len(refs)}"
+    mark_done("all")
     return metrics
 
 
