@@ -77,6 +77,12 @@ CHECK_FLOORS = {
     # band + full-save backward (no recompute pass under the HBM budget)
     # -> 206.8 ms lincarry + fused-band einsum + bf16 tiles (r4 defaults)
     "block_fb": 22.0,
+    # on-device eval decode e2e (B=16/T=300, 300-word bigram HCLG, 38k
+    # states): measured r4 5.1 utt/s after the native banded_to_fsas
+    # epilogue (5.9 s -> 0.28 s), segment-bound exact top-K, and pipelined
+    # host conversion — three separate optimizations with no regression
+    # guard until now (VERDICT r4 missing #4)
+    "dev_eval": 4.5,
 }
 
 
@@ -158,6 +164,7 @@ def _dispatch(args):
         "lat_mmi": _measure_banded_lattice(),
         "block_fb": _measure_block_fb(),
         "dev_otf": _measure_device_otf(),
+        "dev_eval": _measure_device_eval(),
     }
     ok = True
     for name, got in results.items():
@@ -326,15 +333,13 @@ def _measure_dense_fb(batch_size: int = 64, t_len: int = 400) -> float:
     return n * batch_size * t_len / dt / FRAMES_PER_UTT
 
 
-def _measure_device_otf(batch_size: int = 32, t_len: int = 448,
-                        criterion: str = "mmi") -> float:
-    """FULL on-the-fly SE step with the ON-DEVICE lattice decoder
-    (decode/device_lattice.py; VERDICT r2 item 1): per step = eval forward
-    + batched beam search over the 79k-arc pdf-level den HCLG (beam 10 /
-    lattice_beam 4 / max_active 200, the BASELINE.md on-the-fly config) +
-    banded-lattice train step. No D2H copy, no host decode — the number the
-    host path could only PROJECT (~40 utt/s at >=16 cores) is measured here
-    on one chip."""
+def _dev_otf_setup(batch_size: int = 32, t_len: int = 448,
+                   criterion: str = "mmi"):
+    """Shared builder for the on-the-fly device-decoder measurements:
+    returns (graph, forward_fn, train_fn, batch, params, opt_state) at the
+    BASELINE.md on-the-fly config (79k-arc pdf-level phone-bigram den HCLG,
+    4x1024 LSTM). Used by _measure_device_otf and tools/profile_dev_otf.py
+    (the component-itemization profiler, VERDICT r4 item 2b)."""
     import jax
 
     from pykaldi2_tpu.config import (FbankOpts, FeatConfig, FrameOpts, MelOpts,
@@ -393,6 +398,24 @@ def _measure_device_otf(batch_size: int = 32, t_len: int = 448,
         "mask": jax.device_put(np.ones((batch_size, t_len), np.float32)),
         "num_frames": jax.device_put(np.full((batch_size,), t_len, np.int32)),
     }
+    return graph, forward_fn, train_fn, batch, params, opt_state
+
+
+def _measure_device_otf(batch_size: int = 32, t_len: int = 448,
+                        criterion: str = "mmi") -> float:
+    """FULL on-the-fly SE step with the ON-DEVICE lattice decoder
+    (decode/device_lattice.py; VERDICT r2 item 1): per step = eval forward
+    + batched beam search over the 79k-arc pdf-level den HCLG (beam 10 /
+    lattice_beam 4 / max_active 200, the BASELINE.md on-the-fly config) +
+    banded-lattice train step. No D2H copy, no host decode — the number the
+    host path could only PROJECT (~40 utt/s at >=16 cores) is measured here
+    on one chip."""
+    import jax
+
+    from pykaldi2_tpu.decode.device_lattice import device_lattice_generate
+
+    graph, forward_fn, train_fn, batch, params, opt_state = _dev_otf_setup(
+        batch_size, t_len, criterion)
     key = jax.random.PRNGKey(1)
 
     def one_step(params, opt_state, key):

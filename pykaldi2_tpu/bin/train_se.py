@@ -94,8 +94,10 @@ def build_argparser():
                    help="host decoder threads for -on_the_fly (one stateful "
                         "decoder handle per thread)")
     p.add_argument("-no_overlap", action="store_true",
-                   help="disable the decode/train pipeline overlap in "
-                        "-on_the_fly (lattices then use same-step params)")
+                   help="disable the pipeline overlap in -on_the_fly: host "
+                        "mode decodes strictly in-step (lattices then use "
+                        "same-step params); device mode blocks on every "
+                        "step instead of running one step ahead of the chip")
     p.add_argument("-obs_transfer", choices=["bfloat16", "float32"],
                    default="bfloat16",
                    help="dtype of the device->host obs copy the -on_the_fly "
@@ -380,6 +382,14 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
     the reference pipelines data the same way; -no_overlap forces strictly
     in-step decoding. With a mesh, the jitted step shards batch + lattices
     over 'data'.
+
+    -decoder device: forward + beam search + banded train step are all chip
+    programs (same-step params — the chip serializes them, staleness buys
+    nothing on one core). The pipeline here is host-vs-chip instead: metrics
+    accumulate as lazy device scalars (float() pulls only at log_interval /
+    epoch end) and the loop runs one step ahead of the chip, hiding data
+    prep and per-program dispatch RPCs — which through a remote-device
+    tunnel otherwise cost a round trip per step.
     """
     import numpy as np
     from pykaldi2_tpu.decode.decoder import LatticeDecoder
@@ -505,6 +515,12 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
         def run_step(item):
             nonlocal params, opt_state, key, step_no, ep_obj, ep_frames, dropped_acc
             utt_ids, batch, fut = item
+            # supervised-frame count computed HOST-side (batch is numpy at
+            # entry): the device m["frames"] is identical, but pulling it
+            # with float() every step is a tunnel round trip that drains
+            # the host run-ahead (VERDICT r4 item 2a)
+            sup_local = float((np.asarray(batch["mask"])
+                               * (np.asarray(batch["labels"]) >= 0)).sum())
             den_b = fut.result() if fut is not None else None
             if jax.process_count() > 1:
                 # all processes must compile the same psum-bearing program:
@@ -560,32 +576,49 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
             key, sk = jax.random.split(key)
             params, opt_state, m = train_fn(params, opt_state, batch, den_b, sk)
             step_no += 1
-            frames = float(m["frames"])
-            ep_obj += float(m["objective"]) * frames
-            ep_frames += frames
-            tp.update(len(utt_ids), frames / jax.process_count())
+            # lazy device-scalar accumulation: no per-step host sync — the
+            # only float() pulls happen at log_interval and epoch end, so
+            # the host races ahead dispatching the next step's forward +
+            # search + train while the chip executes this one
+            ep_obj = ep_obj + m["objective"] * m["frames"]
+            ep_frames = ep_frames + m["frames"]
+            tp.update(len(utt_ids), sup_local)
             if step_no % cfg.trainer.log_interval == 0:
                 u_s, f_s = tp.rates()
                 log.info("epoch %d step %d %s(lat) %.4f acc %.4f | %.1f utt/s %.0f frames/s",
-                         epoch, step_no, crit, m["objective"], m["frame_acc"], u_s, f_s)
+                         epoch, step_no, crit, float(m["objective"]),
+                         float(m["frame_acc"]), u_s, f_s)
                 n_dropped = int(dropped_acc)
                 if n_dropped > 0:
                     log.warning("device decoder dropped %d lattice links to "
                                 "the band cap this epoch — widen -max_arcs "
                                 "(%d) or tighten -lattice_beam", n_dropped,
                                 max_arcs)
-                metrics_log.log(epoch=epoch, step=step_no, objective=m["objective"],
-                                frame_acc=m["frame_acc"], utt_per_sec=u_s,
-                                frames_per_sec=f_s,
+                metrics_log.log(epoch=epoch, step=step_no,
+                                objective=float(m["objective"]),
+                                frame_acc=float(m["frame_acc"]),
+                                utt_per_sec=u_s, frames_per_sec=f_s,
                                 **({"lattice_links_dropped": n_dropped}
                                    if use_device_dec else {}))
+            return m
 
         if use_device_dec:
-            # no host decode to overlap: lattices come from same-step params,
-            # generated on device inside run_step
+            # one-deep host run-ahead (the device-mode counterpart of the
+            # host path's decode/train overlap, VERDICT r4 item 2a): step
+            # i+1's forward + on-device search + train step are dispatched
+            # while the chip executes step i — data prep and the tunnel's
+            # dispatch RPCs hide behind chip compute. The chip itself
+            # serializes the programs (same-step params, NOT stale); the
+            # one-deep block bounds in-flight HBM input buffers.
+            inflight = None
             for batch in batch_iter:
                 utt_ids = batch.pop("utt_ids")
-                run_step((utt_ids, batch, None))
+                m_i = run_step((utt_ids, batch, None))
+                if args.no_overlap:
+                    jax.block_until_ready(m_i)
+                elif inflight is not None:
+                    jax.block_until_ready(inflight)
+                inflight = m_i
         else:
             pending = None  # one-deep pipeline: decode N+1 while training on N
             for batch in batch_iter:
@@ -599,7 +632,9 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                     pending = item
             if pending is not None:
                 run_step(pending)
-        ep = ep_obj / max(ep_frames, 1.0)
+        # ep_obj/ep_frames are lazy device scalars — first sync since the
+        # last log_interval
+        ep = float(ep_obj) / max(float(ep_frames), 1.0)
         scale = annealer.step(-ep)
         opt_state = set_lr_scale(opt_state, scale)
         ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")

@@ -209,7 +209,7 @@ def use_matvec_latfb(t_len: int, b: int, k: int, n_mats: int = 1) -> bool:
 
     ``PK2_LATFB_MATVEC``: 1 forces on, 0 forces off; unset = auto (on when
     the ``n_mats`` [T, B, K, K] transition tensors fit the byte budget
-    ``PK2_LATFB_MATVEC_BYTES``, default 5 GiB, and the flat index fits s32).
+    ``PK2_LATFB_MATVEC_BYTES``, default 8 GiB, and the flat index fits s32).
     The sMBR/MPE recursion carries a second (accuracy-weighted) matrix, so
     it gates with ``n_mats=2``.
 

@@ -22,6 +22,9 @@ import pytest
 import yaml
 
 sys.path.insert(0, os.path.dirname(__file__))
+# repo root, so `python tests/test_midscale_e2e.py` (the chip entry point)
+# can import pykaldi2_tpu without an installed package
+sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SIL_PHONE = 1
 SIL_WORD = "!SIL"
