@@ -17,20 +17,27 @@ the XLA path. Gating: ``PK2_PALLAS_LATFB=1`` opt-in ONLY — fb_lattice.py
 consults ``use_pallas_latfb`` per call and silently falls back for
 unsupported shapes (B % 8, K/A % 128).
 
-STATUS (round 3, probed on-chip): **defaults OFF — the kernels are
-interpret-verified groundwork, blocked on this image's Mosaic lowering.**
-On the real chip (Mosaic via the axon remote-compile tunnel):
-``take_along_axis`` along lanes fails to compile; ``.at[].add`` scatter,
-``dynamic_slice`` with a traced lane offset, and ``optimization_barrier``
-are "Unimplemented primitive"; batched one-hot einsums
-(``'bak,bk->ba'`` gather, ``'bka,ba->bk'`` scatter) each compile ALONE
-but any elementwise op consuming a dot result trips "only constant
-accumulators supported"; and a pallas-call-in-scan compile takes ~10 min
-through the tunnel, making further iteration uneconomical this round.
-The XLA scan reference for the fused gather+exp+scatter step measures
-101 ms / 448 frames on chip, so the headroom a working kernel buys is
-bounded (~0.2 ms/frame of dispatch latency per scan). Revisit on a
-newer Mosaic.
+FORMULATION (round 5, VERDICT r4 weak #7): the round-3 kernels used
+``take_along_axis`` gathers and ``.at[].add`` scatters — the exact
+primitives this image's Mosaic cannot lower.  This rewrite removes BOTH:
+the slot gather and the dst segment-sum are one-hot batched matmuls
+(``[B,A,K] @ [B,K]`` and its transpose), with every dot result written to
+a VMEM scratch ref and read back BEFORE any elementwise op touches it —
+the round-3 probe found the one-hot einsums compile ALONE and only the
+fused dot→elementwise chain trips Mosaic's "only constant accumulators
+supported", so the ref round-trip severs that chain.  One-hot × value
+under ``precision=HIGHEST`` is exact in f32 (the bf16-triple expansion
+represents f32 inputs exactly; each output sums exactly one product), so
+parity with the XLA scan is bit-level, not approximate.
+
+ROUND-3 probe history (kept for the record): ``take_along_axis`` along
+lanes fails to compile; ``.at[].add`` scatter, ``dynamic_slice`` with a
+traced lane offset, and ``optimization_barrier`` are "Unimplemented
+primitive"; a pallas-call-in-scan compile takes ~10 min through the
+remote tunnel.  The XLA scan reference for the fused step is 101 ms /
+448 frames on chip, bounding the headroom (~0.2 ms/frame of dispatch
+latency) a working kernel buys.  See BASELINE.md for the round-5 on-chip
+verdict on THIS formulation.
 """
 
 from __future__ import annotations
@@ -52,24 +59,38 @@ def use_pallas_latfb(b: int, k: int, a: int) -> bool:
     env = os.environ.get("PK2_PALLAS_LATFB")
     if env is not None and env not in ("0", "1"):
         raise ValueError(f"PK2_PALLAS_LATFB={env!r}: expected 0 or 1")
-    # opt-in only: the kernels do not lower on this image's Mosaic (see
-    # module docstring); interpret-mode tests keep them correct meanwhile
+    # opt-in only: the round-5 one-hot formulation is interpret-verified;
+    # flip the default only after an on-chip parity + timing win
     enabled = env == "1"
     return (enabled and b % 8 == 0 and k % 128 == 0 and a % 128 == 0
-            # carries + one band block comfortably inside VMEM
-            and (4 * b * (2 * k + 4 * a) + 8 * b) < 8 * 1024 * 1024)
+            # carries + one band block + the transient [B, A, K] one-hot
+            # (the dominant VMEM cost of the matmul formulation)
+            and (4 * b * (2 * k + 4 * a) + 8 * b
+                 + 4 * b * a * k) < 12 * 1024 * 1024)
 
 
-def _gather_slots(vals, idx):
-    """vals [B, K] f32, idx [B, A] int32 → vals[b, idx[b, a]]."""
-    return jnp.take_along_axis(vals, idx, axis=1)
+def _onehot(idx, k):
+    """idx [B, A] int32 → exact {0,1} f32 one-hot [B, A, k]."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (k,), 2)
+    return (idx[:, :, None] == lane).astype(jnp.float32)
 
 
-def _scatter_add_slots(vals, idx, k):
-    """vals [B, A] f32, idx [B, A] → [B, K] segment sum per row."""
-    b = vals.shape[0]
-    bi = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
-    return jnp.zeros((b, k), jnp.float32).at[bi, idx].add(vals)
+_DN_GATHER = (((2,), (1,)), ((0,), (0,)))   # [B,A,K] · [B,K] → [B,A]
+_DN_SCATTER = (((1,), (1,)), ((0,), (0,)))  # [B,A,K] · [B,A] → [B,K]
+
+
+def _gather_dot(oh, vals):
+    """vals[b, idx[b, a]] as a one-hot batched matmul (MXU, exact)."""
+    return jax.lax.dot_general(oh, vals, _DN_GATHER,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _scatter_add_dot(oh, vals):
+    """per-row segment sum Σ_a vals[b,a]·[idx[b,a]==k] → [B, K]."""
+    return jax.lax.dot_general(oh, vals, _DN_SCATTER,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +99,7 @@ def _scatter_add_slots(vals, idx, k):
 
 
 def _fwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref,
-                alphas_ref, norms_ref, alpha_s, norm_s, *, k):
+                alphas_ref, norms_ref, alpha_s, norm_s, gat_s, sum_s, *, k):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -88,10 +109,14 @@ def _fwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref,
         norm_s[:] = jnp.zeros_like(norm_s)
 
     alpha = alpha_s[:]                                   # [B, K]
-    score = (_gather_slots(alpha, src_ref[0]) + w_ref[0] + obs_ref[0])
+    # dot results round-trip through scratch refs before ANY elementwise
+    # op reads them (severs the Mosaic accumulator chain — module docstring)
+    gat_s[:] = _gather_dot(_onehot(src_ref[0], k), alpha)
+    score = gat_s[:] + w_ref[0] + obs_ref[0]
     mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
     lin = jnp.exp(score - mx)
-    summed = _scatter_add_slots(lin, dst_ref[0], k)
+    sum_s[:] = _scatter_add_dot(_onehot(dst_ref[0], k), lin)
+    summed = sum_s[:]
     new_alpha = jnp.where(summed > 0,
                           jnp.log(jnp.where(summed > 0, summed, 1.0)),
                           NEG_INF) + mx
@@ -127,6 +152,8 @@ def make_logz_fwd(k: int):
             scratch_shapes=[
                 pltpu.VMEM((b, k), jnp.float32),
                 pltpu.VMEM((b, 1), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
             ],
         )(obs_arc, src, dst, w, active)
         return alphas, norms[:, :, 0]
@@ -141,7 +168,7 @@ def make_logz_fwd(k: int):
 
 def _bwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref, aprev_ref,
                 anorm_ref, final_ref, logz_ref, gamma_ref, beta_s, bnorm_s,
-                *, k):
+                gat_s, sum_s, ga2_s, *, k):
     t = pl.program_id(0)  # reversed via index maps
 
     @pl.when(t == 0)
@@ -152,17 +179,21 @@ def _bwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref, aprev_ref,
     beta = beta_s[:]
     bnorm = bnorm_s[:]
     obs_w = w_ref[0] + obs_ref[0]
-    beta_dst = _gather_slots(beta, dst_ref[0])
+    oh_src = _onehot(src_ref[0], k)
+    gat_s[:] = _gather_dot(_onehot(dst_ref[0], k), beta)
+    beta_dst = gat_s[:]
     score = obs_w + beta_dst
     mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
     lin = jnp.exp(score - mx)
-    summed = _scatter_add_slots(lin, src_ref[0], k)
+    sum_s[:] = _scatter_add_dot(oh_src, lin)
+    summed = sum_s[:]
     new_beta = jnp.where(summed > 0,
                          jnp.log(jnp.where(summed > 0, summed, 1.0)),
                          NEG_INF) + mx
     m2 = jnp.max(new_beta, axis=1, keepdims=True)
     new_beta_n = new_beta - m2
-    log_gamma = (_gather_slots(aprev_ref[0], src_ref[0]) + anorm_ref[0]
+    ga2_s[:] = _gather_dot(oh_src, aprev_ref[0])
+    log_gamma = (ga2_s[:] + anorm_ref[0]
                  + obs_w + beta_dst + bnorm - logz_ref[:])
     gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
     act = act_ref[0]
@@ -194,6 +225,9 @@ def make_occupancies_bwd(k: int):
             scratch_shapes=[
                 pltpu.VMEM((b, k), jnp.float32),
                 pltpu.VMEM((b, 1), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
             ],
         )(obs_arc, src, dst, w, active, alpha_prev, anorm_prev, final, logz)
         return gamma

@@ -82,7 +82,7 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
                  model_type="blstm", ce_epochs=4, se_epochs=1,
                  ce_batch=32, se_batch=16, decode_batch=8, seed=0,
                  beam=14.0, lattice_beam=8.0, max_active=7000,
-                 dev_max_active=512, dev_max_arcs=4096,
+                 dev_max_active=2048, dev_max_arcs=4096,
                  se_max_active=512, se_max_arcs=2048, skip_se=False,
                  resume=True):
     """Full recipe through the production CLIs; returns a metrics dict.
@@ -256,7 +256,12 @@ def run_midscale(root, *, n_phones=42, n_words=5000, n_train=2500,
         s = score_corpus(refs, hyps)
         results[mode] = hyps
         metrics[f"wer_{mode}"] = round(s["wer"], 2)
-    same = sum(results["host"][u] == results["device"][u] for u in refs)
+        # utterances with no complete lattice path score as all-deletions
+        # (score_corpus) — surface the count rather than crash on them
+        metrics[f"missing_{mode}"] = s["num_missing"]
+    same = sum(results["host"].get(u) == results["device"].get(u)
+               for u in refs if u in results["host"]
+               or u in results["device"])
     metrics["host_device_same_hyp"] = f"{same}/{len(refs)}"
     mark_done("all")
     return metrics
@@ -284,5 +289,7 @@ def test_midscale_e2e_small(tmp_path):
 if __name__ == "__main__":
     n_words = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/midscale_run"
-    m = run_midscale(out_root, n_words=n_words)
+    # optional JSON kwarg overrides, e.g. '{"dev_max_active": 4096}'
+    overrides = json.loads(sys.argv[3]) if len(sys.argv) > 3 else {}
+    m = run_midscale(out_root, n_words=n_words, **overrides)
     print("MIDSCALE " + json.dumps(m))
