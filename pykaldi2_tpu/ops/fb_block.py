@@ -438,6 +438,24 @@ def _lincarry() -> bool:
     return env != "0"
 
 
+def _defernorm() -> bool:
+    """Defer each lincarry frame's [B, Sp] normalize-divide into the NEXT
+    frame's [B, P] obs row (VERDICT r4 weak #6 attempt): the carry holds
+    the UNNORMALIZED matvec output u plus its per-row max m, and the next
+    frame divides its exp-obs row by m before the state_pdf gather —
+    matvec(u/m)·eobs == matvec(u)·(eobs/m) by linearity, and P ≈ Sp/10 at
+    the 96k-state bench graph, so one full [B, Sp] elementwise pass per
+    frame-pair becomes a [B, P] one. Values stay bounded (u ≤ m_prev ≤ 1
+    for stochastic transition rows). Saved activations are normalized at
+    save time (log u − log m), so the saved format and the gamma pass are
+    IDENTICAL to the non-deferred form. MMI logz/occupancy path only.
+    Opt-in until measured on chip (repo rule)."""
+    env = os.environ.get("PK2_BLOCKFB_DEFERNORM")
+    if env not in (None, "", "0", "1"):
+        raise ValueError(f"PK2_BLOCKFB_DEFERNORM={env!r}: expected 0 or 1")
+    return env == "1"
+
+
 def _exp_obs_b(obs):
     """[B, T, P] log scores → (exp(obs - m) [B, T, P], m [B, T]), computed
     once outside the frame scans (lean-scan-body rule)."""
@@ -458,6 +476,32 @@ def _fwd_frame_lin(g: BlockSparseGraph, num_frames, carry, inp):
     ah = jnp.where(active, new_ah, ah)
     norm = jnp.where(active[:, 0], new_norm, norm)
     return ah, norm
+
+
+def _fwd_frame_lin_defer(g: BlockSparseGraph, num_frames, carry, inp):
+    """Deferred-normalization alpha frame: carry (u unnormalized, norm,
+    m [B,1]) with norm already including log m — see _defernorm."""
+    u_prev, norm, m_prev = carry
+    eobs_f, om_f, t = inp
+    eobs_row = eobs_f / m_prev                         # [B, P]: the pass
+    u = _block_matvec(u_prev, g, False) * eobs_row[:, g.state_pdf]
+    m2 = jnp.max(u, axis=1, keepdims=True)
+    m2s = jnp.where(m2 > 0.0, m2, 1.0)
+    new_norm = norm + om_f + jnp.log(m2s[:, 0])
+    active = (t < num_frames)[:, None]
+    u_prev = jnp.where(active, u, u_prev)
+    norm = jnp.where(active[:, 0], new_norm, norm)
+    m_prev = jnp.where(active, m2s, m_prev)
+    return u_prev, norm, m_prev
+
+
+def _defer_saved(carry3):
+    """(u, norm, m) → the NON-deferred saved form (log-normalized alpha,
+    norm): log(u) − log(m), keeping the save format mode-independent."""
+    u, norm, m = carry3
+    return (jnp.where(u > 0,
+                      jnp.log(jnp.where(u > 0, u, 1.0)) - jnp.log(m),
+                      NEG_INF), norm)
 
 
 def _full_save(g: BlockSparseGraph, b: int, t_len: int) -> bool:
@@ -518,11 +562,15 @@ def _fwd_frame(g: BlockSparseGraph, num_frames, carry, inp):
 def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
     b, t_len = obs.shape[0], obs.shape[1]
     lin = _lincarry()
+    defer = lin and _defernorm()
     alpha0 = _alpha_init_b(g, b, obs)
     if lin:
         alpha0 = jnp.exp(jnp.maximum(alpha0, NEG_INF))
     norm0 = jnp.zeros((b,), jnp.float32) + 0.0 * alpha0[:, 0]
-    frame = _fwd_frame_lin if lin else _fwd_frame
+    carry0 = ((alpha0, norm0, jnp.ones((b, 1), jnp.float32)) if defer
+              else (alpha0, norm0))
+    frame = (_fwd_frame_lin_defer if defer
+             else _fwd_frame_lin if lin else _fwd_frame)
 
     def frame_xs(o):
         """Per-frame scan inputs in [T, ...] orientation for either mode."""
@@ -536,10 +584,12 @@ def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
         # recompute
         def inner(carry, inp):
             new = frame(g, num_frames, carry, inp)
-            return new, ((_log_safe_b(new[0]), new[1]) if lin else new)
+            save = (_defer_saved(new) if defer
+                    else (_log_safe_b(new[0]), new[1]) if lin else new)
+            return new, save
 
-        (alpha_T, norm_T), (alphas, norms) = jax.lax.scan(
-            inner, (alpha0, norm0),
+        end, (alphas, norms) = jax.lax.scan(
+            inner, carry0,
             frame_xs(obs) + (jnp.arange(t_len),),
             unroll=_scan_unroll())
         saved = (alphas, norms)
@@ -552,11 +602,19 @@ def _logz_fwd_block(obs, g: BlockSparseGraph, num_frames):
         def outer(carry, inp):
             new_carry, _ = jax.lax.scan(inner, carry, inp,
                                         unroll=_scan_unroll())
-            return new_carry, carry    # save each segment's ENTRY state
+            # save each segment's ENTRY state — normalized back to the
+            # 2-tuple form under defer (one [B, Sp] divide per SEGMENT,
+            # amortized over seg_len frames)
+            save = (carry[0] / carry[2], carry[1]) if defer else carry
+            return new_carry, save
 
-        (alpha_T, norm_T), saved = jax.lax.scan(
-            outer, (alpha0, norm0), parts + (ts,))
-    alpha_T_log = _log_safe_b(alpha_T) if lin else alpha_T
+        end, saved = jax.lax.scan(outer, carry0, parts + (ts,))
+    if defer:
+        alpha_T, norm_T, m_T = end
+        alpha_T_log = _log_safe_b(alpha_T) - jnp.log(m_T)
+    else:
+        alpha_T, norm_T = end
+        alpha_T_log = _log_safe_b(alpha_T) if lin else alpha_T
     total = jnp.maximum(alpha_T_log + g.final[None, :], NEG_INF)
     logz = jax.nn.logsumexp(total, axis=1) + norm_T
     return logz, saved
@@ -586,13 +644,20 @@ def _recompute_segment(g: BlockSparseGraph, num_frames, alpha_in, norm_in,
     """Re-run one segment's alpha recursion, saving every frame's POST-frame
     (alpha [LOG form], norm) — the [C, B, Sp] transient the remat trades
     FLOPs for."""
-    frame = _fwd_frame_lin if lin else _fwd_frame
+    defer = lin and _defernorm()
+    frame = (_fwd_frame_lin_defer if defer
+             else _fwd_frame_lin if lin else _fwd_frame)
+    carry0 = ((alpha_in, norm_in,
+               jnp.ones((alpha_in.shape[0], 1), jnp.float32)) if defer
+              else (alpha_in, norm_in))
 
     def inner(carry, inp):
         new = frame(g, num_frames, carry, inp)
-        return new, ((_log_safe_b(new[0]), new[1]) if lin else new)
+        save = (_defer_saved(new) if defer
+                else (_log_safe_b(new[0]), new[1]) if lin else new)
+        return new, save
 
-    _, (alphas, norms) = jax.lax.scan(inner, (alpha_in, norm_in),
+    _, (alphas, norms) = jax.lax.scan(inner, carry0,
                                       parts_seg + (ts_seg,),
                                       unroll=_scan_unroll())
     return alphas, norms
@@ -654,7 +719,29 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
         bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
         return (bh, bnorm), gamma_s
 
-    bwd = bwd_frame_lin if lin else bwd_frame
+    def bwd_frame_lin_defer(carry, inp):
+        """Deferred-normalization beta frame (see _defernorm): carry
+        (s unnormalized, bnorm incl. log m, m [B,1])."""
+        bh, bnorm, m_prev = carry
+        eobs_f, om_f, alpha_t, anorm_t, t = inp
+        log_gamma = (alpha_t + anorm_t[:, None]
+                     + (_log_safe_b(bh) - jnp.log(m_prev))
+                     + bnorm[:, None] - logz[:, None])
+        gamma_s = jnp.exp(jnp.minimum(log_gamma, 0.0))
+        active = (t < num_frames)[:, None]
+        gamma_s = jnp.where(active, gamma_s, 0.0)
+        eobs_row = eobs_f / m_prev                       # [B, P]
+        s = _block_matvec(bh * eobs_row[:, g.state_pdf], g, transpose=True)
+        m2 = jnp.max(s, axis=1, keepdims=True)
+        m2s = jnp.where(m2 > 0.0, m2, 1.0)
+        new_bnorm = bnorm + om_f + jnp.log(m2s[:, 0])
+        bh = jnp.where(active, s, bh)
+        bnorm = jnp.where(active[:, 0], new_bnorm, bnorm)
+        m_prev = jnp.where(active, m2s, m_prev)
+        return (bh, bnorm, m_prev), gamma_s
+
+    defer = lin and _defernorm()
+    bwd = bwd_frame_lin_defer if defer else bwd_frame_lin if lin else bwd_frame
 
     def scatter_pdf(gammas_s):
         """[C, B, Sp] state occupancies -> [C, B, P] pdf occupancies,
@@ -664,6 +751,8 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
             row, g.state_pdf, num_segments=p_dim))(
                 gammas_s.reshape(c * b, g.num_padded)).reshape(c, b, p_dim)
 
+    bcarry0 = ((beta0, bnorm0, jnp.ones((b, 1), jnp.float32) + tie)
+               if defer else (beta0, bnorm0))
     if _full_save(g, b, t_len):
         # seg_alphas/seg_norms hold EVERY post-frame state: one backward
         # pass, no recompute
@@ -673,7 +762,7 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
         else:
             xs_f = (jnp.swapaxes(obs, 0, 1),)
         _, gammas_s = jax.lax.scan(
-            bwd, (beta0, bnorm0),
+            bwd, bcarry0,
             xs_f + (seg_alphas, seg_norms, jnp.arange(t_len)),
             reverse=True, unroll=_scan_unroll())
         return jnp.swapaxes(scatter_pdf(gammas_s), 0, 1)
@@ -682,17 +771,16 @@ def _occupancies_block(obs, g: BlockSparseGraph, num_frames, logz,
     n_parts = len(parts)
 
     def outer(carry, inp):
-        beta, bnorm = carry
         parts_seg = inp[:n_parts]
         ts_seg, alpha_in, norm_in = inp[n_parts:]
         alphas, norms = _recompute_segment(g, num_frames, alpha_in, norm_in,
                                            parts_seg, ts_seg, lin)
-        (beta, bnorm), gammas_s = jax.lax.scan(
-            bwd, (beta, bnorm), parts_seg + (alphas, norms, ts_seg),
+        carry, gammas_s = jax.lax.scan(
+            bwd, carry, parts_seg + (alphas, norms, ts_seg),
             reverse=True, unroll=_scan_unroll())
-        return (beta, bnorm), scatter_pdf(gammas_s)
+        return carry, scatter_pdf(gammas_s)
 
-    _, gammas = jax.lax.scan(outer, (beta0, bnorm0),
+    _, gammas = jax.lax.scan(outer, bcarry0,
                              parts + (ts, seg_alphas, seg_norms),
                              reverse=True)
     gam = gammas.reshape(n_seg * g.seg_len, b, p_dim)[:t_len]

@@ -483,3 +483,34 @@ def test_linear_carry_matches_log_carry(save_mode, monkeypatch):
     np.testing.assert_allclose(float(vs1), float(vs0), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs0),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_defernorm_matches_default(save_mode, monkeypatch):
+    """PK2_BLOCKFB_DEFERNORM=1 (VERDICT r4 weak #6 attempt: the per-frame
+    [B,Sp] normalize-divide deferred into the next frame's [B,P] obs row)
+    must reproduce the default lincarry MMI path: logZ, occupancies, grad,
+    in BOTH save modes."""
+    fsa = _chain_fsa(num_chains=4, chain_len=9)
+    rng = np.random.RandomState(25)
+    B, T, P = 2, 7, 5
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(np.array([7, 4], np.int32))
+    g = pack_graph_blocks(fsa, block=8, seg_len=3)
+
+    def f(o):
+        return jnp.sum(fsa_logz_block(o, g, lens))
+
+    jax.clear_caches()
+    v0, gv0 = jax.value_and_grad(f)(obs)
+    z0, gam0 = fsa_occupancies_block(obs, g, lens)
+    monkeypatch.setenv("PK2_BLOCKFB_DEFERNORM", "1")
+    jax.clear_caches()
+    v1, gv1 = jax.value_and_grad(f)(obs)
+    z1, gam1 = fsa_occupancies_block(obs, g, lens)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv0),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gam1), np.asarray(gam0),
+                               rtol=1e-4, atol=1e-6)
