@@ -159,6 +159,7 @@ def main(argv=None):
         batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()
         ep_nll = ep_frames = 0.0
+        synced_frames = 0.0
         for batch in device_prefetch(batch_iter, sharding=sharding):
             key, step_key = jax.random.split(key)
             if step_no == 2 and profile_steps:  # skip compile steps
@@ -171,19 +172,28 @@ def main(argv=None):
                 profiler_ctx.__exit__(None, None, None)
                 log.info("profiler trace written to %s", args.profile)
                 profile_steps = 0
-            frames = float(m["frames"])  # psum'd over the mesh → global
-            ep_nll += float(m["loss"]) * frames
-            ep_frames += frames
-            # per-process rates (the reference logs per-rank throughput):
-            # local batch rows and the global frame count / process_count
-            tp.update(cfg.trainer.batch_size // procs, frames / procs)
+            # lazy device-scalar accumulation: per-step float() pulls are
+            # blocking round trips (a tunnel RPC each on remote devices)
+            # that drain the prefetch run-ahead; frames for the throughput
+            # log are settled in bulk at log_interval
+            ep_nll = ep_nll + m["loss"] * m["frames"]
+            ep_frames = ep_frames + m["frames"]  # psum'd over mesh → global
+            tp.update(cfg.trainer.batch_size // procs, 0.0)
             if step_no % cfg.trainer.log_interval == 0:
+                gf = float(ep_frames)
+                # per-process rates (the reference logs per-rank
+                # throughput): global frame count / process_count
+                tp.update(0, (gf - synced_frames) / procs)
+                synced_frames = gf
                 u_s, f_s = tp.rates()
                 log.info("epoch %d step %d loss %.4f acc %.4f | %.1f utt/s %.0f frames/s",
-                         epoch, step_no, m["loss"], m["frame_acc"], u_s, f_s)
-                metrics_log.log(epoch=epoch, step=step_no, loss=m["loss"],
-                                frame_acc=m["frame_acc"], utt_per_sec=u_s, frames_per_sec=f_s)
-        ep_loss = ep_nll / max(ep_frames, 1.0)
+                         epoch, step_no, float(m["loss"]),
+                         float(m["frame_acc"]), u_s, f_s)
+                metrics_log.log(epoch=epoch, step=step_no,
+                                loss=float(m["loss"]),
+                                frame_acc=float(m["frame_acc"]),
+                                utt_per_sec=u_s, frames_per_sec=f_s)
+        ep_loss = float(ep_nll) / max(float(ep_frames), 1.0)
         anneal_loss = ep_loss
         if eval_step is not None:
             cv_nll = cv_frames = 0.0

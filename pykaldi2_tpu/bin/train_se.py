@@ -320,6 +320,7 @@ def main(argv=None):
         batch_iter = equalized_steps(loader, iter(loader))
         tp = Throughput()
         ep_obj = ep_frames = 0.0
+        synced_frames = 0.0
         # multihost: keep batches host-side through the prefetch queue —
         # the per-step T allgather and global-array assembly must run on the
         # MAIN thread, in lockstep across ranks (VERDICT r2 weak #5)
@@ -342,18 +343,26 @@ def main(argv=None):
             key, sk = jax.random.split(key)
             params, opt_state, m = step(params, opt_state, batch, sk)
             step_no += 1
-            frames = float(m["frames"])  # psum'd over the mesh → global
-            ep_obj += float(m["objective"]) * frames
-            ep_frames += frames
-            # per-process rates: local utts, global frames / process_count
-            tp.update(len(utt_ids), frames / jax.process_count())
+            # lazy device-scalar accumulation — per-step float() pulls are
+            # tunnel round trips that drain the prefetch run-ahead; frames
+            # for the throughput log are settled in bulk at log_interval
+            ep_obj = ep_obj + m["objective"] * m["frames"]
+            ep_frames = ep_frames + m["frames"]  # psum'd over mesh → global
+            tp.update(len(utt_ids), 0.0)
             if step_no % cfg.trainer.log_interval == 0:
+                gf = float(ep_frames)
+                # per-process rates: local utts, global frames / processes
+                tp.update(0, (gf - synced_frames) / jax.process_count())
+                synced_frames = gf
                 u_s, f_s = tp.rates()
                 log.info("epoch %d step %d %s %.4f acc %.4f | %.1f utt/s %.0f frames/s",
-                         epoch, step_no, crit, m["objective"], m["frame_acc"], u_s, f_s)
-                metrics_log.log(epoch=epoch, step=step_no, objective=m["objective"],
-                                frame_acc=m["frame_acc"], utt_per_sec=u_s, frames_per_sec=f_s)
-        ep = ep_obj / max(ep_frames, 1.0)
+                         epoch, step_no, crit, float(m["objective"]),
+                         float(m["frame_acc"]), u_s, f_s)
+                metrics_log.log(epoch=epoch, step=step_no,
+                                objective=float(m["objective"]),
+                                frame_acc=float(m["frame_acc"]),
+                                utt_per_sec=u_s, frames_per_sec=f_s)
+        ep = float(ep_obj) / max(float(ep_frames), 1.0)
         scale = annealer.step(-ep)  # objective is maximized
         opt_state = set_lr_scale(opt_state, scale)
         ckpt = os.path.join(args.exp_dir, f"model.{epoch}.npz")
