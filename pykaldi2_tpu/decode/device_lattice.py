@@ -1004,7 +1004,16 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
         Still gather-bound: nine ~5M-row random ``np.take`` calls ≈ 2.8 s
         warm at the worst case (the first per-utterance formulation was
         5.9 s).
+
+    Device inputs are band-compacted BEFORE the device→host copy: the band
+    sort orders every frame's links best-first with NEG_INF padding last,
+    so valid links are a prefix of the A axis and slicing to the smallest
+    power-of-two bucket ≥ the batch's true max link count drops ONLY
+    padding — identical lattices, 4-8× fewer D2H bytes on typically-sparse
+    eval bands (through a remote-device tunnel the copy, not the search,
+    dominated dev_eval e2e). ``PK2_B2F_COMPACT=0`` disables.
     """
+    lat, olabels = _compact_band(lat, olabels)
     if os.environ.get("PK2_B2F_NATIVE", "1") != "0":
         try:
             return _banded_to_fsas_native(lat, num_frames, olabels)
@@ -1015,6 +1024,36 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
         except AttributeError:              # stale .so w/o banded_trim_extract
             pass
     return _banded_to_fsas_np(lat, num_frames, olabels)
+
+
+def _compact_band(lat: TimeSyncLattice, olabels, min_a: int = 128):
+    """Slice the band (A) axis to the smallest power-of-two bucket covering
+    every frame's valid-link count. Valid links are a per-frame PREFIX of
+    the A axis (they come out of the frame-end band sort best-first, padding
+    last), so the slice removes only NEG_INF padding — the converted
+    lattices are identical. Bucketing (instead of the exact max) bounds the
+    downstream shape set; the one-scalar device sync it costs happens right
+    where the conversion was about to sync the full arrays anyway."""
+    if os.environ.get("PK2_B2F_COMPACT", "1") == "0":
+        return lat, olabels
+    a_dim = lat.src.shape[2]
+    if a_dim <= min_a:
+        return lat, olabels
+    w = jnp.asarray(lat.weight)
+    m = int(jnp.max(jnp.sum(w > 0.5 * NEG_INF, axis=2)))
+    bucket = min_a
+    while bucket < m:
+        bucket *= 2
+    if bucket >= a_dim:
+        return lat, olabels
+
+    def sl(x):
+        return x[:, :, :bucket]
+
+    lat2 = TimeSyncLattice(src=sl(lat.src), dst=sl(lat.dst),
+                           pdf=sl(lat.pdf), weight=sl(w), final=lat.final)
+    return lat2, (None if olabels is None else
+                  jnp.asarray(olabels)[:, :, :bucket])
 
 
 def _banded_to_fsas_native(lat: TimeSyncLattice, num_frames, olabels=None):

@@ -822,3 +822,48 @@ def test_seg_topk_search_matches_sort(monkeypatch):
                                         lat.final, sc, dropped, olab))
         for a, b in zip(outs["sort"], outs["seg"]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_compact_band_identical_output():
+    """banded_to_fsas must produce identical lattices when the band axis
+    carries extra NEG_INF padding (the device->host compaction slice must
+    remove ONLY padding; valid links are a sort-order prefix)."""
+    from pykaldi2_tpu.decode.device_lattice import banded_to_fsas
+    from pykaldi2_tpu.ops.fb import NEG_INF
+    from pykaldi2_tpu.ops.fb_lattice import TimeSyncLattice
+
+    rng = np.random.RandomState(11)
+    B, T, A, K = 3, 9, 40, 16
+    src = rng.randint(0, K, (B, T, A)).astype(np.int32)
+    src[:, 0, :] = 0
+    dst = rng.randint(0, K, (B, T, A)).astype(np.int32)
+    pdf = rng.randint(0, 30, (B, T, A)).astype(np.int32)
+    w = (rng.randn(B, T, A) * 0.3).astype(np.float32)
+    w[:, :, 25:] = NEG_INF            # valid prefix of width <= 25
+    ol = rng.randint(0, 50, (B, T, A)).astype(np.int32)
+    fin = np.where(rng.rand(B, K) < 0.5,
+                   rng.randn(B, K).astype(np.float32) * 0.2,
+                   np.float32(NEG_INF)).astype(np.float32)
+    nf = np.asarray([9, 5, 7], np.int32)
+    lat = TimeSyncLattice(src=src, dst=dst, pdf=pdf, weight=w, final=fin)
+
+    def padded(x, fill):
+        return np.concatenate(
+            [x, np.full((B, T, 600 - A), fill, x.dtype)], axis=2)
+
+    lat_pad = TimeSyncLattice(
+        src=padded(src, 0), dst=padded(dst, 0), pdf=padded(pdf, 0),
+        weight=padded(w, NEG_INF), final=fin)
+    for olab_n, olab_p in ((None, None), (ol, padded(ol, 0))):
+        ref = banded_to_fsas(lat, nf, olabels=olab_n)
+        got = banded_to_fsas(lat_pad, nf, olabels=olab_p)
+        assert len(ref) == len(got)
+        for (fa, fra), (fb, frb) in zip(ref, got):
+            np.testing.assert_array_equal(fra, frb)
+            np.testing.assert_array_equal(fa.src, fb.src)
+            np.testing.assert_array_equal(fa.dst, fb.dst)
+            np.testing.assert_array_equal(fa.pdf, fb.pdf)
+            np.testing.assert_allclose(fa.weight, fb.weight)
+            np.testing.assert_allclose(fa.final, fb.final)
+            if olab_n is not None:
+                np.testing.assert_array_equal(fa.olabel, fb.olabel)
