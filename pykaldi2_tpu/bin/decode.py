@@ -226,12 +226,14 @@ def main(argv=None):
                                                batch_sizes=8), shuffle=False,
                            extras_fn=(feat_fn.batch_extras
                                       if feat_fn.has_extras else None))
-    def host_side(utt_ids, obs, nf, dev_out):
+    def host_side(utt_ids, obs, nf, dev_out, only=None):
         """Per-batch host post-processing: banded→FSA conversion (device
         mode) + lattice scoring/best-path. Device mode calls this one batch
         LATE — the search dispatch is async, so the chip runs batch i+1's
         search while the host converts and scores batch i (the first
-        np.asarray on the search outputs is the sync point)."""
+        np.asarray on the search outputs is the sync point). ``only``
+        restricts decoding to a subset of utt_ids (the wider-beam retry
+        path) without touching already-recorded results."""
         pre = None
         if dev_out is not None:
             from pykaldi2_tpu.decode.device_lattice import banded_to_fsas
@@ -294,7 +296,8 @@ def main(argv=None):
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = [(i, uid, decoders[i % n_threads] if decoders else None)
-                for i, uid in enumerate(utt_ids)]
+                for i, uid in enumerate(utt_ids)
+                if only is None or uid in only]
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             # shard jobs so each decoder handle is used by exactly one thread
             def run_shard(t):
@@ -304,6 +307,37 @@ def main(argv=None):
                 for uid, words in shard:
                     if words is not None:
                         hyps[uid] = words
+
+    def run_batch(item):
+        """host_side plus ONE wider-lattice-beam device retry for
+        utterances whose pruned lattice kept no complete path. Kaldi's
+        extra-cost lattice_beam never prunes the best path; the per-frame
+        approximation both decoders use CAN when max_active is narrower
+        than the within-lattice-beam token set (the emitted predecessor of
+        a token's best in-link drops out, and its remaining in-links fall
+        outside the per-dst window — measured on a 490k-state 4-gram HCLG
+        at max_active 2048 vs the host's 7000). The retry searches the
+        same batch once at min(2*lattice_beam, beam) — one extra compile,
+        only utterances that produced NO output are filled in."""
+        utt_ids, obs, nf, dev_out = item
+        host_side(utt_ids, obs, nf, dev_out)
+        if dev_out is None:
+            return
+        failed = {u for u in utt_ids if u not in hyps}
+        lb2 = min(args.lattice_beam * 2.0, args.beam)
+        if not failed or lb2 <= args.lattice_beam:
+            return
+        from pykaldi2_tpu.decode.device_lattice import (
+            device_lattice_generate)
+
+        log.warning("%d utterance(s) had no complete lattice path at "
+                    "lattice_beam %.1f; retrying on device at %.1f",
+                    len(failed), args.lattice_beam, lb2)
+        lat2, _s2, drop2, olab2 = device_lattice_generate(
+            jnp.asarray(obs), dev_graph, jnp.asarray(np.asarray(nf)),
+            max_active=args.max_active, max_arcs=args.max_arcs,
+            beam=args.beam, lattice_beam=lb2, return_olabels=True)
+        host_side(utt_ids, obs, nf, (lat2, drop2, olab2), only=failed)
 
     pending = None
     for batch in loader:
@@ -333,12 +367,12 @@ def main(argv=None):
                 beam=args.beam, lattice_beam=args.lattice_beam,
                 return_olabels=True)
             if pending is not None:  # chip searches this batch meanwhile
-                host_side(*pending)
+                run_batch(pending)
             pending = (utt_ids, obs, nf, (lat_b, dropped, olab))
         else:
             host_side(utt_ids, obs, nf, None)
     if pending is not None:
-        host_side(*pending)
+        run_batch(pending)
     if dump is not None:
         dump.close()
     if args.ctm_out:
