@@ -975,6 +975,15 @@ def device_lattice_generate(
         pdf=jnp.swapaxes(pdf_f, 0, 1), weight=jnp.swapaxes(w_f, 0, 1),
         final=final_out)
     n_dropped = jnp.sum(jnp.swapaxes(dropped, 0, 1), axis=1)
+    if os.environ.get("PK2_DEV_SEARCH_DEBUG") == "1":
+        # diagnosis-only extra return: per-frame frontier (state ids,
+        # closed alphas, frame best) so emit-rule decisions can be
+        # replayed on the host (tools/, not a stable API)
+        dbg = (jnp.swapaxes(idxs, 0, 1), jnp.swapaxes(valss, 0, 1),
+               jnp.swapaxes(bests, 0, 1))
+        if return_olabels:
+            return lat, scores, n_dropped, jnp.swapaxes(ol_f, 0, 1), dbg
+        return lat, scores, n_dropped, dbg
     if return_olabels:
         return lat, scores, n_dropped, jnp.swapaxes(ol_f, 0, 1)
     return lat, scores, n_dropped
