@@ -375,7 +375,14 @@ def _dev_otf_setup(batch_size: int = 32, t_len: int = 448,
                 f.add_arc(junction[p], q, EPS, float(lm["log_bigram"][p, q]),
                           junction[q])
         f.set_final(junction[p], float(lm["log_final"][p]))
-    graph = pack_decode_graph(expand_to_pdf_fst(f, tm))
+    den_fst = expand_to_pdf_fst(f, tm)
+    graph = pack_decode_graph(den_fst)
+    # declare the den graph's static pdf set, exactly as train_se does:
+    # routes the banded kernels' arc→pdf reductions through the one-hot
+    # GEMM form (ops/fb_lattice._arc_pdf_sums) instead of the scatter
+    from pykaldi2_tpu.ops.fb_lattice import set_den_pdf_ids
+    set_den_pdf_ids([a.ilabel - 1 for s_arcs in den_fst.arcs
+                     for a in s_arcs if a.ilabel > 0])
 
     feat_cfg = FeatConfig(
         fbank=FbankOpts(frame_opts=FrameOpts(dither=0.0), mel_opts=MelOpts(num_bins=80)))

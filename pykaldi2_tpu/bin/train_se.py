@@ -427,6 +427,14 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
                     f.add_arc(junction[p], q, EPS, float(lm["log_bigram"][p, q]), junction[q])
             f.set_final(junction[p], float(lm["log_final"][p]))
         den_fst = expand_to_pdf_fst(f, tm)
+    # declare the den graph's static pdf-id set: every on-the-fly lattice
+    # (host- or device-decoded) emits pdfs from it, which routes the banded
+    # kernels' arc→pdf reductions through the one-hot GEMM form instead of
+    # the scatter (ops/fb_lattice._arc_pdf_sums; the scatter was 425 ms of
+    # the 852 ms device-mode train step, BASELINE.md round 5)
+    from pykaldi2_tpu.ops.fb_lattice import set_den_pdf_ids
+    set_den_pdf_ids([a.ilabel - 1 for s_arcs in den_fst.arcs
+                     for a in s_arcs if a.ilabel > 0] or [0])
     beam = args.beam if args.beam is not None else cfg.trainer.beam
     max_active = (args.max_active if args.max_active is not None
                   else cfg.trainer.max_active)

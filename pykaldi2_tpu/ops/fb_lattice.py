@@ -162,6 +162,83 @@ def pad_time_sync(lat: TimeSyncLattice, k: int, a: int,
 _seg_sum_slots = _seg_sum_b
 
 
+# ---------------------------------------------------------------------------
+# Arc→pdf reduction routing.  The [T*B, A]→[T*B, P] segment-sum is the
+# single largest cost of the banded backward on chip: XLA's scatter-add
+# runs at ~27M elements/s on v5e (xprof r4; 425 ms of the 719 ms MMI
+# fwd+grad at the on-the-fly shape B=32/T=448/A=800).  When the
+# denominator graph's DISTINCT pdf-id set is small and statically known —
+# true for every structured den graph this repo ships (123 pdf ids for
+# the 41-phone bigram den, 126 at the 5k-word midscale) — the scatter
+# collapses to two EXACT one-hot GEMMs: arc values → local pdf lane
+# (width ≤512, padded to 128) and a constant [L, P] expansion.  One-hot
+# dots under HIGHEST are exact (each output sums distinct f32 products),
+# so only the f32 accumulation order differs from the scatter.
+# ---------------------------------------------------------------------------
+
+_DEN_PDF_IDS: "np.ndarray | None" = None
+
+
+def set_den_pdf_ids(ids) -> None:
+    """Declare the STATIC pdf-id set of the denominator graph (or None to
+    clear).  A trace-time routing hint, read like the PK2_* env gates:
+    functions traced while it is set route their arc→pdf reductions
+    through the one-hot GEMM form when the set is small (≤512 ids).
+
+    Every lattice arc passed to the banded kernels must then emit a pdf
+    from this set (true by construction for lattices decoded over the
+    declared graph, host or device decoder alike); out-of-set arcs would
+    contribute ZERO in the GEMM form instead of scatter-adding."""
+    global _DEN_PDF_IDS
+    if ids is None:
+        _DEN_PDF_IDS = None
+    else:
+        _DEN_PDF_IDS = np.unique(np.asarray(ids).astype(np.int32))
+
+
+def _arc_pdf_sums(vals_t, pdf_swapped, p_dim):
+    """[T, B, A] arc values + [T, B, A] pdf ids → [T, B, P] sums.
+
+    Routes per the module docstring above; the scatter fallback keeps the
+    exact old semantics (and handles arbitrary pdf sets)."""
+    t_len, b, a_dim = vals_t.shape
+    ids = _DEN_PDF_IDS
+    if (ids is None or len(ids) > 512
+            or os.environ.get("PK2_LATFB_PDFSET") == "0"):
+        return _seg_sum_slots(vals_t.reshape(t_len * b, a_dim),
+                              pdf_swapped.reshape(t_len * b, a_dim),
+                              p_dim).reshape(t_len, b, p_dim)
+    l_real = len(ids)
+    l_pad = -(-l_real // 128) * 128
+    ids_row = jnp.asarray(ids, jnp.int32)
+    # chunk frames so the [C, B, A, L] one-hot stays a few hundred MB
+    per_frame = b * a_dim * l_pad * 4
+    chunk = max(1, min(t_len, (256 << 20) // per_frame))
+    n_chunk = -(-t_len // chunk)
+    pad_t = n_chunk * chunk - t_len
+
+    def padf(x):
+        return jnp.pad(x, [(0, pad_t)] + [(0, 0)] * (x.ndim - 1)) \
+            if pad_t else x
+
+    vals_r = padf(vals_t).reshape(n_chunk, chunk, b, a_dim)
+    pdf_r = padf(pdf_swapped).reshape(n_chunk, chunk, b, a_dim)
+
+    def one(args):
+        v_c, p_c = args
+        onehot = (p_c[..., None] == ids_row).astype(jnp.float32)
+        return jnp.einsum("cbal,cba->cbl",
+                          jnp.pad(onehot, [(0, 0)] * 3 + [(0, l_pad - l_real)]),
+                          v_c, precision=jax.lax.Precision.HIGHEST)
+
+    loc = jax.lax.map(one, (vals_r, pdf_r))
+    loc = loc.reshape(n_chunk * chunk, b, l_pad)[:t_len]
+    expand = np.zeros((l_pad, p_dim), np.float32)
+    expand[np.arange(l_real), ids] = 1.0
+    return jnp.einsum("tbl,lp->tbp", loc, jnp.asarray(expand),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _obs_arcs_ts(obs, lat: TimeSyncLattice):
     """[B, T, num_pdfs] → per-arc obs [T, B, A] once, OUTSIDE the scans.
 
@@ -280,16 +357,17 @@ def _trans_build_mode() -> str:
     one-hot matmuls on the MXU — M[t,b] = U^T V with U[a,i] = lin_a·δ(src_a=i),
     V[a,j] = δ(dst_a=j); every product is lin·{0,1} so each partial is exact
     in any GEMM decomposition and only the f32 accumulation order differs
-    from the scatter (~1 ulp). ``auto`` (default): scatter, pending the
-    on-chip timing (repo rule: no perf-path default change without an
-    on-TPU measurement — flip auto once BASELINE.md carries the number).
+    from the scatter (~1 ulp). ``auto`` (default): einsum — measured on
+    chip round 5 at the on-the-fly shape B=32/T=448/A=800/K=256: MMI
+    fwd+grad 830 → 726 ms standalone, 741 → 637 ms stacked with the
+    pdf-set GEMM gamma route (BASELINE.md round 5).
     """
     env = os.environ.get("PK2_LATFB_BUILD", "auto")
     if env not in ("scatter", "einsum", "auto"):
         raise ValueError(f"PK2_LATFB_BUILD={env!r}: expected "
                          "scatter|einsum|auto")
     if env == "auto":
-        return "scatter"
+        return "einsum"
     return env
 
 
@@ -362,6 +440,14 @@ def _trans_mats_ts(obs_arc, lat: TimeSyncLattice, arc_acc=None):
     return m, m2.reshape(t_len, b, k, k), mx
 
 
+def _latfb_unroll() -> int:
+    """PK2_LATFB_UNROLL=n: unroll the matvec alpha/beta scans so XLA fuses
+    the renorm epilogues across frame boundaries — the scan bodies are 5-6
+    tiny ops each and run dispatch-bound (~0.3 ms/iteration on v5e for a
+    [32,256]x[32,256,256] matvec step).  1 (off) until chip-measured."""
+    return int(os.environ.get("PK2_LATFB_UNROLL", "1"))
+
+
 def _logz_fwd_matvec_ts(obs, lat: TimeSyncLattice, num_frames):
     """Matvec-form forward; residuals in the scan path's convention
     (alphas = per-frame max-normalized logs, norms = cumulative shifts)."""
@@ -386,7 +472,8 @@ def _logz_fwd_matvec_ts(obs, lat: TimeSyncLattice, num_frames):
     ah0 = ah0 + 0.0 * jnp.sum(obs * 0.0)
     n0 = jnp.zeros((b,), jnp.float32) + 0.0 * ah0[:, 0]
     (ah_T, n_T), (ahs, norms) = jax.lax.scan(
-        step, (ah0, n0), (mats, mx, jnp.arange(t_len)))
+        step, (ah0, n0), (mats, mx, jnp.arange(t_len)),
+        unroll=_latfb_unroll())
     total = jnp.maximum(_log_safe(ah_T) + lat.final, NEG_INF)
     logz = jax.nn.logsumexp(total, axis=1) + n_T
     return logz, (_log_safe(ahs), norms)
@@ -421,7 +508,8 @@ def _occupancies_matvec_ts(obs, lat: TimeSyncLattice, num_frames, logz,
                     jnp.exp(lat.final - bm0), 0.0) + 0.0 * alphas[0]
     bn0 = bm0[:, 0] + 0.0 * norms[0]
     _, (bhs, bns) = jax.lax.scan(step, (bh0, bn0),
-                                 (mats, mx, jnp.arange(t_len)), reverse=True)
+                                 (mats, mx, jnp.arange(t_len)), reverse=True,
+                                 unroll=_latfb_unroll())
     # one batched arc-gamma pass, parallel in T (no per-step gathers)
     a0 = _alpha0_ts(lat, b, obs)
     alpha_prev = jnp.concatenate([a0[None], alphas[:-1]], axis=0)
@@ -437,11 +525,7 @@ def _occupancies_matvec_ts(obs, lat: TimeSyncLattice, num_frames, logz,
     active = (jnp.arange(t_len)[:, None] < num_frames[None, :])
     gammas_arc = jnp.where(active[:, :, None],
                            jnp.exp(jnp.minimum(log_gamma, 0.0)), 0.0)
-    a_dim = gammas_arc.shape[2]
-    gammas = _seg_sum_slots(
-        gammas_arc.reshape(t_len * b, a_dim),
-        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
-        p_dim).reshape(t_len, b, p_dim)
+    gammas = _arc_pdf_sums(gammas_arc, jnp.swapaxes(lat.pdf, 0, 1), p_dim)
     return jnp.swapaxes(gammas, 0, 1)
 
 
@@ -549,11 +633,7 @@ def _smbr_bwd_matvec_ts(obs, lat: TimeSyncLattice, ref, num_frames, level,
     active = (jnp.arange(t_len)[:, None] < num_frames[None, :])
     contribs = jnp.where(active[:, :, None],
                          gamma * (c_arc - f[None, :, None]), 0.0)
-    a_dim = contribs.shape[2]
-    grads = _seg_sum_slots(
-        contribs.reshape(t_len * b, a_dim),
-        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
-        p_dim).reshape(t_len, b, p_dim)
+    grads = _arc_pdf_sums(contribs, jnp.swapaxes(lat.pdf, 0, 1), p_dim)
     return jnp.swapaxes(grads, 0, 1)
 
 
@@ -646,11 +726,8 @@ def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
             jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
             jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames),
             alpha_prev, anorm_prev[:, :, None], lat.final, logz[:, None])
-        a_dim = gammas_arc.shape[2]
-        gammas = _seg_sum_slots(
-            gammas_arc.reshape(t_len * b, a_dim),
-            jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
-            p_dim).reshape(t_len, b, p_dim)
+        gammas = _arc_pdf_sums(gammas_arc, jnp.swapaxes(lat.pdf, 0, 1),
+                               p_dim)
         return jnp.swapaxes(gammas, 0, 1)
 
     def step(carry, inp):
@@ -683,11 +760,7 @@ def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
     _, gammas_arc = jax.lax.scan(step, (beta0, bnorm0), xs, reverse=True)
     # arc→pdf scatter as ONE batched segment-sum after the scan (parallel
     # in T) instead of a per-iteration [B, num_pdfs] scatter + HBM write
-    a_dim = gammas_arc.shape[2]
-    gammas = _seg_sum_slots(
-        gammas_arc.reshape(t_len * b, a_dim),
-        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
-        p_dim).reshape(t_len, b, p_dim)
+    gammas = _arc_pdf_sums(gammas_arc, jnp.swapaxes(lat.pdf, 0, 1), p_dim)
     return jnp.swapaxes(gammas, 0, 1)
 
 
@@ -862,11 +935,7 @@ def _smbr_ts_bwd(level, silence, res, ct):
           alpha_prev, aacc_prev, anorm_prev, jnp.arange(t_len))
     _, contribs = jax.lax.scan(step, (beta0, bacc0, bnorm0), xs, reverse=True)
     # arc→pdf scatter hoisted out of the scan (see _occupancies_ts)
-    a_dim = contribs.shape[2]
-    grads = _seg_sum_slots(
-        contribs.reshape(t_len * b, a_dim),
-        jnp.swapaxes(lat.pdf, 0, 1).reshape(t_len * b, a_dim),
-        p_dim).reshape(t_len, b, p_dim)
+    grads = _arc_pdf_sums(contribs, jnp.swapaxes(lat.pdf, 0, 1), p_dim)
     return (ct[:, None, None] * jnp.swapaxes(grads, 0, 1), None, None, None, None)
 
 

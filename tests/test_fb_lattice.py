@@ -235,8 +235,6 @@ def test_matvec_form_ragged_and_padded(decoded, monkeypatch):
     np.testing.assert_allclose(np.asarray(g2)[:, :t0], np.asarray(g1),
                                rtol=1e-4, atol=1e-6)
     assert np.abs(np.asarray(g2)[:, t0:]).max() == 0.0
-
-
 def test_banded_memory_shape(decoded):
     """The win itself: slot count ≤ per-frame tokens, not total states."""
     obs, lens, fsas, framed, _p = decoded
@@ -316,3 +314,56 @@ def test_einsum_trans_build_matches_scatter(decoded, monkeypatch):
                       float(smbr(o)), np.asarray(jax.grad(smbr)(o)))
     for a, b in zip(outs["scatter"], outs["einsum"]):
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+def test_pdf_set_gemm_routing_matches_scatter(decoded, monkeypatch):
+    """set_den_pdf_ids routes the arc→pdf reductions through the one-hot
+    GEMM form (ops/fb_lattice._arc_pdf_sums); results must match the
+    scatter form on real decoder lattices for occupancies, MMI grad, and
+    sMBR grad, in both matvec and scan kernel forms."""
+    from pykaldi2_tpu.ops import fb_lattice as fl
+
+    obs, lens, _fsas, framed, p = decoded
+    lat = pack_time_sync(framed, t_pad=obs.shape[1])
+    o, lens_j = jnp.asarray(obs), jnp.asarray(lens)
+    rng = np.random.RandomState(6)
+    ali = jnp.asarray(rng.randint(0, p, obs.shape[:2]).astype(np.int32))
+    mask = (jnp.arange(obs.shape[1])[None] < lens_j[:, None]).astype(
+        jnp.float32)
+    p2p = jnp.asarray(np.arange(p, dtype=np.int32) % 3 + 1)
+    ref = jnp.asarray(rng.randint(0, p, obs.shape[:2]).astype(np.int32))
+
+    def mmi(o_):
+        return jnp.sum(mmi_objective_lattice_ts(o_, ali, lat, lens_j, mask,
+                                                True, 1.0))
+
+    def smbr(o_):
+        return jnp.sum(lattice_expected_accuracy_ts(o_, lat, ref, lens_j,
+                                                    "pdf", p2p))
+
+    # the lattices' pdfs all come from the toy den graph; declare that set
+    pdf_ids = np.unique(np.asarray(lat.pdf))
+    try:
+        outs = {}
+        for declared in (False, True):
+            fl.set_den_pdf_ids(pdf_ids if declared else None)
+            for mv in ("0", "1"):
+                monkeypatch.setenv("PK2_LATFB_MATVEC", mv)
+                z, g = lattice_occupancies_ts(o, lat, lens_j)
+                outs[(declared, mv)] = (
+                    np.asarray(z), np.asarray(g),
+                    np.asarray(jax.grad(mmi)(o)),
+                    np.asarray(jax.grad(smbr)(o)))
+        for mv in ("0", "1"):
+            a, b_ = outs[(False, mv)], outs[(True, mv)]
+            np.testing.assert_allclose(b_[0], a[0], rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(b_[1], a[1], rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(b_[2], a[2], rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(b_[3], a[3], rtol=1e-4, atol=1e-6)
+        # escape hatch: PK2_LATFB_PDFSET=0 forces the scatter even when set
+        fl.set_den_pdf_ids(pdf_ids)
+        monkeypatch.setenv("PK2_LATFB_PDFSET", "0")
+        z, g = lattice_occupancies_ts(o, lat, lens_j)
+        np.testing.assert_allclose(np.asarray(g), outs[(False, "1")][1],
+                                   rtol=1e-6, atol=0)
+    finally:
+        fl.set_den_pdf_ids(None)

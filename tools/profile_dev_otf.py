@@ -23,7 +23,13 @@ import numpy as np
 
 
 def _time(fn, sync, n=10, warmup=2):
-    """fn() dispatches; sync(result) forces completion of the whole result."""
+    """fn() dispatches; sync(result) forces completion of the whole result.
+
+    sync MUST pull a host scalar data-dependent on every output leaf
+    (float() of a device-side sum): through the axon tunnel,
+    block_until_ready returns at enqueue time for fast programs and
+    under-measures by 1000x (repo rule; first version of this tool read
+    the 0.83 s search as 0.2 ms)."""
     r = None
     for _ in range(warmup):
         r = fn()
@@ -33,6 +39,21 @@ def _time(fn, sync, n=10, warmup=2):
         r = fn()
     sync(r)
     return (time.perf_counter() - t0) / n
+
+
+def _sync_scalar(r):
+    """One device-side f32 sum over every numeric leaf, one float() pull."""
+    import jax
+    import jax.numpy as jnp
+
+    total = None
+    for x in jax.tree_util.tree_leaves(r):
+        if not hasattr(x, "dtype"):
+            continue
+        s = jnp.sum(x.astype(jnp.float32))
+        total = s if total is None else total + s
+    assert total is not None
+    np.float32(float(total))  # host pull = completion fence
 
 
 def main():
@@ -51,8 +72,7 @@ def main():
     key = jax.random.PRNGKey(1)
     out = {}
 
-    def sync_tree(r):
-        jax.block_until_ready(r)
+    sync_tree = _sync_scalar
 
     # 1. eval forward (feat pipeline + LSTM fwd + acoustic_scores)
     out["fwd"] = _time(lambda: forward_fn(params, batch), sync_tree)
