@@ -43,6 +43,23 @@ def pytest_runtest_logreport(report):
         _unexpected_skips.append(f"{report.nodeid}: {report.longrepr}")
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_den_pdf_hint():
+    """The den-graph pdf-set routing hint (ops/fb_lattice.set_den_pdf_ids)
+    is process-global by design — the trainer CLIs set it once per run. An
+    in-process CLI test (test_se/test_cli_tools run train_se mains) must not
+    leak it into later kernel tests: the one-hot GEMM route silently zeroes
+    contributions from pdfs outside the declared set."""
+    from pykaldi2_tpu.ops.fb_lattice import set_den_pdf_ids
+
+    set_den_pdf_ids(None)
+    yield
+    set_den_pdf_ids(None)
+
+
 def pytest_sessionfinish(session, exitstatus):
     if _unexpected_skips:
         print("\nUNEXPECTED SKIPS — env-gated skips must be allowlisted in "

@@ -54,15 +54,22 @@ def main():
             os.environ[k_] = v_
         try:
             fn = build()
+
+            def _sync(val, grad):
+                # float() of a value data-dependent on the WHOLE computation:
+                # block_until_ready alone under-measures through the axon
+                # tunnel (repo timing rule, BASELINE.md methodology note)
+                return float(val + jnp.sum(grad))
+
             t0 = time.perf_counter()
             v, g = fn(obs)
-            jax.block_until_ready(g)
+            _sync(v, g)
             compile_s = time.perf_counter() - t0
             n = 10
             t0 = time.perf_counter()
             for _ in range(n):
                 v, g = fn(obs)
-            jax.block_until_ready(g)
+            _sync(v, g)
             ms = (time.perf_counter() - t0) / n * 1e3
             print(json.dumps({"path": name, "ok": True,
                               "compile_s": round(compile_s, 1),
