@@ -430,8 +430,9 @@ def _run_on_the_fly(args, cfg, log, metrics_log, dataset, feat_fn, model,
     # declare the den graph's static pdf-id set: every on-the-fly lattice
     # (host- or device-decoded) emits pdfs from it, which routes the banded
     # kernels' arc→pdf reductions through the one-hot GEMM form instead of
-    # the scatter (ops/fb_lattice._arc_pdf_sums; the scatter was 425 ms of
-    # the 852 ms device-mode train step, BASELINE.md round 5)
+    # the scatter (ops/fb_lattice._arc_pdf_sums; the route cut the
+    # device-mode banded train step 1159 → 635 ms at the B=32/T=448 config
+    # — BASELINE.md round-5 itemization row)
     from pykaldi2_tpu.ops.fb_lattice import set_den_pdf_ids
     set_den_pdf_ids([a.ilabel - 1 for s_arcs in den_fst.arcs
                      for a in s_arcs if a.ilabel > 0] or [0])

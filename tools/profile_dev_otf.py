@@ -66,15 +66,22 @@ def main():
     from pykaldi2_tpu.trainer import make_ce_train_step
     from pykaldi2_tpu.utils import make_optimizer
 
+    def note(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", flush=True)
+
+    note("devices: %s" % (jax.devices(),))
     B, T, P = 32, 448, bench.NUM_PDFS
+    note("setup (graph build + pack + device_put)...")
     graph, forward_fn, train_fn, batch, params, opt_state = \
         bench._dev_otf_setup(B, T, "mmi")
+    note("setup done")
     key = jax.random.PRNGKey(1)
     out = {}
 
     sync_tree = _sync_scalar
 
     # 1. eval forward (feat pipeline + LSTM fwd + acoustic_scores)
+    note("compiling/timing fwd...")
     out["fwd"] = _time(lambda: forward_fn(params, batch), sync_tree)
     obs = forward_fn(params, batch)
     jax.block_until_ready(obs)
