@@ -63,13 +63,14 @@ CHECK_FLOORS = {
     "lat_mmi": 42.0,
     # FULL on-the-fly SE step with the ON-DEVICE decoder (forward + batched
     # beam search over the 79k-arc den HCLG + banded train step; VERDICT r2
-    # item 1): measured r3 1.55 s/batch at B=32/T=448 = 7.5 utt/s (search
-    # 0.70 s after degree bucketing + payload-sort band compaction; banded
-    # train step 0.65 s with the matvec-form lattice FB default-on). Long
-    # compile through the remote tunnel, but the number is the round-3/4
-    # headline — included in the plain bench JSON since r4 (VERDICT r3
-    # missing #2), with one retry on transient tunnel errors.
-    "dev_otf": 6.8,
+    # item 1): measured r5 1.07 s/batch at B=32/T=448 = 10.9 utt/s (search
+    # 0.70 s; banded train ~0.35 s after the arc->pdf one-hot GEMM route +
+    # adaptive band compaction to the true-occupancy 128-multiple bucket —
+    # BASELINE.md r5 rows). Long compile through the remote tunnel, but the
+    # number is the round-3/4/5 headline — included in the plain bench JSON
+    # since r4 (VERDICT r3 missing #2), with one retry on transient tunnel
+    # errors.
+    "dev_otf": 10.0,
     # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
     # (ops/fb_block.py; measured r4 206.8 ms/step = 25.2 utt/s = 4.6x the
     # arc tables, which OOM outright at B=16/T=300). History: 447 ms COO
@@ -419,7 +420,8 @@ def _measure_device_otf(batch_size: int = 32, t_len: int = 448,
     on one chip."""
     import jax
 
-    from pykaldi2_tpu.decode.device_lattice import device_lattice_generate
+    from pykaldi2_tpu.decode.device_lattice import (_compact_band,
+                                                    device_lattice_generate)
 
     graph, forward_fn, train_fn, batch, params, opt_state = _dev_otf_setup(
         batch_size, t_len, criterion)
@@ -430,6 +432,11 @@ def _measure_device_otf(batch_size: int = 32, t_len: int = 448,
         lat, _scores, _dropped = device_lattice_generate(
             obs, graph, batch["num_frames"], max_active=200, max_arcs=800,
             beam=10.0, lattice_beam=4.0)
+        # adaptive band compaction, exactly as train_se's device branch: the
+        # FB is ~linear in the band width; slicing to the true-occupancy
+        # 128-multiple bucket is lossless (BASELINE.md r5 occupancy row).
+        # Costs the one scalar sync per step production pays.
+        lat, _ = _compact_band(lat, None)
         key, sk = jax.random.split(key)
         return train_fn(params, opt_state, batch, lat, sk) + (key,)
 

@@ -1020,7 +1020,7 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
     Device inputs are band-compacted BEFORE the device→host copy: the band
     sort orders every frame's links best-first with NEG_INF padding last,
     so valid links are a prefix of the A axis and slicing to the smallest
-    power-of-two bucket ≥ the batch's true max link count drops ONLY
+    128-multiple bucket ≥ the batch's true max link count drops ONLY
     padding — identical lattices, 4-8× fewer D2H bytes on typically-sparse
     eval bands (through a remote-device tunnel the copy, not the search,
     dominated dev_eval e2e). ``PK2_B2F_COMPACT=0`` disables.
@@ -1039,13 +1039,18 @@ def banded_to_fsas(lat: TimeSyncLattice, num_frames, olabels=None):
 
 
 def _compact_band(lat: TimeSyncLattice, olabels, min_a: int = 128):
-    """Slice the band (A) axis to the smallest power-of-two bucket covering
+    """Slice the band (A) axis to the smallest 128-multiple bucket covering
     every frame's valid-link count. Valid links are a per-frame PREFIX of
     the A axis (they come out of the frame-end band sort best-first, padding
     last), so the slice removes only NEG_INF padding — the converted
     lattices are identical. Bucketing (instead of the exact max) bounds the
-    downstream shape set; the one-scalar device sync it costs happens right
-    where the conversion was about to sync the full arrays anyway."""
+    downstream shape set to ≤ A/128 shapes while keeping the last axis
+    lane-aligned (128-multiples, not powers of two: the round-5 occupancy
+    measurement found a 375-link true max on the 800-wide bench band, where
+    pow2 pays for 512 and a 128-multiple pays for 384 — 404 vs 312 ms
+    lattice-FB). The one-scalar device sync it costs happens right where
+    the conversion was about to sync the full arrays anyway (eval path) or
+    right before the train step needs the shape (OTF train path)."""
     if os.environ.get("PK2_B2F_COMPACT", "1") == "0":
         return lat, olabels
     a_dim = lat.src.shape[2]
@@ -1053,9 +1058,7 @@ def _compact_band(lat: TimeSyncLattice, olabels, min_a: int = 128):
         return lat, olabels
     w = jnp.asarray(lat.weight)
     m = int(jnp.max(jnp.sum(w > 0.5 * NEG_INF, axis=2)))
-    bucket = min_a
-    while bucket < m:
-        bucket *= 2
+    bucket = max(min_a, -(-max(m, 1) // 128) * 128)
     if bucket >= a_dim:
         return lat, olabels
 
