@@ -58,19 +58,25 @@ CHECK_FLOORS = {
     # ≈ 205 utt/s); floor set from the r3 on-chip measurement minus ~10%
     "dense_fb": 180.0,
     # banded time-sync lattice MMI fwd+grad (ops/fb_lattice.py) at the
-    # worst-case on-the-fly shape B=32/T=448/K=A=256/P=8952 (r3: matvec
-    # form default-on, 252 ms/step ≈ 46.3 utt/s; scan form was 277 ms)
-    "lat_mmi": 42.0,
+    # worst-case on-the-fly shape B=32/T=448/K=A=256/P=8952. History:
+    # r3 matvec form 252 ms ≈ 46.3 utt/s; r5 arc->pdf one-hot GEMM route
+    # inverted the ranking (scan 107 ms, matvec 208) and the one-hot
+    # Pallas kernels finally lower on chip (bit-exact vs the scan,
+    # 106.8 ms, default-on for TPU): measured 107.9 utt/s — the probe
+    # lattice is now CONNECTED (self-loop spine; the old fully-random
+    # lattice was subcritical and died by frame ~250, see
+    # tools/probe_latfb_pallas.py)
+    "lat_mmi": 95.0,
     # FULL on-the-fly SE step with the ON-DEVICE decoder (forward + batched
     # beam search over the 79k-arc den HCLG + banded train step; VERDICT r2
-    # item 1): measured r5 1.07 s/batch at B=32/T=448 = 10.9 utt/s (search
-    # 0.70 s; banded train ~0.35 s after the arc->pdf one-hot GEMM route +
-    # adaptive band compaction to the true-occupancy 128-multiple bucket —
-    # BASELINE.md r5 rows). Long compile through the remote tunnel, but the
-    # number is the round-3/4/5 headline — included in the plain bench JSON
-    # since r4 (VERDICT r3 missing #2), with one retry on transient tunnel
-    # errors.
-    "dev_otf": 10.0,
+    # item 1): measured r5 session-3 12.66 utt/s at B=32/T=448 (search
+    # 0.70 s; banded train ~0.16 s: arc->pdf one-hot GEMM route + adaptive
+    # band compaction + the Pallas one-hot lattice-FB default — BASELINE.md
+    # r5 rows; r4 was 7.46). Long compile through the remote tunnel, but
+    # the number is the round-3/4/5 headline — included in the plain bench
+    # JSON since r4 (VERDICT r3 missing #2), with one retry on transient
+    # tunnel errors.
+    "dev_otf": 11.5,
     # block-sparse FB grad(logZ) on the 96k-state chain graph, B=64/T=100
     # (ops/fb_block.py; measured r4 206.8 ms/step = 25.2 utt/s = 4.6x the
     # arc tables, which OOM outright at B=16/T=300). History: 447 ms COO

@@ -294,6 +294,14 @@ def use_matvec_latfb(t_len: int, b: int, k: int, n_mats: int = 1) -> bool:
     wins; otherwise an explicit ``PK2_PALLAS_LATFB=1`` opt-in disables the
     matvec auto-default so the Pallas path is actually reachable; otherwise
     auto.
+
+    NOTE (round 5 session 3): the MMI callers consult ``use_pallas_latfb``
+    BEFORE this gate — on the TPU backend the Pallas kernels are the
+    default MMI route (bit-exact vs the scan form, 2.6x the matvec form at
+    the compacted OTF shape), so this gate decides only the non-Pallas
+    shapes and the sMBR/MPE recursions.  The r3 "matvec beats scan"
+    ranking has also INVERTED at the lat_mmi bench shape since the
+    arc→pdf one-hot GEMM route (scan 107 ms vs matvec 208 on chip).
     """
     env = os.environ.get("PK2_LATFB_MATVEC")
     if env == "":
@@ -641,22 +649,35 @@ def _logz_fwd_ts(obs, lat: TimeSyncLattice, num_frames):
     b, t_len, _p = obs.shape
     k = lat.num_slots
 
-    if use_matvec_latfb(t_len, b, k):
-        return _logz_fwd_matvec_ts(obs, lat, num_frames)
+    from pykaldi2_tpu.ops.fb_lattice_pallas import (_pad128, make_logz_fwd,
+                                                    use_pallas_latfb)
 
-    from pykaldi2_tpu.ops.fb_lattice_pallas import make_logz_fwd, use_pallas_latfb
-
+    # route precedence (round-5 session-3 on-chip verdict, BASELINE.md r5):
+    # the one-hot Pallas kernels are BIT-EXACT vs the scan form and ~2x the
+    # matvec form at the lat_mmi bench shape, so on TPU they go first; the
+    # matvec form serves unsupported shapes (its auto byte-budget gate is
+    # unchanged) and the scan form is the final fallback
     if use_pallas_latfb(b, k, lat.src.shape[2]):
         # fused Mosaic step: VMEM-resident alpha carry, one kernel per frame
         # instead of the scan's per-iteration dispatch chain (VERDICT r2
-        # item 6); identical math/masking as the scan below
-        alphas, norms = make_logz_fwd(k)(
+        # item 6); identical math/masking as the scan below.  Slot counts
+        # are padded to the lane multiple (pad slots are inert: no arc
+        # addresses them, see fb_lattice_pallas._pad128) and the residual
+        # alphas sliced back so the bwd sees the caller's k.
+        kp = _pad128(k)
+        final_p = (lat.final if kp == k else
+                   jnp.pad(lat.final, ((0, 0), (0, kp - k)),
+                           constant_values=NEG_INF))
+        alphas, norms = make_logz_fwd(kp)(
             _obs_arcs_ts(obs, lat),
             jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
             jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames))
-        total = jnp.maximum(alphas[-1] + lat.final, NEG_INF)
+        total = jnp.maximum(alphas[-1] + final_p, NEG_INF)
         logz = jax.nn.logsumexp(total, axis=1) + norms[-1]
-        return logz, (alphas, norms)
+        return logz, (alphas[..., :k], norms)
+
+    if use_matvec_latfb(t_len, b, k):
+        return _logz_fwd_matvec_ts(obs, lat, num_frames)
 
     def step(carry, inp):
         alpha, norm = carry
@@ -709,6 +730,34 @@ def _logz_ts_bwd(res, ct):
 def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
     b, t_len, p_dim = obs.shape
     k = lat.num_slots
+
+    from pykaldi2_tpu.ops.fb_lattice_pallas import (_pad128,
+                                                    make_occupancies_bwd,
+                                                    use_pallas_latfb)
+
+    if use_pallas_latfb(b, k, lat.src.shape[2]):
+        # same route precedence + pad-slot shim as _logz_fwd_ts
+        kp = _pad128(k)
+
+        def padk(x):
+            return (x if kp == k else
+                    jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, kp - k)],
+                            constant_values=NEG_INF))
+
+        alpha_prev = jnp.concatenate(
+            [_alpha0_ts(lat, b, obs)[None], alphas[:-1]], axis=0)
+        anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32),
+                                      norms[:-1]], axis=0)
+        gammas_arc = make_occupancies_bwd(kp)(
+            _obs_arcs_ts(obs, lat),
+            jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+            jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames),
+            padk(alpha_prev), anorm_prev[:, :, None], padk(lat.final),
+            logz[:, None])
+        gammas = _arc_pdf_sums(gammas_arc, jnp.swapaxes(lat.pdf, 0, 1),
+                               p_dim)
+        return jnp.swapaxes(gammas, 0, 1)
+
     if use_matvec_latfb(t_len, b, k):
         return _occupancies_matvec_ts(obs, lat, num_frames, logz, alphas,
                                       norms)
@@ -716,19 +765,6 @@ def _occupancies_ts(obs, lat: TimeSyncLattice, num_frames, logz, alphas, norms):
     bnorm0 = jnp.zeros((b,), jnp.float32) + 0.0 * norms[0]
     alpha_prev = jnp.concatenate([_alpha0_ts(lat, b, obs)[None], alphas[:-1]], axis=0)
     anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32), norms[:-1]], axis=0)
-
-    from pykaldi2_tpu.ops.fb_lattice_pallas import (make_occupancies_bwd,
-                                                    use_pallas_latfb)
-
-    if use_pallas_latfb(b, k, lat.src.shape[2]):
-        gammas_arc = make_occupancies_bwd(k)(
-            _obs_arcs_ts(obs, lat),
-            jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
-            jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames),
-            alpha_prev, anorm_prev[:, :, None], lat.final, logz[:, None])
-        gammas = _arc_pdf_sums(gammas_arc, jnp.swapaxes(lat.pdf, 0, 1),
-                               p_dim)
-        return jnp.swapaxes(gammas, 0, 1)
 
     def step(carry, inp):
         beta, bnorm = carry

@@ -25,7 +25,12 @@ the slot gather and the dst segment-sum are one-hot batched matmuls
 a VMEM scratch ref and read back BEFORE any elementwise op touches it —
 the round-3 probe found the one-hot einsums compile ALONE and only the
 fused dot→elementwise chain trips Mosaic's "only constant accumulators
-supported", so the ref round-trip severs that chain.  One-hot × value
+supported", so the ref round-trip severs that chain.  Round-5 session-3
+chip probe: batched ``tpu.matmul`` additionally requires the contracting
+dim of BOTH operands to be the LAST dim when the rhs is vector-like, so
+the scatter dot uses a transposed one-hot built directly from iota
+(`_onehot_t`) — with that, BOTH kernels lower and run on this image for
+the first time.  One-hot × value
 under ``precision=HIGHEST`` is exact in f32 (the bf16-triple expansion
 represents f32 inputs exactly; each output sums exactly one product), so
 parity with the XLA scan is bit-level, not approximate.
@@ -55,18 +60,50 @@ from pykaldi2_tpu.ops.fb import NEG_INF
 from pykaldi2_tpu.ops.lstm_pallas import _match_vma, _sds
 
 
+def _pad128(k: int) -> int:
+    """Slot count padded to the lane multiple the kernels require.  Pad
+    slots are inert: gathers/scatters only ever address idx < k (one-hot
+    compares cannot match a pad lane), so alphas/betas at pads stay at
+    their NEG_INF init and the ≤k prefix is bit-identical to a k-wide
+    kernel.  The fb_lattice shims pad `final`/`alpha_prev` with NEG_INF
+    and slice the residuals back."""
+    return -(-k // 128) * 128
+
+
+def _chunk_a(b: int, k: int, a: int) -> int:
+    """Band-axis chunk width: the [B, CA, K] one-hot transient is the
+    dominant VMEM cost of the matmul formulation, so wide bands process
+    the band in 128-arc slices (two live one-hot orientations budgeted at
+    ~4 MiB each at the OTF shapes)."""
+    kp = _pad128(k)
+    if 4 * b * a * kp <= 4 * 1024 * 1024:
+        return a
+    return 128
+
+
 def use_pallas_latfb(b: int, k: int, a: int) -> bool:
     env = os.environ.get("PK2_PALLAS_LATFB")
     if env is not None and env not in ("0", "1"):
         raise ValueError(f"PK2_PALLAS_LATFB={env!r}: expected 0 or 1")
-    # opt-in only: the round-5 one-hot formulation is interpret-verified;
-    # flip the default only after an on-chip parity + timing win
-    enabled = env == "1"
-    return (enabled and b % 8 == 0 and k % 128 == 0 and a % 128 == 0
-            # carries + one band block + the transient [B, A, K] one-hot
-            # (the dominant VMEM cost of the matmul formulation)
-            and (4 * b * (2 * k + 4 * a) + 8 * b
-                 + 4 * b * a * k) < 12 * 1024 * 1024)
+    if env == "0":
+        return False
+    if env != "1":
+        # default: ON for the real TPU backend after the round-5 on-chip
+        # verdict (parity vs both XLA forms + 1.94x timing at the lat_mmi
+        # bench shape — BASELINE.md round 5); an explicit
+        # PK2_LATFB_MATVEC=1 keeps the XLA matvec route
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        if os.environ.get("PK2_LATFB_MATVEC") == "1":
+            return False
+    kp = _pad128(k)
+    ca = _chunk_a(b, k, a)
+    return (b % 8 == 0 and a % 128 == 0
+            # carries + band blocks + two chunked one-hot transients
+            and (4 * b * (2 * kp + 6 * a) + 8 * b
+                 + 2 * 4 * b * ca * kp) < 12 * 1024 * 1024)
 
 
 def _onehot(idx, k):
@@ -75,8 +112,21 @@ def _onehot(idx, k):
     return (idx[:, :, None] == lane).astype(jnp.float32)
 
 
+def _onehot_t(idx, k):
+    """idx [B, A] int32 → the TRANSPOSED one-hot [B, k, A], built directly
+    from iota (a [B,A,K]→[B,K,A] transpose inside the kernel would be a
+    relayout; two iota-compares are VPU-trivial). Mosaic's batched
+    `tpu.matmul` only lowers when the contracting dim of BOTH operands is
+    the LAST dim and the rhs is vector-like [B, n] — the round-5 on-chip
+    probe hit exactly that (`rhs non contracting dims must be an
+    infix/suffix … or the contracting dim of lhs/rhs must be the last
+    dim`), so the scatter dot contracts A as the last dim of this layout."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], k) + idx.shape[1:], 1)
+    return (idx[:, None, :] == lane).astype(jnp.float32)
+
+
 _DN_GATHER = (((2,), (1,)), ((0,), (0,)))   # [B,A,K] · [B,K] → [B,A]
-_DN_SCATTER = (((1,), (1,)), ((0,), (0,)))  # [B,A,K] · [B,A] → [B,K]
+_DN_SCATTER = (((2,), (1,)), ((0,), (0,)))  # [B,K,A] · [B,A] → [B,K]
 
 
 def _gather_dot(oh, vals):
@@ -86,9 +136,10 @@ def _gather_dot(oh, vals):
                                preferred_element_type=jnp.float32)
 
 
-def _scatter_add_dot(oh, vals):
-    """per-row segment sum Σ_a vals[b,a]·[idx[b,a]==k] → [B, K]."""
-    return jax.lax.dot_general(oh, vals, _DN_SCATTER,
+def _scatter_add_dot(oh_t, vals):
+    """per-row segment sum Σ_a vals[b,a]·[idx[b,a]==k] → [B, K];
+    ``oh_t`` is the transposed one-hot from `_onehot_t` (see its note)."""
+    return jax.lax.dot_general(oh_t, vals, _DN_SCATTER,
                                precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
 
@@ -99,7 +150,8 @@ def _scatter_add_dot(oh, vals):
 
 
 def _fwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref,
-                alphas_ref, norms_ref, alpha_s, norm_s, gat_s, sum_s, *, k):
+                alphas_ref, norms_ref, alpha_s, norm_s, gat_s, sum_s,
+                chunk_s, *, k, ca):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -109,13 +161,21 @@ def _fwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref,
         norm_s[:] = jnp.zeros_like(norm_s)
 
     alpha = alpha_s[:]                                   # [B, K]
+    a = gat_s.shape[1]
     # dot results round-trip through scratch refs before ANY elementwise
-    # op reads them (severs the Mosaic accumulator chain — module docstring)
-    gat_s[:] = _gather_dot(_onehot(src_ref[0], k), alpha)
+    # op reads them (severs the Mosaic accumulator chain — module
+    # docstring); the band is processed in ca-wide chunks so the [B,CA,K]
+    # one-hot transients stay within VMEM at wide-band shapes
+    for c in range(0, a, ca):
+        gat_s[:, c:c + ca] = _gather_dot(
+            _onehot(src_ref[0][:, c:c + ca], k), alpha)
     score = gat_s[:] + w_ref[0] + obs_ref[0]
     mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
     lin = jnp.exp(score - mx)
-    sum_s[:] = _scatter_add_dot(_onehot(dst_ref[0], k), lin)
+    for i, c in enumerate(range(0, a, ca)):
+        chunk_s[:] = _scatter_add_dot(
+            _onehot_t(dst_ref[0][:, c:c + ca], k), lin[:, c:c + ca])
+        sum_s[:] = chunk_s[:] if i == 0 else sum_s[:] + chunk_s[:]
     summed = sum_s[:]
     new_alpha = jnp.where(summed > 0,
                           jnp.log(jnp.where(summed > 0, summed, 1.0)),
@@ -135,9 +195,10 @@ def make_logz_fwd(k: int):
     def run(obs_arc, src, dst, w, active):
         obs_arc, src, dst, w, active = _match_vma(obs_arc, src, dst, w, active)
         t_len, b, a = obs_arc.shape
+        ca = _chunk_a(b, k, a)
         io = lambda t: (t, 0, 0)
         alphas, norms = pl.pallas_call(
-            functools.partial(_fwd_kernel, k=k),
+            functools.partial(_fwd_kernel, k=k, ca=ca),
             grid=(t_len,),
             in_specs=[pl.BlockSpec((1, b, a), io, memory_space=pltpu.VMEM)] * 4
             + [pl.BlockSpec((1, b, 1), io, memory_space=pltpu.VMEM)],
@@ -154,6 +215,7 @@ def make_logz_fwd(k: int):
                 pltpu.VMEM((b, 1), jnp.float32),
                 pltpu.VMEM((b, a), jnp.float32),
                 pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
             ],
         )(obs_arc, src, dst, w, active)
         return alphas, norms[:, :, 0]
@@ -168,7 +230,7 @@ def make_logz_fwd(k: int):
 
 def _bwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref, aprev_ref,
                 anorm_ref, final_ref, logz_ref, gamma_ref, beta_s, bnorm_s,
-                gat_s, sum_s, ga2_s, *, k):
+                gat_s, sum_s, ga2_s, chunk_s, *, k, ca):
     t = pl.program_id(0)  # reversed via index maps
 
     @pl.when(t == 0)
@@ -179,20 +241,27 @@ def _bwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref, aprev_ref,
     beta = beta_s[:]
     bnorm = bnorm_s[:]
     obs_w = w_ref[0] + obs_ref[0]
-    oh_src = _onehot(src_ref[0], k)
-    gat_s[:] = _gather_dot(_onehot(dst_ref[0], k), beta)
+    a = gat_s.shape[1]
+    for c in range(0, a, ca):
+        gat_s[:, c:c + ca] = _gather_dot(
+            _onehot(dst_ref[0][:, c:c + ca], k), beta)
     beta_dst = gat_s[:]
     score = obs_w + beta_dst
     mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
     lin = jnp.exp(score - mx)
-    sum_s[:] = _scatter_add_dot(oh_src, lin)
+    for i, c in enumerate(range(0, a, ca)):
+        chunk_s[:] = _scatter_add_dot(
+            _onehot_t(src_ref[0][:, c:c + ca], k), lin[:, c:c + ca])
+        sum_s[:] = chunk_s[:] if i == 0 else sum_s[:] + chunk_s[:]
     summed = sum_s[:]
     new_beta = jnp.where(summed > 0,
                          jnp.log(jnp.where(summed > 0, summed, 1.0)),
                          NEG_INF) + mx
     m2 = jnp.max(new_beta, axis=1, keepdims=True)
     new_beta_n = new_beta - m2
-    ga2_s[:] = _gather_dot(oh_src, aprev_ref[0])
+    for c in range(0, a, ca):
+        ga2_s[:, c:c + ca] = _gather_dot(
+            _onehot(src_ref[0][:, c:c + ca], k), aprev_ref[0])
     log_gamma = (ga2_s[:] + anorm_ref[0]
                  + obs_w + beta_dst + bnorm - logz_ref[:])
     gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
@@ -209,10 +278,11 @@ def make_occupancies_bwd(k: int):
          logz) = _match_vma(obs_arc, src, dst, w, active, alpha_prev,
                            anorm_prev, final, logz)
         t_len, b, a = obs_arc.shape
+        ca = _chunk_a(b, k, a)
         rev = lambda t: (t_len - 1 - t, 0, 0)
         fin = lambda t: (0, 0)
         (gamma,) = pl.pallas_call(
-            functools.partial(_bwd_kernel, k=k),
+            functools.partial(_bwd_kernel, k=k, ca=ca),
             grid=(t_len,),
             in_specs=[pl.BlockSpec((1, b, a), rev, memory_space=pltpu.VMEM)] * 4
             + [pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
@@ -228,6 +298,7 @@ def make_occupancies_bwd(k: int):
                 pltpu.VMEM((b, a), jnp.float32),
                 pltpu.VMEM((b, k), jnp.float32),
                 pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
             ],
         )(obs_arc, src, dst, w, active, alpha_prev, anorm_prev, final, logz)
         return gamma

@@ -60,9 +60,14 @@ def test_gate_respects_shapes(monkeypatch):
 
     monkeypatch.setenv("PK2_PALLAS_LATFB", "1")
     assert use_pallas_latfb(8, 128, 256)
+    assert use_pallas_latfb(8, 100, 128)        # slots pad to 128 (shim)
+    assert use_pallas_latfb(32, 200, 384)       # the compacted OTF shape
     assert not use_pallas_latfb(7, 128, 128)    # batch not 8-aligned
-    assert not use_pallas_latfb(8, 100, 128)    # slots not lane-aligned
+    assert not use_pallas_latfb(8, 128, 100)    # band not lane-aligned
     monkeypatch.setenv("PK2_PALLAS_LATFB", "0")
+    assert not use_pallas_latfb(8, 128, 128)
+    # default (env unset): ON only for the real TPU backend — off here (CPU)
+    monkeypatch.delenv("PK2_PALLAS_LATFB")
     assert not use_pallas_latfb(8, 128, 128)
 
 
@@ -95,6 +100,60 @@ def test_mmi_grad_parity(_interpret, monkeypatch):
 
     (v_ref, g_ref), (v_pal, g_pal) = _both(monkeypatch, f)
     np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_padded_slot_count(_interpret, monkeypatch):
+    """K=200 (not lane-aligned): the kernels run at kp=256 with inert pad
+    slots and must match the XLA route exactly (the OTF train path's
+    lattices have K = max_active = 200)."""
+    k2 = 200
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 24, (B, T, A)).astype(np.int32)
+    src[:, 0, :] = 0
+    dst = rng.randint(0, 24, (B, T, A)).astype(np.int32)
+    w = (rng.randn(B, T, A) * 0.3).astype(np.float32)
+    w[:, :, 96:] = NEG_INF
+    final = np.full((B, k2), NEG_INF, np.float32)
+    final[:, :24] = (rng.randn(B, 24) * 0.2).astype(np.float32)
+    lat = TimeSyncLattice(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(rng.randint(0, P, (B, T, A)).astype(np.int32)),
+                          jnp.asarray(w), jnp.asarray(final))
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(rng.randint(2, T + 1, B).astype(np.int32))
+    (z_ref, g_ref), (z_pal, g_pal) = _both(
+        monkeypatch, lambda: lattice_occupancies_ts(obs, lat, lens))
+    np.testing.assert_allclose(np.asarray(z_pal), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_band(_interpret, monkeypatch):
+    """A wide enough (2048 at B=8/K=128) that _chunk_a picks ca=128: the
+    in-kernel chunk loop's gather/scatter accumulation must be lossless."""
+    from pykaldi2_tpu.ops.fb_lattice_pallas import _chunk_a
+
+    a2 = 2048
+    assert _chunk_a(B, K, a2) == 128  # the loop actually engages
+    rng = np.random.RandomState(9)
+    src = rng.randint(0, 24, (B, T, a2)).astype(np.int32)
+    src[:, 0, :] = 0
+    dst = rng.randint(0, 24, (B, T, a2)).astype(np.int32)
+    w = (rng.randn(B, T, a2) * 0.3).astype(np.float32)
+    w[:, :, a2 * 3 // 4:] = NEG_INF
+    final = np.full((B, K), NEG_INF, np.float32)
+    final[:, :24] = 0.0
+    lat = TimeSyncLattice(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.asarray(rng.randint(0, P, (B, T, a2)).astype(np.int32)),
+                          jnp.asarray(w), jnp.asarray(final))
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    lens = jnp.asarray(rng.randint(2, T + 1, B).astype(np.int32))
+    (z_ref, g_ref), (z_pal, g_pal) = _both(
+        monkeypatch, lambda: lattice_occupancies_ts(obs, lat, lens))
+    np.testing.assert_allclose(np.asarray(z_pal), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
 

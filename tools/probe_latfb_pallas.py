@@ -26,17 +26,41 @@ def main():
     from pykaldi2_tpu.ops.fb_lattice import (TimeSyncLattice,
                                              mmi_objective_lattice_ts)
 
+    from pykaldi2_tpu.ops.fb import NEG_INF
+
     args = [int(x) for x in sys.argv[1:5]]
     B, T, K, A = (args + [32, 448, 256, 256][len(args):])
     NUM_PDFS = 8952
     rng = np.random.RandomState(0)
+    # realistic CONNECTED banded lattice. Two traps found round 5 session 3
+    # (both produced logZ = NEG_INF on chip AND CPU alike — the math was
+    # right, the inputs were degenerate): (a) a fully random lattice with
+    # final=0 compares garbage against garbage; (b) random src/dst over
+    # `live` slots with n_arcs ≈ live is a SUBCRITICAL branching process
+    # (alive-set branching factor n_live_arcs/live < 1 ⇒ the alive slot set
+    # contracts to extinction by ~frame 250 at T=448 and the TRUE logZ is
+    # NEG_INF). Arcs [0:live] are a deterministic self-loop spine (slot
+    # j→j), so every live slot stays alive; arcs [live:4A/5] are random;
+    # the rest are NEG_INF padding.
+    live = min(K - 8, A // 2)
+    spine = np.broadcast_to(np.arange(live, dtype=np.int32), (B, T, live))
+    src = np.concatenate(
+        [spine, rng.randint(0, live, (B, T, A - live)).astype(np.int32)], 2)
+    dst = np.concatenate(
+        [spine, rng.randint(0, live, (B, T, A - live)).astype(np.int32)], 2)
+    src = np.ascontiguousarray(src)
+    src[:, 0, :] = 0  # frame 0 leaves the single start slot
+    w = (rng.randn(B, T, A) * 0.3).astype(np.float32)
+    w[:, :, A * 4 // 5:] = NEG_INF  # ~20% padding arcs per frame
+    final = np.full((B, K), NEG_INF, np.float32)
+    final[:, :live] = (rng.randn(B, live) * 0.2).astype(np.float32)
     lat = TimeSyncLattice(
-        src=jax.device_put(rng.randint(0, K, (B, T, A)).astype(np.int32)),
-        dst=jax.device_put(rng.randint(0, K, (B, T, A)).astype(np.int32)),
+        src=jax.device_put(src),
+        dst=jax.device_put(dst),
         pdf=jax.device_put(
             rng.randint(0, NUM_PDFS, (B, T, A)).astype(np.int32)),
-        weight=jax.device_put((rng.randn(B, T, A) * 0.1).astype(np.float32)),
-        final=jax.device_put(np.zeros((B, K), np.float32)),
+        weight=jax.device_put(w),
+        final=jax.device_put(final),
     )
     obs = jax.device_put(
         rng.randn(B, T, NUM_PDFS).astype(np.float32) * 0.1)
@@ -85,15 +109,28 @@ def main():
             for k_ in env:
                 os.environ.pop(k_, None)
 
-    v_ref, g_ref = run("xla_default", {})
-    v_pal, g_pal = run("pallas_onehot", {"PK2_PALLAS_LATFB": "1"})
-    if g_ref is not None and g_pal is not None:
-        dv = abs(v_pal - v_ref) / max(abs(v_ref), 1.0)
-        dg = float(np.max(np.abs(g_pal - g_ref))
-                   / max(float(np.max(np.abs(g_ref))), 1e-9))
-        print(json.dumps({"parity": {"rel_dvalue": dv, "rel_dgrad_max": dg,
-                                     "pass": dv < 1e-5 and dg < 1e-4}}),
+    v_mv, g_mv = run("xla_matvec", {"PK2_LATFB_MATVEC": "1"})
+    v_sc, g_sc = run("xla_scan", {"PK2_LATFB_MATVEC": "0",
+                                  "PK2_PALLAS_LATFB": "0"})
+    v_pal, g_pal = run("pallas_onehot", {"PK2_LATFB_MATVEC": "0",
+                                         "PK2_PALLAS_LATFB": "1"})
+
+    def rel(name, va, ga, vb, gb):
+        if ga is None or gb is None:
+            return
+        dv = abs(va - vb) / max(abs(vb), 1.0)
+        dg = float(np.max(np.abs(ga - gb))
+                   / max(float(np.max(np.abs(gb))), 1e-9))
+        # bar: 1e-3 rel on grads — three exp-space renormalized f32
+        # recursions over T=448 frames; the XLA scan-vs-matvec pair bounds
+        # the inherent form-to-form noise (printed alongside)
+        print(json.dumps({name: {"rel_dvalue": dv, "rel_dgrad_max": dg,
+                                 "pass": dv < 1e-5 and dg < 1e-3}}),
               flush=True)
+
+    rel("parity_pallas_vs_matvec", v_pal, g_pal, v_mv, g_mv)
+    rel("parity_pallas_vs_scan", v_pal, g_pal, v_sc, g_sc)
+    rel("parity_matvec_vs_scan", v_mv, g_mv, v_sc, g_sc)
 
 
 if __name__ == "__main__":
