@@ -869,6 +869,31 @@ def _smbr_fwd_ts(obs, lat: TimeSyncLattice, ref, num_frames, level,
                  pdf_to_phone, silence=None):
     b, t_len, _p = obs.shape
     k = lat.num_slots
+
+    from pykaldi2_tpu.ops.fb_lattice_pallas import (_pad128, make_smbr_fwd,
+                                                    use_pallas_latfb)
+
+    # same route precedence as _logz_fwd_ts: one-hot Pallas kernels first on
+    # TPU (the acc recursion is the MMI recursion plus a linear carry; the
+    # per-arc accuracies incl. silence rules are computed here in XLA and
+    # streamed into the kernel as a [T,B,A] band), matvec for unsupported
+    # shapes, scan as the final fallback
+    if use_pallas_latfb(b, k, lat.src.shape[2], n_acc=2):
+        kp = _pad128(k)
+        arc_acc = _arc_acc_ts(lat, ref, level, pdf_to_phone, silence)
+        alphas, aaccs, norms = make_smbr_fwd(kp)(
+            _obs_arcs_ts(obs, lat),
+            jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+            jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames),
+            arc_acc)
+        alphas = alphas[..., :k]
+        aaccs = aaccs[..., :k]
+        total = jnp.maximum(alphas[-1] + lat.final, NEG_INF)
+        w = jax.nn.softmax(total, axis=1)
+        f = jnp.sum(w * aaccs[-1], axis=1)
+        logz = jax.nn.logsumexp(total, axis=1) + norms[-1]
+        return f, (alphas, aaccs, norms, logz, f)
+
     if use_matvec_latfb(t_len, b, k, n_mats=2):
         return _smbr_fwd_matvec_ts(obs, lat, ref, num_frames, level,
                                    pdf_to_phone, silence)
@@ -922,6 +947,40 @@ def _smbr_ts_bwd(level, silence, res, ct):
     obs, lat, ref, num_frames, pdf_to_phone, alphas, aaccs, norms, logz, f = res
     b, t_len, p_dim = obs.shape
     k = lat.num_slots
+
+    from pykaldi2_tpu.ops.fb_lattice_pallas import (_pad128,
+                                                    make_smbr_contribs_bwd,
+                                                    use_pallas_latfb)
+
+    if use_pallas_latfb(b, k, lat.src.shape[2], n_acc=2):
+        # same route precedence + pad-slot shim as _smbr_fwd_ts; alpha-side
+        # pads get NEG_INF (log domain), acc-side pads 0 (linear domain) —
+        # both inert, no arc addresses a pad slot
+        kp = _pad128(k)
+
+        def padk(x, val):
+            return (x if kp == k else
+                    jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, kp - k)],
+                            constant_values=val))
+
+        arc_acc = _arc_acc_ts(lat, ref, level, pdf_to_phone, silence)
+        alpha_prev = jnp.concatenate(
+            [_alpha0_ts(lat, b, obs)[None], alphas[:-1]], axis=0)
+        aacc_prev = jnp.concatenate(
+            [jnp.zeros((1, b, k), jnp.float32), aaccs[:-1]], axis=0)
+        anorm_prev = jnp.concatenate([jnp.zeros((1, b), jnp.float32),
+                                      norms[:-1]], axis=0)
+        contribs = make_smbr_contribs_bwd(kp)(
+            _obs_arcs_ts(obs, lat),
+            jnp.swapaxes(lat.src, 0, 1), jnp.swapaxes(lat.dst, 0, 1),
+            jnp.swapaxes(lat.weight, 0, 1), _active_ts(lat, t_len, num_frames),
+            arc_acc, padk(alpha_prev, NEG_INF), padk(aacc_prev, 0.0),
+            anorm_prev[:, :, None], padk(lat.final, NEG_INF), logz[:, None],
+            f[:, None])
+        grads = _arc_pdf_sums(contribs, jnp.swapaxes(lat.pdf, 0, 1), p_dim)
+        return (ct[:, None, None] * jnp.swapaxes(grads, 0, 1),
+                None, None, None, None)
+
     if use_matvec_latfb(t_len, b, k, n_mats=2):
         grads = _smbr_bwd_matvec_ts(obs, lat, ref, num_frames, level,
                                     pdf_to_phone, silence, alphas, aaccs,

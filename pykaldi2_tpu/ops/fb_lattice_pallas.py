@@ -12,10 +12,14 @@ invocation streaming only the [B, A] band blocks.
 
 Covers the logZ forward and the occupancy backward that
 ``fb_lattice.lattice_logz_ts`` / ``mmi_objective_lattice_ts`` consume
-(the MMI on-the-fly hot path); the sMBR/MPE expected-accuracy scans keep
-the XLA path. Gating: ``PK2_PALLAS_LATFB=1`` opt-in ONLY — fb_lattice.py
-consults ``use_pallas_latfb`` per call and silently falls back for
-unsupported shapes (B % 8, K/A % 128).
+(the MMI on-the-fly hot path), and — since round-5 session 3 — the
+sMBR/MPE expected-accuracy forward/backward (the same recursions plus a
+linear accuracy carry; the per-arc accuracies with Kaldi's silence rules
+are computed OUTSIDE in XLA and streamed in as a [T,B,A] band, so the
+kernels are criterion-agnostic). Gating: ``use_pallas_latfb`` (default ON
+for the TPU backend after the round-5 on-chip verdict; ``n_acc=2`` for
+the sMBR budget) — fb_lattice.py consults it per call and silently falls
+back for unsupported shapes (B % 8, A % 128, VMEM budget).
 
 FORMULATION (round 5, VERDICT r4 weak #7): the round-3 kernels used
 ``take_along_axis`` gathers and ``.at[].add`` scatters — the exact
@@ -81,7 +85,10 @@ def _chunk_a(b: int, k: int, a: int) -> int:
     return 128
 
 
-def use_pallas_latfb(b: int, k: int, a: int) -> bool:
+def use_pallas_latfb(b: int, k: int, a: int, n_acc: int = 1) -> bool:
+    """``n_acc=1``: the MMI logZ/occupancy kernels; ``n_acc=2``: the sMBR
+    expected-accuracy kernels (an extra [B,K] carry + denom/numer scratch
+    pair + two extra [B,A] gather scratches each way)."""
     env = os.environ.get("PK2_PALLAS_LATFB")
     if env is not None and env not in ("0", "1"):
         raise ValueError(f"PK2_PALLAS_LATFB={env!r}: expected 0 or 1")
@@ -102,7 +109,7 @@ def use_pallas_latfb(b: int, k: int, a: int) -> bool:
     ca = _chunk_a(b, k, a)
     return (b % 8 == 0 and a % 128 == 0
             # carries + band blocks + two chunked one-hot transients
-            and (4 * b * (2 * kp + 6 * a) + 8 * b
+            and (4 * b * ((4 * n_acc - 2) * kp + 6 * n_acc * a) + 8 * b
                  + 2 * 4 * b * ca * kp) < 12 * 1024 * 1024)
 
 
@@ -302,5 +309,204 @@ def make_occupancies_bwd(k: int):
             ],
         )(obs_arc, src, dst, w, active, alpha_prev, anorm_prev, final, logz)
         return gamma
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# sMBR / MPE: expected-accuracy forward + contribution backward
+# (fb_lattice._smbr_fwd_ts / _smbr_ts_bwd scan forms, one-hot-matmul'd;
+#  the acc recursion carries a LINEAR per-slot expected accuracy alongside
+#  the renormalized log alpha/beta — numer/denom are two scatter dots
+#  sharing the same transposed one-hot)
+# ---------------------------------------------------------------------------
+
+
+def _smbr_fwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref, acc_ref,
+                     alphas_ref, aaccs_ref, norms_ref, alpha_s, aacc_s,
+                     norm_s, gat_s, gac_s, sum_s, num_s, chunk_s, *, k, ca):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, alpha_s.shape, 1)
+        alpha_s[:] = jnp.where(lane == 0, 0.0, NEG_INF)
+        aacc_s[:] = jnp.zeros_like(aacc_s)
+        norm_s[:] = jnp.zeros_like(norm_s)
+
+    alpha = alpha_s[:]                                   # [B, K] log, renorm
+    aacc = aacc_s[:]                                     # [B, K] linear acc
+    a = gat_s.shape[1]
+    for c in range(0, a, ca):
+        oh = _onehot(src_ref[0][:, c:c + ca], k)
+        gat_s[:, c:c + ca] = _gather_dot(oh, alpha)
+        gac_s[:, c:c + ca] = _gather_dot(oh, aacc)
+    score = gat_s[:] + w_ref[0] + obs_ref[0]
+    mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+    lin = jnp.exp(score - mx)
+    acc_in = gac_s[:] + acc_ref[0]
+    for i, c in enumerate(range(0, a, ca)):
+        oh_t = _onehot_t(dst_ref[0][:, c:c + ca], k)
+        chunk_s[:] = _scatter_add_dot(oh_t, lin[:, c:c + ca])
+        sum_s[:] = chunk_s[:] if i == 0 else sum_s[:] + chunk_s[:]
+        chunk_s[:] = _scatter_add_dot(oh_t, (lin * acc_in)[:, c:c + ca])
+        num_s[:] = chunk_s[:] if i == 0 else num_s[:] + chunk_s[:]
+    denom = sum_s[:]
+    numer = num_s[:]
+    new_alpha = jnp.where(denom > 0,
+                          jnp.log(jnp.where(denom > 0, denom, 1.0)),
+                          NEG_INF) + mx
+    new_acc = jnp.where(denom > 0,
+                        numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+    m2 = jnp.max(new_alpha, axis=1, keepdims=True)
+    new_alpha = new_alpha - m2
+    act = act_ref[0]                                     # [B, 1]
+    alpha_s[:] = act * new_alpha + (1.0 - act) * alpha
+    aacc_s[:] = act * new_acc + (1.0 - act) * aacc
+    norm_s[:] = norm_s[:] + act * m2
+    alphas_ref[0] = alpha_s[:]
+    aaccs_ref[0] = aacc_s[:]
+    norms_ref[0] = norm_s[:]
+
+
+def make_smbr_fwd(k: int):
+    """obs_arc/w/arc_acc [T,B,A] f32, src/dst [T,B,A] i32, active [T,B,1]
+    → (alphas [T,B,k] log-renorm, aaccs [T,B,k] linear, norms [T,B])."""
+    def run(obs_arc, src, dst, w, active, arc_acc):
+        (obs_arc, src, dst, w, active,
+         arc_acc) = _match_vma(obs_arc, src, dst, w, active, arc_acc)
+        t_len, b, a = obs_arc.shape
+        ca = _chunk_a(b, k, a)
+        io = lambda t: (t, 0, 0)
+        alphas, aaccs, norms = pl.pallas_call(
+            functools.partial(_smbr_fwd_kernel, k=k, ca=ca),
+            grid=(t_len,),
+            in_specs=[pl.BlockSpec((1, b, a), io, memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec((1, b, 1), io, memory_space=pltpu.VMEM),
+               pl.BlockSpec((1, b, a), io, memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((1, b, k), io, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, k), io, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 1), io, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                _sds((t_len, b, k), jnp.float32, obs_arc),
+                _sds((t_len, b, k), jnp.float32, obs_arc),
+                _sds((t_len, b, 1), jnp.float32, obs_arc),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, 1), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+            ],
+        )(obs_arc, src, dst, w, active, arc_acc)
+        return alphas, aaccs, norms[:, :, 0]
+
+    return run
+
+
+def _smbr_bwd_kernel(obs_ref, src_ref, dst_ref, w_ref, act_ref, acc_ref,
+                     aprev_ref, aaprev_ref, anorm_ref, final_ref, logz_ref,
+                     f_ref, contrib_ref, beta_s, bacc_s, bnorm_s, gat_s,
+                     gb_s, ga2_s, gaa_s, sum_s, num_s, chunk_s, *, k, ca):
+    t = pl.program_id(0)  # reversed via index maps
+
+    @pl.when(t == 0)
+    def _():
+        beta_s[:] = final_ref[:]
+        bacc_s[:] = jnp.zeros_like(bacc_s)
+        bnorm_s[:] = jnp.zeros_like(bnorm_s)
+
+    beta = beta_s[:]
+    bacc = bacc_s[:]
+    bnorm = bnorm_s[:]
+    obs_w = w_ref[0] + obs_ref[0]
+    arc_acc = acc_ref[0]
+    a = gat_s.shape[1]
+    for c in range(0, a, ca):
+        oh_d = _onehot(dst_ref[0][:, c:c + ca], k)
+        gat_s[:, c:c + ca] = _gather_dot(oh_d, beta)
+        gb_s[:, c:c + ca] = _gather_dot(oh_d, bacc)
+        oh_s = _onehot(src_ref[0][:, c:c + ca], k)
+        ga2_s[:, c:c + ca] = _gather_dot(oh_s, aprev_ref[0])
+        gaa_s[:, c:c + ca] = _gather_dot(oh_s, aaprev_ref[0])
+    beta_dst = gat_s[:]
+    bacc_dst = gb_s[:]
+    log_gamma = (ga2_s[:] + anorm_ref[0]
+                 + obs_w + beta_dst + bnorm - logz_ref[:])
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+    c_arc = gaa_s[:] + arc_acc + bacc_dst
+    act = act_ref[0]
+    contrib_ref[0] = act * (gamma * (c_arc - f_ref[:]))
+    score = obs_w + beta_dst
+    mx = jnp.maximum(jnp.max(score, axis=1, keepdims=True), NEG_INF)
+    lin = jnp.exp(score - mx)
+    acc_out = arc_acc + bacc_dst
+    for i, c in enumerate(range(0, a, ca)):
+        oh_t = _onehot_t(src_ref[0][:, c:c + ca], k)
+        chunk_s[:] = _scatter_add_dot(oh_t, lin[:, c:c + ca])
+        sum_s[:] = chunk_s[:] if i == 0 else sum_s[:] + chunk_s[:]
+        chunk_s[:] = _scatter_add_dot(oh_t, (lin * acc_out)[:, c:c + ca])
+        num_s[:] = chunk_s[:] if i == 0 else num_s[:] + chunk_s[:]
+    denom = sum_s[:]
+    numer = num_s[:]
+    new_beta = jnp.where(denom > 0,
+                         jnp.log(jnp.where(denom > 0, denom, 1.0)),
+                         NEG_INF) + mx
+    new_bacc = jnp.where(denom > 0,
+                         numer / jnp.where(denom > 0, denom, 1.0), 0.0)
+    m2 = jnp.max(new_beta, axis=1, keepdims=True)
+    new_beta_n = new_beta - m2
+    beta_s[:] = act * new_beta_n + (1.0 - act) * beta
+    bacc_s[:] = act * new_bacc + (1.0 - act) * bacc
+    bnorm_s[:] = bnorm + act * m2
+
+
+def make_smbr_contribs_bwd(k: int):
+    def run(obs_arc, src, dst, w, active, arc_acc, alpha_prev, aacc_prev,
+            anorm_prev, final, logz, f):
+        """→ contrib [T, B, A] = γ·(c_arc − f) per arc (pdf scatter outside)."""
+        (obs_arc, src, dst, w, active, arc_acc, alpha_prev, aacc_prev,
+         anorm_prev, final, logz, f) = _match_vma(
+            obs_arc, src, dst, w, active, arc_acc, alpha_prev, aacc_prev,
+            anorm_prev, final, logz, f)
+        t_len, b, a = obs_arc.shape
+        ca = _chunk_a(b, k, a)
+        rev = lambda t: (t_len - 1 - t, 0, 0)
+        fin = lambda t: (0, 0)
+        (contrib,) = pl.pallas_call(
+            functools.partial(_smbr_bwd_kernel, k=k, ca=ca),
+            grid=(t_len,),
+            in_specs=[pl.BlockSpec((1, b, a), rev, memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((1, b, a), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((1, b, k), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((1, b, k), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+               pl.BlockSpec((b, k), fin, memory_space=pltpu.VMEM),
+               pl.BlockSpec((b, 1), fin, memory_space=pltpu.VMEM),
+               pl.BlockSpec((b, 1), fin, memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((1, b, a), rev, memory_space=pltpu.VMEM)],
+            out_shape=[_sds((t_len, b, a), jnp.float32, obs_arc)],
+            scratch_shapes=[
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, 1), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, a), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+            ],
+        )(obs_arc, src, dst, w, active, arc_acc, alpha_prev, aacc_prev,
+          anorm_prev, final, logz, f)
+        return contrib
 
     return run

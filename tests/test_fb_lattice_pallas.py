@@ -12,9 +12,10 @@ import pytest
 from jax.experimental import pallas as pl
 
 import pykaldi2_tpu.ops.fb_lattice as FL
-from pykaldi2_tpu.ops.fb import NEG_INF
+from pykaldi2_tpu.ops.fb import NEG_INF, SilenceOpts
 from pykaldi2_tpu.ops.fb_lattice import (
-    TimeSyncLattice, lattice_occupancies_ts, mmi_objective_lattice_ts)
+    TimeSyncLattice, lattice_expected_accuracy_ts, lattice_occupancies_ts,
+    mmi_objective_lattice_ts)
 
 B, T, K, A, P = 8, 6, 128, 128, 12
 
@@ -64,6 +65,12 @@ def test_gate_respects_shapes(monkeypatch):
     assert use_pallas_latfb(32, 200, 384)       # the compacted OTF shape
     assert not use_pallas_latfb(7, 128, 128)    # batch not 8-aligned
     assert not use_pallas_latfb(8, 128, 100)    # band not lane-aligned
+    # sMBR budget (n_acc=2): supported at the bench/OTF shapes, and the
+    # bigger scratch set must tighten the VMEM bound vs n_acc=1
+    assert use_pallas_latfb(8, 128, 256, n_acc=2)
+    assert use_pallas_latfb(32, 200, 384, n_acc=2)
+    assert use_pallas_latfb(16, 512, 2048, n_acc=2)   # midscale dev-sMBR
+    assert not use_pallas_latfb(32, 512, 2048, n_acc=2)  # one-hots blow VMEM
     monkeypatch.setenv("PK2_PALLAS_LATFB", "0")
     assert not use_pallas_latfb(8, 128, 128)
     # default (env unset): ON only for the real TPU backend — off here (CPU)
@@ -95,6 +102,67 @@ def test_mmi_grad_parity(_interpret, monkeypatch):
     def f():
         def obj(o):
             return jnp.sum(mmi_objective_lattice_ts(o, ali, lat, lens, mask))
+
+        return jax.value_and_grad(obj)(obs)
+
+    (v_ref, g_ref), (v_pal, g_pal) = _both(monkeypatch, f)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_smbr_value_and_grad_parity(_interpret, monkeypatch):
+    """sMBR (pdf-level expected accuracy) through the one-hot Pallas
+    fwd+bwd kernels vs the lax.scan route."""
+    lat = _rand_lattice(4)
+    rng = np.random.RandomState(5)
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    ref = jnp.asarray(rng.randint(0, P, (B, T)).astype(np.int32))
+    lens = jnp.asarray(rng.randint(2, T + 1, B).astype(np.int32))
+
+    def f():
+        def obj(o):
+            return jnp.sum(lattice_expected_accuracy_ts(o, lat, ref, lens))
+
+        return jax.value_and_grad(obj)(obs)
+
+    (v_ref, g_ref), (v_pal, g_pal) = _both(monkeypatch, f)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mpe_silence_and_padded_slots_parity(_interpret, monkeypatch):
+    """Phone-level MPE with Kaldi silence rules AND a non-lane-aligned slot
+    count (K=200 → kp=256): the arc accuracies are computed outside the
+    kernel, so the silence semantics must ride through unchanged; acc-side
+    pad slots are zero-filled (linear domain) and must stay inert."""
+    k2 = 200
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 24, (B, T, A)).astype(np.int32)
+    src[:, 0, :] = 0
+    dst = rng.randint(0, 24, (B, T, A)).astype(np.int32)
+    w = (rng.randn(B, T, A) * 0.3).astype(np.float32)
+    w[:, :, 96:] = NEG_INF
+    final = np.full((B, k2), NEG_INF, np.float32)
+    final[:, :24] = (rng.randn(B, 24) * 0.2).astype(np.float32)
+    lat = TimeSyncLattice(
+        jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(rng.randint(0, P, (B, T, A)).astype(np.int32)),
+        jnp.asarray(w), jnp.asarray(final))
+    obs = jnp.asarray(rng.randn(B, T, P).astype(np.float32))
+    p2p = jnp.asarray(np.arange(P, dtype=np.int32) % 3 + 1)
+    ref = jnp.asarray(rng.randint(1, 4, (B, T)).astype(np.int32))
+    lens = jnp.asarray(rng.randint(2, T + 1, B).astype(np.int32))
+    sil = SilenceOpts(  # phone 1 is silence
+        sil_pdf=jnp.asarray((np.asarray(p2p) == 1).astype(np.float32)),
+        sil_phone=jnp.asarray(np.array([0, 1, 0, 0], np.float32)),
+        one_silence_class=False)
+
+    def f():
+        def obj(o):
+            return jnp.sum(lattice_expected_accuracy_ts(
+                o, lat, ref, lens, "phone", p2p, sil))
 
         return jax.value_and_grad(obj)(obs)
 

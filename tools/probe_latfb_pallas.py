@@ -5,8 +5,9 @@ VERDICT r4 item 5: does the round-5 one-hot matmul formulation
 so, does it beat the XLA matvec/scan paths?  One compile each at the
 lat_mmi bench shape, grad parity between paths, then timing.
 
-Run:  PK2_PLATFORM=tpu python tools/probe_latfb_pallas.py [B T K A]
-Record the verdict in BASELINE.md either way.
+Run:  PK2_PLATFORM=tpu python tools/probe_latfb_pallas.py [B T K A] [crit]
+``crit`` = mmi (default) | smbr (times the expected-accuracy kernels,
+round-5 session-3 extension). Record the verdict in BASELINE.md either way.
 """
 
 import json
@@ -24,12 +25,14 @@ def main():
     import jax.numpy as jnp
 
     from pykaldi2_tpu.ops.fb_lattice import (TimeSyncLattice,
+                                             lattice_expected_accuracy_ts,
                                              mmi_objective_lattice_ts)
 
     from pykaldi2_tpu.ops.fb import NEG_INF
 
     args = [int(x) for x in sys.argv[1:5]]
     B, T, K, A = (args + [32, 448, 256, 256][len(args):])
+    crit = sys.argv[5] if len(sys.argv) > 5 else "mmi"
     NUM_PDFS = 8952
     rng = np.random.RandomState(0)
     # realistic CONNECTED banded lattice. Two traps found round 5 session 3
@@ -70,6 +73,9 @@ def main():
 
     def build():
         # fresh jit per env setting (the path gates read env at trace time)
+        if crit == "smbr":
+            return jax.jit(jax.value_and_grad(lambda o: jnp.sum(
+                lattice_expected_accuracy_ts(o, lat, ali, nf))))
         return jax.jit(jax.value_and_grad(lambda o: jnp.sum(
             mmi_objective_lattice_ts(o, ali, lat, nf, mask, True, 1.0))))
 
